@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end through the noop sink (no driver-side
+collect, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oculus_data_pipeline_spark.queries import get_queries
+from oculus_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_region_revenue",
+    "q06_top_customers_per_nation",
+    "q07_running_order_totals",
+    "q12_json_extraction",
+    "q14_tumbling_windows",
+    "q16_session_windows",
+    "q21_generate_uri",
+    "q30_exact_dedup",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs",
+    "q33_simhash",
+    "q42_lang_id",
+    "q50_cosine_topk",
+    "q62_graph_edges",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("oculus-bench")
+    queries = get_queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

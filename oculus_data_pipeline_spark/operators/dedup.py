@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as declarative DataFrame plans (no Python
+in the hot path), each designed so the expensive comparison work is
+*key-localized* — the property that makes them survive 100 TB:
+
+- exact:   group on a content hash; one shuffle on a well-distributed
+           md5 key, map-side partial aggregation for the counts.
+- n-gram Jaccard: candidate pairs come from a self-join on *shared
+           shingles* (inverted-index join), never a cross join. The
+           shuffle key is the shingle; hot shingles are the skew risk,
+           so extremely common shingles can be dropped (stop-shingles)
+           without changing high-similarity semantics materially.
+- MinHash+LSH: fixed-size signatures (num_perms ints per doc) replace
+           the full shingle sets; the banded self-join touches only
+           docs agreeing on a whole band — the classic sub-quadratic
+           near-dup path for web-scale corpora.
+- SimHash: one 32/64-bit fingerprint per doc; near-dup = small Hamming
+           distance; here exposed as fingerprint computation (bucket
+           joins on bit-slices compose on top).
+
+Reference parity: the reference's dedup surface is set-based
+first-wins tuple dedup (xml_to_json.py:24-44) and global distinct
+terms (json_classification.py:322-335); ``exact_dedup`` generalizes
+those; the rest are north-star additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, affine_hash, md5_int, minhash_params
+from ..functions.text import normalize_term
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of a normalized text column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(normalize_term(c), " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups keyed by md5 of normalized text.
+
+    Returns (content_hash, canonical_id, n_dups). One shuffle on the
+    hash; partial min/count run map-side.
+    """
+    return (
+        docs.select(F.md5(normalize_term(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Docs with fewer than ``n`` tokens produce no shingles (guarded —
+    Spark's ``sequence`` would otherwise happily count backwards).
+    """
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Inverted-index self-join: pairs are generated only for docs sharing
+    at least one shingle, then |∩| is counted per pair and |∪| derived
+    from per-doc set sizes — never materializing a cross join.
+    """
+    sh = shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature_long(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-form minhash signatures: (id, perm, minh).
+
+    Shingles are hashed once (md5→int, cross-engine deterministic),
+    then each permutation is an affine universal hash; the min per
+    (doc, perm) aggregates map-side before one shuffle on the doc id.
+    """
+    sh = shingle_table(docs, text_col, id_col, shingle_n)
+    h = md5_int("shingle")
+    perm_cols = [
+        affine_hash(h, a, b).alias(f"p{j}") for j, (a, b) in enumerate(minhash_params(num_perms))
+    ]
+    hashed = sh.select("id", *perm_cols)
+    # unpivot → (id, perm, h) so the min is a single grouped agg
+    stacked = hashed.unpivot(
+        ["id"], [f"p{j}" for j in range(num_perms)], "perm_name", "h"
+    ).select(
+        "id", F.regexp_replace("perm_name", "p", "").cast("int").alias("perm"), "h"
+    )
+    return stacked.groupBy("id", "perm").agg(F.min("h").alias("minh"))
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs whose signatures agree on an entire band.
+
+    Band signature is the '-'-joined, perm-ordered minhash values; the
+    candidate join shuffles on (band, band_sig) — a short, well-hashed
+    key, so the quadratic blow-up is confined to true near-dup buckets.
+    """
+    rows_per_band = num_perms // bands
+    sig = minhash_signature_long(docs, text_col, id_col, num_perms, shingle_n)
+    band_sigs = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minh"))),
+                    lambda s: s["minh"].cast("string"),
+                ),
+                "-",
+            ).alias("band_sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash fingerprint over distinct tokens.
+
+    Computed as ``bits`` conditional-sum aggregates in one groupBy —
+    no per-bit row explosion, fully codegen'd, one shuffle on doc id.
+    """
+    tok = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.length("tok") > 0)
+        .distinct()
+        .withColumn("h", md5_int("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.cast("long").alias("simhash"))

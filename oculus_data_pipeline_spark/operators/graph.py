@@ -1,0 +1,85 @@
+"""Property-graph construction — the reference's Neo4j sink re-expressed
+as set-oriented DataFrame transforms.
+
+Reference parity (/root/reference/json_to_db.py): the per-document loop
+of ~13 serial Cypher MERGE transactions (:78-127) becomes two bulk
+DataFrames — ``nodes(label, key, name)`` and ``edges(src, dst,
+rel_type)`` — deduplicated before the write, which reproduces MERGE
+idempotency set-wise (SURVEY.md §3.3). The dynamic f-string edge labels
+(:47-51, :63-67) become a fixed rel_type column. Hot entities (popular
+terms) are pre-aggregated by the dropDuplicates, so the sink never sees
+per-mention write amplification — the 100 TB concern for graph sinks.
+
+Node labels: Document/Person/Place/Organization/Term (json_to_db.py:
+7-44); edge types HAS_PERSON/HAS_PLACE/HAS_ORGANIZATION/HAS_TERM
+(:104-119).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import generate_uri
+
+LABEL_FOR = {
+    "person": "Person",
+    "place": "Place",
+    "organization": "Organization",
+    "term": "Term",
+}
+
+
+def _node_label(label_col: F.Column) -> F.Column:
+    out = F.lit("Term")
+    for lab, node in LABEL_FOR.items():
+        out = F.when(label_col == lab, F.lit(node)).otherwise(out)
+    return out
+
+
+def entity_key(term_col, label_col) -> F.Column:
+    """Entity surrogate key: reference URIs for non-'term' types
+    (generate_uri.py:43-45), the term text itself for plain terms
+    (which get no URI in the reference)."""
+    return F.when(label_col != "term", generate_uri(term_col)).otherwise(term_col)
+
+
+def build_nodes(doc_ids: DataFrame, classified_terms: DataFrame) -> DataFrame:
+    """``nodes(label, key, name)`` from documents + classified terms.
+
+    ``doc_ids``: one row per document with a ``doc_id`` column.
+    ``classified_terms``: (doc_id, norm_term, label).
+    """
+    doc_nodes = doc_ids.select(
+        F.lit("Document").alias("label"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("doc_id").cast("string").alias("name"),
+    )
+    entity_nodes = classified_terms.select(
+        _node_label(F.col("label")).alias("label"),
+        entity_key(F.col("norm_term"), F.col("label")).alias("key"),
+        F.col("norm_term").alias("name"),
+    )
+    # Full-row distinct here; the MERGE-idempotent sink dedups on
+    # (label, key) at write time (write_graph). Keeping all 3 columns
+    # makes the result deterministic under URI hash collisions.
+    return doc_nodes.unionByName(entity_nodes).distinct()
+
+
+def build_edges(classified_terms: DataFrame) -> DataFrame:
+    """``edges(src, dst, rel_type)``: Document --HAS_<TYPE>--> entity."""
+    return classified_terms.select(
+        F.col("doc_id").cast("string").alias("src"),
+        entity_key(F.col("norm_term"), F.col("label")).alias("dst"),
+        F.concat(F.lit("HAS_"), F.upper("label")).alias("rel_type"),
+    ).distinct()
+
+
+def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """Default sink: parquet tables (correctness never depends on an
+    external DB). A Neo4j Spark Connector sink can be layered on the
+    same two DataFrames when its jar is on the classpath."""
+    nodes.dropDuplicates(["label", "key"]).write.mode("overwrite").parquet(
+        f"{out_dir}/nodes"
+    )
+    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``brute_force_topk`` / ``cosine_pairs``: exact. The pairing is a
+  join, the scoring is a JVM higher-order-function fold — fine when
+  one side is small (query set, or a threshold prunes early). At 100 TB
+  the query side is broadcast so the big side streams through codegen
+  with no shuffle at all.
+- ``lsh_ann_topk``: random-hyperplane LSH. Each vector gets a small
+  sign-bit bucket key; candidate generation is an equi-join on the
+  bucket — sub-linear work per query at the cost of recall. Planes are
+  derived from a fixed integer recurrence so the operator (and its SQL
+  oracle) is fully deterministic with no stored model.
+
+North-star addition (no reference instance; SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    # float32 → float64 once, up front: products/sums then match the
+    # DuckDB oracle bit-for-bit (both engines do IEEE double ops).
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity ≥ threshold."""
+    e = _as_double(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-match).
+
+    The query side is broadcast; ranking is a window partitioned by
+    query id with a deterministic (sim desc, id) tie-break.
+    """
+    from pyspark.sql import Window as W
+
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv"
+    )
+    c = _as_double(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv"
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-0.5, 0.5]^dim.
+
+    Integer Weyl-style recurrence → exact in both Spark and any SQL
+    oracle; no RNG, no stored model.
+    """
+    return [
+        ((1 + (plane_idx * dim + d) * 2654435761) % 1000003) / 1000003.0 - 0.5
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int):
+    """Sign-bit bucket id for a vector column: Σ 2^j·[v·p_j > 0]."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = hyperplane(dim, j)
+        dot = None
+        for d, w in enumerate(plane):
+            term = F.element_at(F.col(vec_col), d + 1) * F.lit(w)
+            dot = term if dot is None else dot + term
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket, then exact
+    cosine re-rank within the bucket. Equi-join on the bucket key
+    replaces the cross join — the scale path."""
+    from pyspark.sql import Window as W
+
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv"
+    ).withColumn("bucket", lsh_bucket_expr("qv", dim, n_planes))
+    c = _as_double(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv"
+    ).withColumn("bucket", lsh_bucket_expr("cv", dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators for training-data curation.
+
+All pure Column expressions (codegen'd, pushdown-friendly): token
+counting, quality scoring, n-gram/stopword language ID, content
+fingerprinting. North-star additions (SURVEY.md §2.13); the only
+reference-text precedent is the normalize kernel they build on
+(xml_to_json.py:7-14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_term
+
+# Small, fixed stopword inventories — enough signal for a heuristic
+# language vote; deliberately tiny so the same lists embed in the SQL
+# oracle verbatim.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "von", "mit"],
+    "zh": ["de", "le", "shi", "bu", "wo", "ni", "ta", "men"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+# BPE-ish word/number/symbol segmentation — plain char classes so the
+# same pattern runs under Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _toks(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(normalize_term(c), " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, n_distinct_tokens, n_bpe_tokens, avg_token_len)."""
+    toks = _toks(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.round(
+            (F.length(F.array_join(toks, "")) / F.size(toks)).cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]-ish.
+
+    Features: punctuation ratio, stopword ratio, distinct-token ratio,
+    length band. Deterministic, fully SQL-expressible.
+    """
+    toks = _toks(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    punct_ratio = punct / F.length(text_col)
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * (1 - punct_ratio)
+        + F.lit(0.1) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.round(stop_ratio.cast("double"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio.cast("double"), 6).alias("punct_ratio"),
+        F.round(distinct_ratio.cast("double"), 6).alias("distinct_ratio"),
+        F.round(score.cast("double"), 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID. Ties break by fixed language order
+    (en, es, fr, de, zh) — deterministic, matching the SQL oracle."""
+    toks = _toks(text_col)
+    def vote_counter(words):
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    votes = {lang: vote_counter(words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[votes[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(votes[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        *[votes[lang].cast("long").alias(f"votes_{lang}") for lang in langs],
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Two content fingerprints per doc:
+
+    - ``content_fp``: first 16 hex of sha256 of normalized text
+      (order-sensitive exact-content key).
+    - ``bow_fp``: md5 of the sorted distinct token bag (order-
+      insensitive bag-of-words key; catches shuffled duplicates).
+    """
+    toks = _toks(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.sha2(normalize_term(text_col), 256), 1, 16).alias("content_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bow_fp"),
+    )

@@ -1,0 +1,1087 @@
+"""Driver-facing query registry: one PySpark implementation + one
+DuckDB oracle SQL per operator claimed in SURVEY.md §2 / §2.13.
+
+Cross-engine determinism rules used throughout (so the driver's
+row-count + schema + order-insensitive value-hash comparison passes
+exactly, not approximately):
+
+- Sums of doubles are order-dependent; both sides therefore cast the
+  addend to DECIMAL(22,4) (exact, order-independent sum), then cast
+  the result to DOUBLE. Averages = decimal-sum / count, divided as
+  identical doubles.
+- Every hash that feeds logic is md5/sha256-hex-prefix parsed to int —
+  identical in both engines (functions/hashing.py).
+- Vector math casts float32 → double up front and the oracle spells
+  the same left-fold order explicitly, so doubles match bit-for-bit.
+- Timestamps never leave as raw timestamps: formatted strings or DATE.
+- Top-k queries carry a full deterministic tie-break ordering.
+
+Each query callable takes (spark, sf_dir) and returns a DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int, md5_int_sql
+from .functions.text import (
+    convert_name_oracle_query,
+    generate_uri,
+    generate_uri_oracle_sql,
+    normalize_term,
+    normalize_term_oracle_sql,
+    strip_parenthetical,
+    strip_parenthetical_oracle_sql,
+    with_converted_name,
+)
+from .operators import dedup, graph, similarity, textstats
+from .operators.classify import EchoClassifier, classify_terms
+from .sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(c, scale: int = 4):
+    """Order-independent sum of a double expression via exact decimals."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(f"decimal(22,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scans, filters, aggregations (SURVEY §2.13 group-by)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 6)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 6)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {dsum_sql('l_quantity', 6)} / COUNT(*) AS avg_qty,
+           {dsum_sql('l_extendedprice', 6)} / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 2-key groupBy + 6 aggregates.
+    Catalyst pushes the shipdate filter to the parquet scan; the
+    aggregation runs partial (map-side) then final after one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 6).alias("sum_qty"),
+        dsum("l_extendedprice", 6).alias("sum_base_price"),
+        dsum(disc_price, 6).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        (dsum("l_quantity", 6) / F.count("*")).alias("avg_qty"),
+        (dsum("l_extendedprice", 6) / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q02_shipping_priority",
+    f"""
+    SELECT o.o_orderkey, {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (dim side broadcast) + agg + top-k.
+    Deterministic tie-break (revenue desc, orderkey) so LIMIT is stable."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_revenue",
+    f"""
+    SELECT n.n_name, {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. region/nation/customer broadcast;
+    the only shuffle left is lineitem⋈orders + the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: left-semi join (EXISTS) + groupBy."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sat = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q05_customers_without_orders",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) + groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q06_top_customers_per_nation",
+    f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             {dsum_sql('o.o_totalprice')} AS total_spend
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT n_name, c_name, total_spend, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                ORDER BY total_spend DESC, c_custkey) AS rnk
+      FROM spend
+    ) WHERE rnk <= 3
+    """,
+)
+def q06_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: join + agg + ranking window, deterministic
+    tie-break on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "total_spend", "rnk")
+    )
+
+
+@query(
+    "q07_running_order_totals",
+    f"""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(22,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS prev_price,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q07_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum (exact decimal), lag, row_number
+    over a fully-specified ordering."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(22,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag(dec).over(w).cast("double").alias("prev_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q08_rollup_order_stats",
+    f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+             AS grouping_level
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q08_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping_id disambiguation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.grouping_id().cast("bigint").alias("grouping_level"),
+    )
+
+
+@query(
+    "q09_cube_event_stats",
+    f"""
+    SELECT event_type, CAST(extract(dow FROM ts) AS BIGINT) + 1 AS dow,
+           COUNT(*) AS n_events, {dsum_sql('value', 6)} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def q09_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over event type × day-of-week (Spark dayofweek: 1=Sunday,
+    matched to DuckDB extract(dow)+1)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts").cast("bigint")
+    )
+    return e.cube("event_type", "dow").agg(
+        F.count("*").alias("n_events"), dsum("value", 6).alias("total_value")
+    )
+
+
+@query(
+    "q10_distinct_aggregates",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT c.c_nationkey) AS n_nations,
+           COUNT(DISTINCT o.o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q10_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation (expand + two-phase)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q11_set_operations",
+    """
+    SELECT n_name FROM (
+      SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      INTERSECT
+      SELECT n.n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    )
+    EXCEPT
+    SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal < 0
+    """,
+)
+def q11_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT set algebra over derived key sets."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cust_nations = n.join(c, c.c_nationkey == n.n_nationkey).select("n_name")
+    supp_nations = n.join(s, s.s_nationkey == n.n_nationkey).select("n_name")
+    negative = (
+        n.join(c, (c.c_nationkey == n.n_nationkey) & (c.c_acctbal < 0)).select("n_name")
+    )
+    return cust_nations.intersect(supp_nations).exceptAll(negative).distinct()
+
+
+@query(
+    "q12_json_extraction",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q12_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props string column."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("double").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "q13_daily_event_rollup",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type, COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def q13_daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-truncated daily aggregation — the batch form of a tumbling
+    1-day window."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "q14_tumbling_windows",
+    f"""
+    SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events, {dsum_sql('value', 6)} AS total_value
+    FROM events GROUP BY window_start
+    """,
+)
+def q14_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling 1 h — identical logic runs under Structured
+    Streaming (streaming/windows.py); batch here for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q15_sliding_windows",
+    f"""
+    WITH slid AS (
+      SELECT e.*, make_timestamp(((epoch_us(ts) // 1800000000) - s.off) * 1800000000)
+             AS window_start
+      FROM events e, (SELECT UNNEST([0, 1]) AS off) s
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events, {dsum_sql('value', 6)} AS total_value
+    FROM slid GROUP BY 1
+    """,
+)
+def q15_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in 2
+    windows. Oracle replays the window assignment arithmetically."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q16_session_windows",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, {dsum_sql('value', 6)} AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q16_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10 min gap) per user — F.session_window in
+    batch; the oracle is the classic gaps-and-islands formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q17_pivot_order_status",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q17_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (orderstatus → columns); oracle = conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "q18_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q18_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions: year/month extraction, datediff, interval
+    addition."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference scalar kernels (SURVEY §2.8) over testdata columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_normalize_terms",
+    f"""
+    SELECT p_partkey,
+           {normalize_term_oracle_sql("'  ' || upper(p_name) || '   (note) x  '")} AS norm,
+           {strip_parenthetical_oracle_sql("p_name || ' (cat) tail'")} AS stripped
+    FROM part
+    """,
+)
+def q20_normalize_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 normalize + T2 parenthetical-strip kernels on synthesized
+    messy inputs (reference xml_to_json.py:7-14, :34-36)."""
+    p = load_table(spark, sf_dir, "part")
+    messy = F.concat(F.lit("  "), F.upper("p_name"), F.lit("   (note) x  "))
+    parened = F.concat(F.col("p_name"), F.lit(" (cat) tail"))
+    return p.select(
+        "p_partkey",
+        normalize_term(messy).alias("norm"),
+        strip_parenthetical(parened).alias("stripped"),
+    )
+
+
+@query(
+    "q21_generate_uri",
+    f"""
+    SELECT c_custkey, c_name,
+           {generate_uri_oracle_sql('c_name')} AS uri
+    FROM customer
+    """,
+)
+def q21_generate_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 hash surrogate key kernel (reference generate_uri.py:5-26)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", generate_uri("c_name").alias("uri"))
+
+
+@query(
+    "q22_convert_name",
+    convert_name_oracle_query(
+        """SELECT p_partkey,
+             CASE WHEN p_partkey % 7 = 0
+                  THEN 'Steuben, Friedrich Baron von'
+                  WHEN p_partkey % 7 = 1
+                  THEN list_extract(str_split(p_name, ' '), 2) || ', Dr. ' ||
+                       list_extract(str_split(p_name, ' '), 1)
+                  ELSE list_extract(str_split(p_name, ' '), 2) || ', ' ||
+                       list_extract(str_split(p_name, ' '), 1) END AS name_lf
+           FROM part""",
+        ["p_partkey"],
+        "name_lf",
+        "converted",
+    ),
+)
+def q22_convert_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 'Last, First' name conversion kernel with faithful reference
+    quirks (json_classification.py:40-67). Input mixes plain
+    'word2, word1' names with titled variants so both the title path
+    and the hardcoded-' de ' quirk are exercised."""
+    p = load_table(spark, sf_dir, "part")
+    parts = F.split("p_name", " ", -1)
+    name_lf = (
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("Steuben, Friedrich Baron von"))
+        .when(
+            F.col("p_partkey") % 7 == 1,
+            F.concat(F.element_at(parts, 2), F.lit(", Dr. "), F.element_at(parts, 1)),
+        )
+        .otherwise(
+            F.concat(F.element_at(parts, 2), F.lit(", "), F.element_at(parts, 1))
+        )
+    )
+    named = p.select("p_partkey", name_lf.alias("name_lf"))
+    return with_converted_name(named, "name_lf", "converted")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north star) over documents
+# ---------------------------------------------------------------------------
+
+@query(
+    "q30_exact_dedup",
+    f"""
+    SELECT md5({normalize_term_oracle_sql('text')}) AS content_hash,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on a content hash (operators/dedup.py)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """DuckDB CTE producing (id, shingle): distinct word n-grams."""
+    return f"""
+    tok AS (
+      SELECT doc_id AS id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id,
+             UNNEST(list_transform(range(1, len(toks) - {n - 2}),
+                    i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+      FROM tok WHERE len(toks) >= {n}
+    )
+    """
+
+
+@query(
+    "q31_ngram_jaccard_pairs",
+    f"""
+    WITH {_shingle_cte(3)},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.5 via inverted-index join —
+    finds the generator's planted near-duplicates."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _minhash_oracle(num_perms: int = 16, bands: int = 4) -> str:
+    from .functions.hashing import MERSENNE31, minhash_params
+
+    rows_per_band = num_perms // bands
+    h = md5_int_sql("shingle")
+    perm_select = ",\n             ".join(
+        f"MIN(({a} * (({h}) % {MERSENNE31}) + {b}) % {MERSENNE31}) AS m{j}"
+        for j, (a, b) in enumerate(minhash_params(num_perms))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {band} AS band, {sig} AS band_sig FROM sig".format(
+            band=band,
+            sig=" || '-' || ".join(
+                f"CAST(m{band * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+    WITH {_shingle_cte(3)},
+    sig AS (
+      SELECT id,
+             {perm_select}
+      FROM sh GROUP BY id
+    ),
+    bandsig AS ({band_selects})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bandsig a JOIN bandsig b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    """
+
+
+@query("q32_minhash_lsh_pairs", _minhash_oracle())
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4 bands × 4 rows) candidate
+    pairs — the sub-quadratic near-dup path."""
+    return dedup.minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = md5_int_sql("tok")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id,
+             UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT id, {h} AS h FROM tok WHERE len(tok) > 0),
+    sums AS (
+      SELECT id,
+             {bit_sums}
+      FROM hashed GROUP BY id
+    )
+    SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@query("q33_simhash", _simhash_oracle())
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints per document."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star) over documents
+# ---------------------------------------------------------------------------
+
+@query(
+    "q40_token_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, text,
+             string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    )
+    SELECT id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(length(array_to_string(toks, '')) / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    regex segmentation, average token length."""
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{wrd}'" for wrd in textstats.EN_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id, text,
+             string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT id,
+             len(list_filter(toks, x -> list_contains([{stop_list}], x)))
+               / len(toks) AS stop_ratio,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text)
+               AS punct_ratio,
+             len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+             CASE WHEN len(toks) BETWEEN 10 AND 1000
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS length_ok
+      FROM t
+    )
+    SELECT id, ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(distinct_ratio, 6) AS distinct_ratio,
+           ROUND(CAST(0.4 AS DOUBLE) * length_ok + CAST(0.3 AS DOUBLE) * distinct_ratio
+                 + CAST(0.2 AS DOUBLE) * (1 - punct_ratio)
+                 + CAST(0.1 AS DOUBLE) * least(stop_ratio * 5, CAST(1.0 AS DOUBLE)), 6)
+             AS quality_score
+    FROM feat
+    """
+
+
+@query("q41_quality_score", _quality_oracle())
+def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality features + composite score."""
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    votes = ",\n             ".join(
+        f"len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{wrd}'" for wrd in words)
+        + f"], x))) AS votes_{lang}"
+        for lang, words in textstats.LANG_STOPWORDS.items()
+    )
+    langs = list(textstats.LANG_STOPWORDS)
+    best = f"greatest({', '.join('votes_' + lang for lang in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN votes_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ), v AS (
+      SELECT id,
+             {votes}
+      FROM t
+    )
+    SELECT id, {', '.join(f'CAST(votes_{lang} AS BIGINT) AS votes_{lang}' for lang in langs)},
+           CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS pred_lang
+    FROM v
+    """
+
+
+@query("q42_lang_id", _lang_id_oracle())
+def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification with deterministic
+    tie-break (fixed language order)."""
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q43_fingerprint",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {normalize_term_oracle_sql('text')} AS norm,
+             string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    )
+    SELECT id, substr(sha256(norm), 1, 16) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fp
+    FROM t
+    """,
+)
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + bag-of-words document fingerprints."""
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star) over embeddings
+# ---------------------------------------------------------------------------
+
+def _fold_dot_sql(a: str, b: str, dim: int) -> str:
+    """Explicit left-fold dot product matching Spark's aggregate() order
+    bit-for-bit (both engines: IEEE-754 double ops in the same order)."""
+    expr = "0.0"
+    for i in range(1, dim + 1):
+        expr = f"({expr} + {a}[{i}] * {b}[{i}])"
+    return expr
+
+
+def _fold_norm_sql(a: str, dim: int) -> str:
+    expr = "0.0"
+    for i in range(1, dim + 1):
+        expr = f"({expr} + {a}[{i}] * {a}[{i}])"
+    return f"sqrt({expr})"
+
+
+def _cosine_sql(a: str, b: str, dim: int) -> str:
+    denom = f"({_fold_norm_sql(a, dim)} * {_fold_norm_sql(b, dim)})"
+    return (
+        f"CASE WHEN {denom} = 0 THEN 0.0 "
+        f"ELSE {_fold_dot_sql(a, b, dim)} / {denom} END"
+    )
+
+
+EMB_DIM = 64
+
+
+@query(
+    "q50_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('q.qv', 'c.v', EMB_DIM)}, 6) AS cos_sim
+      FROM q JOIN e c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 query vectors.
+    Query side broadcast; corpus streams through codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+@query(
+    "q51_cosine_near_dup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cosine_sql('a.v', 'b.v', EMB_DIM)}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_cosine_sql('a.v', 'b.v', EMB_DIM)}, 6) >= 0.9
+    """,
+)
+def q51_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at cosine ≥ 0.9."""
+    return similarity.cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Reference pipeline end-to-end (classification → URI → graph)
+# ---------------------------------------------------------------------------
+
+KNOWN_ENTITIES = [
+    ("spark", "organization"),
+    ("window", "place"),
+    ("table", "organization"),
+]
+
+
+def _doc_terms_cte() -> str:
+    """Terms per document = distinct tokens longer than 4 chars."""
+    return f"""
+    terms AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS norm_term
+      FROM documents
+    ),
+    long_terms AS (SELECT doc_id, norm_term FROM terms WHERE length(norm_term) > 4),
+    known(norm_term, label) AS (VALUES {', '.join(f"('{t}', '{lbl}')" for t, lbl in KNOWN_ENTITIES)}),
+    labeled AS (
+      SELECT lt.doc_id, lt.norm_term,
+             COALESCE(k.label,
+               CASE ({md5_int_sql('lt.norm_term')}) % 4
+                 WHEN 0 THEN 'person' WHEN 1 THEN 'place'
+                 WHEN 2 THEN 'organization' ELSE 'term' END) AS label
+      FROM long_terms lt LEFT JOIN known k ON lt.norm_term = k.norm_term
+    )
+    """
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", F.explode(F.split(normalize_term("text"), " ")).alias("term")
+        )
+        .where(F.length("term") > 4)
+        .distinct()
+    )
+    known = spark.createDataFrame(KNOWN_ENTITIES, ["norm_term", "label"])
+    return classify_terms(terms, EchoClassifier(), known_entities=known)
+
+
+@query(
+    "q60_classify_terms",
+    f"""
+    WITH {_doc_terms_cte()}
+    SELECT doc_id, norm_term, label FROM labeled
+    """,
+)
+def q60_classify_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference classification stage: distinct terms → known-entity
+    precedence (broadcast) → pluggable classifier (Echo) → join back
+    (json_classification.py:95-217 shape, operators/classify.py)."""
+    return _doc_terms(spark, sf_dir).select("doc_id", "norm_term", "label")
+
+
+@query(
+    "q61_graph_nodes",
+    f"""
+    WITH {_doc_terms_cte()},
+    doc_nodes AS (
+      SELECT DISTINCT 'Document' AS label, CAST(doc_id AS VARCHAR) AS key,
+             CAST(doc_id AS VARCHAR) AS name
+      FROM documents
+    ),
+    entity_nodes AS (
+      SELECT DISTINCT
+             CASE label WHEN 'person' THEN 'Person' WHEN 'place' THEN 'Place'
+                  WHEN 'organization' THEN 'Organization' ELSE 'Term' END AS label,
+             CASE WHEN label <> 'term' THEN {generate_uri_oracle_sql('norm_term')}
+                  ELSE norm_term END AS key,
+             norm_term AS name
+      FROM labeled
+    )
+    SELECT label, key, name FROM doc_nodes
+    UNION
+    SELECT label, key, name FROM entity_nodes
+    """,
+)
+def q61_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph sink stage 1: bulk nodes(label, key, name) with MERGE-style
+    dedup (json_to_db.py:7-44 re-expressed set-wise)."""
+    classified = _doc_terms(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return graph.build_nodes(docs, classified)
+
+
+@query(
+    "q62_graph_edges",
+    f"""
+    WITH {_doc_terms_cte()}
+    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
+           CASE WHEN label <> 'term' THEN {generate_uri_oracle_sql('norm_term')}
+                ELSE norm_term END AS dst,
+           'HAS_' || upper(label) AS rel_type
+    FROM labeled
+    """,
+)
+def q62_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph sink stage 2: bulk typed edges (json_to_db.py:46-76
+    re-expressed; dynamic Cypher labels → fixed rel_type column)."""
+    return graph.build_edges(_doc_terms(spark, sf_dir))
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

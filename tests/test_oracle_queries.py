@@ -1,0 +1,34 @@
+"""The main correctness gate, run locally at sf0.001 (the driver runs
+the same comparison at sf0.01). Every registered query with an oracle
+must match DuckDB exactly — count, schema, and values."""
+
+from __future__ import annotations
+
+import pytest
+
+from oculus_data_pipeline_spark.queries import get_oracle_sql, get_queries
+
+from .oracle_harness import compare, duckdb_conn
+
+QUERIES = get_queries()
+ORACLE = get_oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def conn(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_match(name, spark, sf_dir, conn):
+    df = QUERIES[name](spark, sf_dir)
+    problems = compare(df, conn, ORACLE[name], name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
