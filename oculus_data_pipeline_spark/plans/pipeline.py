@@ -1,0 +1,361 @@
+"""The reference pipeline as ONE lazy DataFrame DAG.
+
+Reference (/root/reference/run_pipeline.py:34-77): four subprocess
+stages with JSON files on disk between them —
+xml_to_json → json_classification → generate_uri → json_to_db.
+
+Here the whole thing is a single declarative plan over the native XML
+source; the only materialization points are the two graph-table writes
+at the end. Stage boundaries become named DataFrame→DataFrame
+functions (individually testable, composable — the reference's
+"resumable checkpoints" semantics, SURVEY.md §3.2), and the per-file
+ProcessPoolExecutor (run_pipeline.py:104-109) is replaced by Spark's
+own partition parallelism: at 100 TB the XML scan fans out across the
+cluster with no user-level scheduling.
+
+Semantic parity notes (each cites the reference behavior it preserves):
+- term triples are collected with parentheticals stripped per part and
+  first-wins per-document dedup (xml_to_json.py:24-44);
+- authors/recipients/location form the known-entity table with
+  precedence over the classifier (json_classification.py:313-320,
+  :258-262), and only terms NOT in it reach the classifier
+  (:121-123) — after global distinct (:322-335);
+- classified 'person' terms are rendered with convert_name
+  (:80-92), other labels keep the raw term;
+- URIs go on authors, recipients, location, and non-'term' index
+  terms (generate_uri.py:29-67);
+- the graph gets Document/Person/Place/Organization/Term/Date nodes
+  and AUTHOR/RECIPIENT/LOCATION/DATE_FROM/DATE_TO/HAS_*/MIDSUB/SUB
+  edges (json_to_db.py:7-127), built set-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import generate_uri, normalize_term, strip_parenthetical, with_converted_name
+from ..operators.classify import Classifier, classify_terms
+
+# Explicit schema (SURVEY.md §1.4): inference would collapse
+# single-element arrays to scalars and parse dates; the reference keeps
+# every scalar a string and every repeated element an array.
+DOCUMENT_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("documentID", T.StringType()),
+        T.StructField("documentTitle", T.StringType()),
+        T.StructField(
+            "projectInfo",
+            T.StructType(
+                [
+                    T.StructField("publicationName", T.StringType()),
+                    T.StructField("seriesName", T.StringType()),
+                    T.StructField("volumeInfo", T.StringType()),
+                    T.StructField("publisher", T.StringType()),
+                    T.StructField(
+                        "formats",
+                        T.StructType(
+                            [T.StructField("type", T.ArrayType(T.StringType()))]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "authors",
+            T.StructType([T.StructField("author", T.ArrayType(T.StringType()))]),
+        ),
+        T.StructField(
+            "recipients",
+            T.StructType([T.StructField("recipient", T.ArrayType(T.StringType()))]),
+        ),
+        T.StructField(
+            "dates",
+            T.StructType(
+                [
+                    T.StructField("date-from", T.StringType()),
+                    T.StructField("date-to", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "location", T.StructType([T.StructField("placeName", T.StringType())])
+        ),
+        T.StructField(
+            "repositories",
+            T.StructType([T.StructField("repository", T.ArrayType(T.StringType()))]),
+        ),
+        T.StructField(
+            "indexing",
+            T.StructType(
+                [
+                    T.StructField(
+                        "indexTerm",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("main", T.StringType()),
+                                    T.StructField("midsub", T.StringType()),
+                                    T.StructField("sub", T.StringType()),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_documents_xml(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: native XML scan (xml_to_json.py:47-103 / run_pipeline.py:
+    97-102). At scale: splittable scan, column pruning into the parser.
+
+    Normalizes to the canonical nested shape (xml_to_json.py:77-96):
+    flat scalars + arrays-of-strings + indexing array of term structs.
+    """
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "document")
+        .schema(DOCUMENT_XML_SCHEMA)
+        .load(path)
+    )
+    return raw.select(
+        F.col("documentID").alias("doc_id"),
+        F.col("documentTitle").alias("title"),
+        F.struct(
+            F.col("projectInfo.publicationName").alias("publication_name"),
+            F.col("projectInfo.seriesName").alias("series_name"),
+            F.col("projectInfo.volumeInfo").alias("volume_info"),
+            F.col("projectInfo.publisher").alias("publisher"),
+            F.coalesce(F.col("projectInfo.formats.type"), F.array()).alias("formats"),
+        ).alias("project_info"),
+        F.coalesce(F.col("authors.author"), F.array()).alias("authors"),
+        F.coalesce(F.col("recipients.recipient"), F.array()).alias("recipients"),
+        F.col("dates.`date-from`").alias("date_from"),
+        F.col("dates.`date-to`").alias("date_to"),
+        F.col("location.placeName").alias("location_name"),
+        F.coalesce(F.col("repositories.repository"), F.array()).alias("repositories"),
+        F.coalesce(F.col("indexing.indexTerm"), F.array()).alias("indexing"),
+    )
+
+
+def extract_terms(docs: DataFrame) -> DataFrame:
+    """P4/D1: flatten term triples with parenthetical-strip per part and
+    first-occurrence-wins per-document dedup (xml_to_json.py:24-44).
+
+    Returns (doc_id, pos, main, midsub, sub) — pos preserves document
+    order so downstream output is deterministic.
+    """
+    exploded = docs.select(
+        "doc_id", F.posexplode_outer("indexing").alias("pos", "t")
+    ).where(F.col("t").isNotNull())
+    cleaned = exploded.select(
+        "doc_id",
+        "pos",
+        strip_parenthetical(F.coalesce(F.col("t.main"), F.lit(""))).alias("main"),
+        strip_parenthetical(F.coalesce(F.col("t.midsub"), F.lit(""))).alias("midsub"),
+        strip_parenthetical(F.coalesce(F.col("t.sub"), F.lit(""))).alias("sub"),
+    )
+    w = W.partitionBy("doc_id", "main", "midsub", "sub").orderBy("pos")
+    return (
+        cleaned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def known_entities_from_docs(docs: DataFrame) -> DataFrame:
+    """J1: authors/recipients → 'person', location → 'place', keyed by
+    the normalized name (json_classification.py:313-320). Small by
+    construction → broadcast at the probe site."""
+    persons = (
+        docs.select(F.explode(F.concat("authors", "recipients")).alias("name"))
+        .select(normalize_term("name").alias("norm_term"), F.lit("person").alias("label"))
+    )
+    places = (
+        docs.where(F.col("location_name").isNotNull())
+        .select(
+            normalize_term("location_name").alias("norm_term"),
+            F.lit("place").alias("label"),
+        )
+    )
+    return persons.unionByName(places).dropDuplicates(["norm_term"])
+
+
+def classify_document_terms(
+    terms: DataFrame, known: DataFrame, classifier: Classifier
+) -> DataFrame:
+    """U1/J2/J3: classify each of main/midsub/sub with known-entity
+    precedence; empty parts label 'term' (json_classification.py:
+    258-277 — empty midsub/sub default to TERM at :263-264).
+
+    Unpivots the 3 parts into rows so the classifier sees ONE distinct
+    term column (the reference's global distinct set, :322-335), then
+    repivots back to columns.
+    """
+    parts = (
+        terms.unpivot(
+            ["doc_id", "pos", "main", "midsub", "sub"],
+            ["main", "midsub", "sub"],
+            "part",
+            "term",
+        )
+        .where(F.length("term") > 0)
+        # pivot output columns are named after the part VALUES; prefix
+        # them so they don't collide with the main/midsub/sub key cols
+        .withColumn("part", F.concat(F.lit("p_"), F.col("part")))
+    )
+    labeled = classify_terms(parts, classifier, known_entities=known)
+    # person terms render via convert_name (json_classification.py:80-92)
+    labeled = with_converted_name(labeled, "term", "term_display")
+    labeled = labeled.withColumn(
+        "term_display",
+        F.when(F.col("label") == "person", F.col("term_display")).otherwise(
+            F.col("term")
+        ),
+    )
+    pivoted = (
+        labeled.groupBy("doc_id", "pos", "main", "midsub", "sub")
+        .pivot("part", ["p_main", "p_midsub", "p_sub"])
+        .agg(
+            F.first(
+                F.struct(
+                    F.col("term_display").alias("term"),
+                    F.col("label").alias("type"),
+                )
+            )
+        )
+        .withColumnsRenamed(
+            {"p_main": "main_obj", "p_midsub": "midsub_obj", "p_sub": "sub_obj"}
+        )
+    )
+    def term_obj(obj_col: str, raw_col: str):
+        # empty part → {term: '', type: 'term'} placeholder; NULL obj
+        # only happens for empty raws (filtered above)
+        return F.when(
+            F.length(raw_col) > 0,
+            F.struct(
+                F.col(f"{obj_col}.term").alias("term"),
+                F.col(f"{obj_col}.type").alias("type"),
+                F.when(
+                    F.col(f"{obj_col}.type") != "term",
+                    generate_uri(F.col(f"{obj_col}.term")),
+                ).alias("uri"),
+            ),
+        )
+
+    return pivoted.select(
+        "doc_id",
+        "pos",
+        term_obj("main_obj", "main").alias("main"),
+        term_obj("midsub_obj", "midsub").alias("midsub"),
+        term_obj("sub_obj", "sub").alias("sub"),
+    )
+
+
+def build_document_graph(docs: DataFrame, classified: DataFrame):
+    """K5/K6/K7: nodes + edges DataFrames (json_to_db.py:78-127
+    re-expressed set-wise; ~13 serial txns/doc → 2 bulk writes).
+
+    nodes(label, key, name); edges(src, dst, rel_type) where Document
+    src/dst keys are doc ids and entity keys are URIs / term text.
+    """
+    doc_nodes = docs.select(
+        F.lit("Document").alias("label"),
+        F.col("doc_id").alias("key"),
+        F.coalesce("title", F.col("doc_id")).alias("name"),
+    )
+    author_people = docs.select(F.col("doc_id"), F.explode("authors").alias("name")).withColumn(
+        "rel", F.lit("AUTHOR")
+    )
+    recipient_people = docs.select(
+        F.col("doc_id"), F.explode("recipients").alias("name")
+    ).withColumn("rel", F.lit("RECIPIENT"))
+    people = author_people.unionByName(recipient_people).withColumn(
+        "uri", generate_uri("name")
+    )
+    person_nodes = people.select(
+        F.lit("Person").alias("label"), F.col("uri").alias("key"), "name"
+    )
+    person_edges = people.select(
+        F.col("uri").alias("src"), F.col("doc_id").alias("dst"), F.col("rel").alias("rel_type")
+    )
+
+    locs = docs.where(F.col("location_name").isNotNull()).select(
+        "doc_id", F.col("location_name").alias("name")
+    ).withColumn("uri", generate_uri("name"))
+    loc_nodes = locs.select(F.lit("Place").alias("label"), F.col("uri").alias("key"), "name")
+    loc_edges = locs.select(
+        F.col("doc_id").alias("src"), F.col("uri").alias("dst"), F.lit("LOCATION").alias("rel_type")
+    )
+
+    dates = (
+        docs.select("doc_id", F.col("date_from").alias("date"), F.lit("DATE_FROM").alias("rel"))
+        .unionByName(
+            docs.select("doc_id", F.col("date_to").alias("date"), F.lit("DATE_TO").alias("rel"))
+        )
+        .where(F.col("date").isNotNull() & (F.length("date") > 0))
+    )
+    date_nodes = dates.select(F.lit("Date").alias("label"), F.col("date").alias("key"), F.col("date").alias("name"))
+    date_edges = dates.select(
+        F.col("doc_id").alias("src"), F.col("date").alias("dst"), F.col("rel").alias("rel_type")
+    )
+
+    def entity_cols(obj):
+        label = (
+            F.when(obj["type"] == "person", "Person")
+            .when(obj["type"] == "place", "Place")
+            .when(obj["type"] == "organization", "Organization")
+            .otherwise("Term")
+        )
+        key = F.coalesce(obj["uri"], obj["term"])
+        return label, key
+
+    main_l, main_k = entity_cols(F.col("main"))
+    term_nodes = classified.where(F.col("main").isNotNull()).select(
+        main_l.alias("label"), main_k.alias("key"), F.col("main.term").alias("name")
+    )
+    term_edges = classified.where(F.col("main").isNotNull()).select(
+        F.col("doc_id").alias("src"),
+        main_k.alias("dst"),
+        F.concat(F.lit("HAS_"), F.upper(F.col("main.type"))).alias("rel_type"),
+    )
+
+    sub_nodes = []
+    sub_edges = []
+    for child, parent in (("midsub", "main"), ("sub", "midsub")):
+        c_l, c_k = entity_cols(F.col(child))
+        _, p_k = entity_cols(F.col(parent))
+        has_child = classified.where(F.col(child).isNotNull() & F.col(parent).isNotNull())
+        sub_nodes.append(
+            has_child.select(c_l.alias("label"), c_k.alias("key"), F.col(f"{child}.term").alias("name"))
+        )
+        sub_edges.append(
+            has_child.select(
+                p_k.alias("src"),
+                c_k.alias("dst"),
+                F.lit("MIDSUB" if child == "midsub" else "SUB").alias("rel_type"),
+            )
+        )
+
+    nodes = doc_nodes
+    for part in [person_nodes, loc_nodes, date_nodes, term_nodes, *sub_nodes]:
+        nodes = nodes.unionByName(part)
+    edges = person_edges
+    for part in [loc_edges, date_edges, term_edges, *sub_edges]:
+        edges = edges.unionByName(part)
+    return nodes.distinct(), edges.distinct()
+
+
+def run_pipeline(
+    spark: SparkSession, xml_path: str, classifier: Classifier
+) -> tuple[DataFrame, DataFrame]:
+    """The whole reference pipeline, one lazy DAG: XML → graph tables."""
+    docs = read_documents_xml(spark, xml_path)
+    terms = extract_terms(docs)
+    known = known_entities_from_docs(docs)
+    classified = classify_document_terms(terms, known, classifier)
+    return build_document_graph(docs, classified)

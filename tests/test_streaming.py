@@ -1,0 +1,126 @@
+"""Structured Streaming tests: the streaming window transforms must
+produce exactly the batch results once the stream drains (memory sink,
+availableNow), and the streaming XML→graph ingest must equal the batch
+pipeline output."""
+
+from __future__ import annotations
+
+import pytest
+
+from oculus_data_pipeline_spark.operators.classify import EchoClassifier
+from oculus_data_pipeline_spark.plans.pipeline import run_pipeline
+from oculus_data_pipeline_spark.sources.tables import load_table
+from oculus_data_pipeline_spark.streaming.ingest import (
+    read_events_stream,
+    stream_pipeline_to_graph,
+)
+from oculus_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+from .test_pipeline import XML
+
+
+def _drain_to_memory(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = {
+        tuple(r)
+        for r in tumbling_window_agg(
+            load_table(spark, sf_dir, "events"), "1 hour"
+        ).collect()
+    }
+    stream = tumbling_window_agg(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"),
+        "1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_out").collect()}
+    assert got == batch
+
+
+def test_streaming_session_windows_run(spark, sf_dir):
+    stream = session_window_agg(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"),
+        gap="10 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM sessions_out").collect()[0]["n"]
+    batch_n = session_window_agg(
+        load_table(spark, sf_dir, "events"), gap="10 minutes"
+    ).count()
+    assert n == batch_n > 0
+
+
+def test_stream_dedup_bounded_state(spark, sf_dir):
+    deduped = stream_dedup(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"),
+        keys=["user_id", "event_type"],
+        watermark="30 days",  # longer than the dataset span → global dedup
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == expected
+
+
+def test_streaming_xml_pipeline_equals_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "corpus.xml").write_text(XML)
+    out = tmp_path / "graph"
+    ckpt = tmp_path / "ckpt"
+    q = stream_pipeline_to_graph(
+        spark, str(landing), str(out), EchoClassifier(), str(ckpt)
+    )
+    q.awaitTermination(180)
+
+    got_nodes = {
+        tuple(r) for r in spark.read.parquet(str(out / "nodes")).collect()
+    }
+    got_edges = {
+        tuple(r) for r in spark.read.parquet(str(out / "edges")).collect()
+    }
+    bn, be = run_pipeline(spark, str(landing), EchoClassifier())
+    assert got_nodes == {tuple(r) for r in bn.collect()}
+    assert got_edges == {tuple(r) for r in be.collect()}
