@@ -1079,6 +1079,550 @@ def q62_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.build_edges(_doc_terms(spark, sf_dir))
 
 
+
+# ---------------------------------------------------------------------------
+# Batch 2: join breadth, subqueries, scalar breadth, stats, ANN
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_asof_join",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(last_view_ts, '%Y-%m-%d %H:%M:%S') AS matched_view_ts,
+           CAST(CASE WHEN last_view_ts IS NOT NULL
+                THEN date_diff('second', last_view_ts, ts) END AS BIGINT)
+             AS seconds_since_view
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase matched to the user's most recent
+    prior-or-same-instant view) via the union-and-running-max idiom —
+    the shuffle-once scalable form (one sort per user partition, no
+    range explosion). Spark lacks a native as-of join; this is the
+    composition path (SURVEY §2.13)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        e.withColumn("last_view_ts", last_view)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "matched_view_ts"
+            ),
+            (
+                F.col("ts").cast("long") - F.col("last_view_ts").cast("long")
+            ).alias("seconds_since_view"),
+        )
+    )
+
+
+@query(
+    "q23_range_join",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+      ('high', 50.0, 75.0), ('top', 75.0, 1e9)
+    )
+    SELECT b.band, COUNT(*) AS n_events, {dsum_sql('e.value', 6)} AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a small banding dimension — the
+    dimension broadcasts, so the non-equi condition never shuffles the
+    fact side."""
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 50.0), ("high", 50.0, 75.0), ("top", 75.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("total_value"))
+    )
+
+
+@query(
+    "q24_theta_join",
+    """
+    SELECT n.n_name, COUNT(*) AS n_pairs
+    FROM supplier s
+    JOIN customer c ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q24_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (nation) shuffles/broadcasts, inequality
+    evaluated as a post-join predicate."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q25_unpivot",
+    f"""
+    WITH stacked AS (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure, COUNT(*) AS n, {dsum_sql('val', 6)} AS total
+    FROM stacked GROUP BY l_returnflag, measure
+    """,
+)
+def q25_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) then aggregate per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure", F.regexp_replace("measure", "^l_", "").cast("string")
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "quantity", "quantity")
+        .when(F.col("measure") == "extendedprice", "extendedprice")
+        .otherwise("discount"),
+    )
+    return stacked.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"), dsum("val", 6).alias("total")
+    )
+
+
+@query(
+    "q26_array_ops",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    )
+    SELECT id,
+           array_to_string(toks[1:3], ' ') AS first3,
+           CAST(list_contains(toks, 'spark') AS BOOLEAN) AS has_spark,
+           CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5_sorted
+    FROM t
+    """,
+)
+def q26_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar breadth: slice, contains, position, distinct,
+    sort, join — all JVM-side higher-order expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_term("text"), " ")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "data").cast("bigint").alias("data_pos"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias(
+            "first5_sorted"
+        ),
+    )
+
+
+@query(
+    "q27_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 4) AS prefix4,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           split_part(p_name, ' ', 2) AS second_word,
+           replace(p_name, ' ', '_') AS snake,
+           reverse(p_name) AS rev,
+           CAST(levenshtein(split_part(p_name, ' ', 2), 'widget') AS BIGINT)
+             AS lev_to_widget,
+           translate(p_name, 'aeiou', '#####') AS vowels_masked,
+           CAST(instr(p_name, 'ol') AS BIGINT) AS ol_pos
+    FROM part
+    """,
+)
+def q27_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar breadth: case, substring, pad, split_part,
+    replace, reverse, levenshtein, translate, instr."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.reverse("p_name").alias("rev"),
+        F.levenshtein(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.lit("widget")
+        ).cast("bigint").alias("lev_to_widget"),
+        F.translate("p_name", "aeiou", "#####").alias("vowels_masked"),
+        F.instr(F.col("p_name"), "ol").cast("bigint").alias("ol_pos"),
+    )
+
+
+@query(
+    "q28_exact_stats",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {dsum_sql('l_quantity', 6)} AS sum_q,
+             {dsum_sql('l_quantity * l_quantity', 6)} AS sum_q2,
+             {dsum_sql('l_extendedprice', 6)} AS sum_p,
+             {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS sum_p2,
+             {dsum_sql('l_quantity * l_extendedprice', 4)} AS sum_qp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sum_q2 - sum_q * sum_q / n) / (n - 1), 6) AS var_qty,
+           ROUND(sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((sum_qp - sum_q * sum_p / n)
+                 / sqrt((sum_q2 - sum_q * sum_q / n) * (sum_p2 - sum_p * sum_p / n)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q28_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/correlation computed from exact decimal moment
+    sums (order-independent, cross-engine identical) rather than the
+    engines' built-in streaming estimators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(q, 6).alias("sum_q"),
+        dsum(q * q, 6).alias("sum_q2"),
+        dsum(p, 6).alias("sum_p"),
+        dsum(p * p, 4).alias("sum_p2"),
+        dsum(q * p, 4).alias("sum_qp"),
+    )
+    n, sq, sq2, sp, sp2, sqp = (
+        F.col("n"), F.col("sum_q"), F.col("sum_q2"),
+        F.col("sum_p"), F.col("sum_p2"), F.col("sum_qp"),
+    )
+    var_q = (sq2 - sq * sq / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(
+            (sqp - sq * sp / n)
+            / F.sqrt((sq2 - sq * sq / n) * (sp2 - sp * sp / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q29_subqueries",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01')
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND o.o_orderdate < TIMESTAMP '1999-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q29_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS (semi ∧ anti on the same relation with
+    different predicates)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    o97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    o98 = o.where(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    return (
+        c.join(o97, c.c_custkey == o97.o_custkey, "left_semi")
+        .join(o98, F.col("c_custkey") == o98.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q34_grouping_sets",
+    f"""
+    SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 6)} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+)
+def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame API; demonstrates the SQL surface)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total_price
+        FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q35_percentiles",
+    """
+    SELECT lang,
+           CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars,
+           CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles on integer inputs (midpoints are
+    exact halves → cross-engine identical)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q36_rank_with_ties",
+    """
+    SELECT p_brand, p_name, p_retailprice, rnk FROM (
+      SELECT p_brand, p_name, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+      FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def q36_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() keeps ties (vs row_number in q06) — both top-k idioms."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_name", "p_retailprice", "rnk")
+    )
+
+
+@query(
+    "q37_window_frames",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(22,6)))
+                OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(22,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS last_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS DOUBLE) AS moving3
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q37_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: first/last value over unbounded frames, centered
+    3-row moving sum (exact decimals, deterministic ordering)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    order = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(22,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(dec).over(order).cast("double").alias("first_price"),
+        F.last(dec)
+        .over(order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("double")
+        .alias("last_price"),
+        F.sum(dec).over(order.rowsBetween(-1, 1)).cast("double").alias("moving3"),
+    )
+
+
+def _lsh_ann_oracle(k: int = 5, dim: int = EMB_DIM, n_planes: int = 6) -> str:
+    from .operators.similarity import hyperplane
+
+    def bucket_sql(vec: str) -> str:
+        parts = []
+        for j in range(n_planes):
+            plane = hyperplane(dim, j)
+            dot = "0.0"
+            for d, wgt in enumerate(plane):
+                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
+            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({{cos}}, 6) AS cos_sim
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """.replace("{cos}", _cosine_sql("q.qv", "c.v", dim))
+
+
+@query("q38_lsh_ann_topk", _lsh_ann_oracle())
+def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: 6-bit random-hyperplane LSH
+    buckets + exact re-rank within bucket — the sub-linear scale path
+    next to q50's exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=6
+    )
+
+
+@query(
+    "q45_token_histogram",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n FROM tok WHERE length(tok) > 0 GROUP BY tok
+    )
+    SELECT tok, n, rnk FROM (
+      SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM counts
+    ) WHERE rnk <= 20
+    """,
+)
+def q45_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode → count → global top-k
+    with deterministic tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(normalize_term("text"), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("tok", "n", "rnk")
+    )
+
+
+@query("q46_approx_distinct")
+def q46_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — engine-specific sketch, so no
+    SQL oracle (rows-only check); pytest bounds the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query("q47_ivf_ann")
+def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-mean centroids (the embeddings table ships
+    a cluster label), queries probe the nearest centroid's partition
+    only. Engine-internal float reductions → rows-only check; pytest
+    asserts recall vs the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim_idx = F.posexplode(F.col("v"))
+    flat = e.select("vec_id", "label", dim_idx.alias("d", "x"))
+    centroids = (
+        flat.groupBy("label", "d")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
+            ).alias("cv")
+        )
+    )
+    from .functions.vectors import cosine_similarity
+
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine_similarity(F.col("qv"), F.col("cv")))
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    best = probe.withColumn("rn", F.row_number().over(w_probe)).where(
+        F.col("rn") == 1
+    ).select("query_id", "qv", F.col("label").alias("probe_label"))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv"))
+    scored = (
+        cand.join(
+            F.broadcast(best),
+            (cand.label == best.probe_label)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,182 @@
+"""Semantic tests for operators whose driver check is rows-only
+(no SQL oracle), plus the classifier implementations."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from oculus_data_pipeline_spark.operators.classify import (
+    EchoClassifier,
+    MockReplayClassifier,
+    OpenAIBatchClassifier,
+    classify_terms,
+)
+from oculus_data_pipeline_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from oculus_data_pipeline_spark.queries import get_queries
+from oculus_data_pipeline_spark.sources.tables import load_table
+
+from . import ref_model
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    rows = get_queries()["q46_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.1, (r["l_returnflag"], rel_err)
+
+
+def test_ivf_matches_label_partition_model(spark, sf_dir):
+    """The testdata embeddings do NOT cluster by label (verified: mean
+    same-label cosine ≈ mean cross-label cosine ≈ 0), so recall vs the
+    exact baseline is capped by the data, not the algorithm. Instead,
+    verify IVF's own semantics exactly against an independent NumPy
+    model: probe = argmax-cosine centroid, neighbors = top-5 by cosine
+    within the probed label."""
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    L = np.array([r["label"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    norm = np.linalg.norm(V, axis=1, keepdims=True)
+    Vn = V / norm
+    labels_sorted = sorted(set(L.tolist()))
+    cents = np.array([V[L == lab].mean(axis=0) for lab in labels_sorted])
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    expected = set()
+    for qi in np.where(ids < 10)[0]:
+        probe = labels_sorted[int(np.argmax(Vn[qi] @ cents_n.T))]
+        mask = (L == probe) & (ids != ids[qi])
+        sims = np.round(Vn[qi] @ Vn[mask].T, 6)
+        cand = sorted(zip(-sims, ids[mask]))[:5]
+        for rank, (negs, nid) in enumerate(cand, 1):
+            expected.add((int(ids[qi]), int(nid), rank))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in get_queries()["q47_ivf_ann"](spark, sf_dir).collect()
+    }
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert true_pairs, "generator plants near-dups; none found"
+    cand = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()
+    }
+    found = len(true_pairs & cand) / len(true_pairs)
+    assert found >= 0.9, f"LSH recall {found} on jaccard>=0.8 pairs"
+
+
+def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert pairs
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    import random
+
+    rnd = random.Random(7)
+    ids = sorted(fps)
+    rand_pairs = [(rnd.choice(ids), rnd.choice(ids)) for _ in range(200)]
+    avg_near = sum(hamming(fps[p["id_a"]], fps[p["id_b"]]) for p in pairs) / len(pairs)
+    avg_rand = sum(hamming(fps[a], fps[b]) for a, b in rand_pairs if a != b) / len(
+        [1 for a, b in rand_pairs if a != b]
+    )
+    assert avg_near < avg_rand / 2, (avg_near, avg_rand)
+
+
+def test_mock_replay_classifier(spark, tmp_path):
+    # fixtures in the reference's batch JSONL format
+    # (json_classification.py:126-149 request; :207-212 response path)
+    reqs = [
+        {
+            "custom_id": f"task-{i}",
+            "method": "POST",
+            "url": "/v1/chat/completions",
+            "body": {
+                "model": "gpt-4o-mini",
+                "temperature": 0.1,
+                "response_format": {"type": "json_object"},
+                "messages": [
+                    {"role": "system", "content": "classify"},
+                    {"role": "user", "content": term},
+                ],
+            },
+        }
+        for i, term in enumerate(["George Washington", "Mount Vernon", "Continental Army"])
+    ]
+    resps = [
+        {
+            "custom_id": f"task-{i}",
+            "response": {
+                "body": {
+                    "choices": [
+                        {"message": {"content": json.dumps({"classification": label})}}
+                    ]
+                }
+            },
+        }
+        for i, label in enumerate(["PERSON", "PLACE", "ORGANIZATION"])
+    ]
+    req_path, resp_path = tmp_path / "reqs.jsonl", tmp_path / "resps.jsonl"
+    req_path.write_text("\n".join(json.dumps(r) for r in reqs))
+    resp_path.write_text("\n".join(json.dumps(r) for r in resps))
+
+    terms = spark.createDataFrame(
+        [("George  Washington",), ("mount vernon",), ("Continental Army",), ("unseen thing",)],
+        ["term"],
+    )
+    clf = MockReplayClassifier(str(req_path), str(resp_path))
+    got = {
+        r["norm_term"]: r["label"]
+        for r in classify_terms(terms, clf).collect()
+    }
+    assert got["george washington"] == "person"
+    assert got["mount vernon"] == "place"
+    assert got["continental army"] == "organization"
+    assert got["unseen thing"] == "term"  # unknown → default
+
+
+def test_known_entity_precedence_over_classifier(spark):
+    terms = spark.createDataFrame([("Virginia",), ("novel term",)], ["term"])
+    known = spark.createDataFrame([("virginia", "place")], ["norm_term", "label"])
+    got = {
+        r["norm_term"]: r["label"]
+        for r in classify_terms(terms, EchoClassifier(), known_entities=known).collect()
+    }
+    assert got["virginia"] == "place"  # known wins over echo hash
+    assert got["novel term"] == ref_model.echo_label("novel term")
+
+
+def test_openai_classifier_gated(spark):
+    terms = spark.createDataFrame([("x",)], ["term"]).withColumn(
+        "norm_term", F.col("term")
+    )
+    try:
+        import openai  # noqa: F401
+
+        pytest.skip("openai installed; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        OpenAIBatchClassifier().classify(terms.select("norm_term"))
