@@ -112,32 +112,32 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature_long(
+def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perms: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Long-form minhash signatures: (id, perm, minh).
+    """Wide minhash signatures: (id, m0..m{P-1}).
 
     Shingles are hashed once (md5→int, cross-engine deterministic),
-    then each permutation is an affine universal hash; the min per
-    (doc, perm) aggregates map-side before one shuffle on the doc id.
+    each permutation is an affine universal hash, and all P mins are
+    computed as P columns of ONE grouped aggregation — a single
+    shuffle on the doc id with map-side partial mins, no row
+    expansion. (A long-form unpivot would multiply the shingle rows
+    ×P before the shuffle — 16× the shuffle volume for P=16.)
     """
     sh = shingle_table(docs, text_col, id_col, shingle_n)
     h = md5_int("shingle")
     perm_cols = [
-        affine_hash(h, a, b).alias(f"p{j}") for j, (a, b) in enumerate(minhash_params(num_perms))
+        affine_hash(h, a, b).alias(f"p{j}")
+        for j, (a, b) in enumerate(minhash_params(num_perms))
     ]
     hashed = sh.select("id", *perm_cols)
-    # unpivot → (id, perm, h) so the min is a single grouped agg
-    stacked = hashed.unpivot(
-        ["id"], [f"p{j}" for j in range(num_perms)], "perm_name", "h"
-    ).select(
-        "id", F.regexp_replace("perm_name", "p", "").cast("int").alias("perm"), "h"
+    return hashed.groupBy("id").agg(
+        *[F.min(f"p{j}").alias(f"m{j}") for j in range(num_perms)]
     )
-    return stacked.groupBy("id", "perm").agg(F.min("h").alias("minh"))
 
 
 def minhash_candidate_pairs(
@@ -150,25 +150,30 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs whose signatures agree on an entire band.
 
-    Band signature is the '-'-joined, perm-ordered minhash values; the
-    candidate join shuffles on (band, band_sig) — a short, well-hashed
-    key, so the quadratic blow-up is confined to true near-dup buckets.
+    Band signature is the '-'-joined, perm-ordered minhash values
+    (built by plain concat from the wide signature — no extra
+    shuffle); the candidate join shuffles on (band, band_sig) — a
+    short, well-hashed key, so the quadratic blow-up is confined to
+    true near-dup buckets.
     """
     rows_per_band = num_perms // bands
-    sig = minhash_signature_long(docs, text_col, id_col, num_perms, shingle_n)
-    band_sigs = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "minh"))),
-                    lambda s: s["minh"].cast("string"),
-                ),
+    sig = minhash_signatures(docs, text_col, id_col, num_perms, shingle_n)
+    band_rows = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
                 "-",
-            ).alias("band_sig")
+                *[
+                    F.col(f"m{band * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_sig"),
         )
-    )
+        for band in range(bands)
+    ]
+    band_sigs = sig.select(
+        "id", F.explode(F.array(*band_rows)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(

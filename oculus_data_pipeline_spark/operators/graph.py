@@ -77,9 +77,8 @@ def build_edges(classified_terms: DataFrame) -> DataFrame:
 
 def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """Default sink: parquet tables (correctness never depends on an
-    external DB). A Neo4j Spark Connector sink can be layered on the
-    same two DataFrames when its jar is on the classpath."""
-    nodes.dropDuplicates(["label", "key"]).write.mode("overwrite").parquet(
-        f"{out_dir}/nodes"
-    )
-    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    external DB). See sinks/graph_sink.py for the Neo4j connector
+    variant over the same two DataFrames."""
+    from ..sinks.graph_sink import write_graph_parquet
+
+    write_graph_parquet(nodes, edges, out_dir)

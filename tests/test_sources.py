@@ -1,0 +1,121 @@
+"""Source/sink round-trips: JSONL documents, multiline legacy JSON,
+CSV/ORC/parquet equivalence, graph parquet sink idempotency."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from oculus_data_pipeline_spark.operators.classify import EchoClassifier
+from oculus_data_pipeline_spark.plans.pipeline import read_documents_xml, run_pipeline
+from oculus_data_pipeline_spark.sinks.graph_sink import (
+    write_graph_neo4j,
+    write_graph_parquet,
+)
+from oculus_data_pipeline_spark.sources.json_docs import (
+    read_documents_json,
+    read_documents_multiline_json,
+    write_documents_json,
+)
+from oculus_data_pipeline_spark.sources.tables import load_table
+
+from .test_pipeline import XML
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml_src")
+    (d / "corpus.xml").write_text(XML)
+    return read_documents_xml(spark, str(d)).cache()
+
+
+def _doc_key(rows):
+    return sorted((r["doc_id"], r["title"], tuple(r["authors"]), len(r["indexing"])) for r in rows)
+
+
+def test_jsonl_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_json")
+    write_documents_json(docs, out)
+    back = read_documents_json(spark, out)
+    assert _doc_key(back.collect()) == _doc_key(docs.collect())
+
+
+def test_multiline_legacy_json(spark, docs, tmp_path):
+    # the reference's indented whole-array layout
+    payload = [
+        {
+            "doc_id": r["doc_id"],
+            "title": r["title"],
+            "authors": list(r["authors"]),
+            "recipients": list(r["recipients"]),
+            "indexing": [
+                {"main": t["main"], "midsub": t["midsub"], "sub": t["sub"]}
+                for t in r["indexing"]
+            ],
+        }
+        for r in docs.collect()
+    ]
+    p = tmp_path / "legacy.json"
+    p.write_text(json.dumps(payload, indent=4))
+    back = read_documents_multiline_json(spark, str(p))
+    assert {r["doc_id"] for r in back.collect()} == {r["doc_id"] for r in docs.collect()}
+
+
+def test_flat_format_equivalence(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "customer")
+    expected = sorted(tuple(r) for r in src.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        out = str(tmp_path / f"cust_{fmt}")
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, "format")(fmt).save(out)
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            r = r.option("header", True).schema(src.schema)
+        elif fmt == "json":
+            r = r.schema(src.schema)
+        got = sorted(tuple(x) for x in r.load(out).collect())
+        assert got == expected, fmt
+
+
+def test_graph_sink_idempotent(spark, docs, tmp_path):
+    from oculus_data_pipeline_spark.plans.pipeline import (
+        build_document_graph,
+        classify_document_terms,
+        extract_terms,
+        known_entities_from_docs,
+    )
+
+    terms = extract_terms(docs)
+    known = known_entities_from_docs(docs)
+    classified = classify_document_terms(terms, known, EchoClassifier())
+    nodes, edges = build_document_graph(docs, classified)
+
+    out = str(tmp_path / "graph")
+    write_graph_parquet(nodes, edges, out)
+    first_nodes = sorted(tuple(r) for r in spark.read.parquet(out + "/nodes").collect())
+    # writing the same graph again (MERGE semantics) must be a no-op set-wise
+    write_graph_parquet(nodes, edges, out)
+    second_nodes = sorted(tuple(r) for r in spark.read.parquet(out + "/nodes").collect())
+    assert first_nodes == second_nodes
+    keys = [(r[0], r[1]) for r in first_nodes]
+    assert len(keys) == len(set(keys)), "duplicate (label,key) after MERGE-style write"
+
+
+def test_neo4j_sink_gated(spark, docs):
+    from oculus_data_pipeline_spark.plans.pipeline import (
+        build_document_graph,
+        classify_document_terms,
+        extract_terms,
+        known_entities_from_docs,
+    )
+
+    terms = extract_terms(docs)
+    classified = classify_document_terms(
+        terms, known_entities_from_docs(docs), EchoClassifier()
+    )
+    nodes, edges = build_document_graph(docs, classified)
+    with pytest.raises(NotImplementedError):
+        write_graph_neo4j(nodes, edges, "bolt://localhost:7687", "neo4j", "pw")
