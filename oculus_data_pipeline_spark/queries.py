@@ -1623,6 +1623,173 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Batch 3: UDF surface, window stats, regexp scalars, stream-shaped dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "q48_window_stats",
+    """
+    SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS second_biggest_order
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q48_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile, percent_rank, cume_dist,
+    nth_value — all over a totally-ordered deterministic window."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2)
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint")
+        .alias("second_biggest_order"),
+    )
+
+
+@query(
+    "q49_regexp_scalars",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) (join|merge)', 1) AS word_before_join,
+           CAST(regexp_matches(text, 'stream.*batch|batch.*stream') AS BOOLEAN)
+             AS mixes_stream_batch,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS consonant_len,
+           regexp_replace(text, '^(\\w+) (\\w+).*$', '\\2 \\1', 's') AS swapped_first_two
+    FROM documents
+    """,
+)
+def q49_regexp_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: extract with group, boolean match,
+    replace-all, backreference rewrite (patterns restricted to the
+    Java∩RE2 common dialect)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) (join|merge)", 1).alias("word_before_join"),
+        F.col("text").rlike("stream.*batch|batch.*stream").alias("mixes_stream_batch"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias(
+            "consonant_len"
+        ),
+        F.regexp_replace("text", r"(?s)^(\w+) (\w+).*$", r"$2 $1").alias(
+            "swapped_first_two"
+        ),
+    )
+
+
+@query(
+    "q52_pandas_udf_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks,
+             n_chars FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_chars * 2 + len(toks) AS BIGINT) AS packed_score
+    FROM t
+    """,
+)
+def q52_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow pandas_udf surface, verified against a pure-SQL
+    oracle: integer outputs (no float drift), vectorized batch
+    transfer — demonstrates the sanctioned slow path is *correct*,
+    while the docstrings steer hot paths to built-ins."""
+    from .operators.udfs import n_tokens_fn, packed_score_fn
+
+    n_tokens_udf = F.pandas_udf(n_tokens_fn, "long")
+    packed_score_udf = F.pandas_udf(packed_score_fn, "long")
+    d = load_table(spark, sf_dir, "documents")
+    out = d.withColumn("n_tokens", n_tokens_udf("text"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        packed_score_udf("n_chars", "n_tokens").alias("packed_score"),
+    )
+
+
+@query(
+    "q53_applyinpandas_topk",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def q53_applyinpandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map) surface: per-user top-2 by value —
+    selection only (no float arithmetic), so the pandas path is
+    oracle-checkable against the window formulation."""
+    from .operators.udfs import top2_per_group
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        top2_per_group, schema="user_id long, event_id long, value double"
+    )
+
+
+@query(
+    "q54_stream_dedup_batch",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q54_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the streaming dropDuplicatesWithinWatermark
+    operator (streaming/windows.py::stream_dedup — tested end-to-end in
+    test_streaming.py); key-projection makes it deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "q55_map_scalars",
+    """
+    WITH m AS (
+      SELECT doc_id, MAP {'lang': lang, 'source': source} AS meta, n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           meta['lang'][1] AS lang_val,
+           CAST(len(map_keys(meta)) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(meta)), ',') AS keys_sorted
+    FROM m
+    """,
+)
+def q55_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar surface: construction, element access, keys —
+    scalar/array outputs only (map column layouts differ across
+    engines, so maps never leave the query)."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        meta["lang"].alias("lang_val"),
+        F.size(F.map_keys(meta)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(meta)), ",").alias("keys_sorted"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
