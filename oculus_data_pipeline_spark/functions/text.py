@@ -34,13 +34,22 @@ def normalize_term_oracle_sql(expr: str) -> str:
 
 
 def strip_parenthetical(c: Column | str) -> Column:
-    """Remove ``(...)`` spans (non-greedy) then trim — xml_to_json.py:34-36."""
+    """Remove ``(...)`` spans (non-greedy) then strip — xml_to_json.py:34-36.
+
+    Python's str.strip() removes ALL whitespace (tabs/newlines too);
+    SQL trim() is space-only — so the strip is a regexp on both sides.
+    """
     c = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(c, r"\(.*?\)", ""))
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\(.*?\)", ""), r"^\s+|\s+$", ""
+    )
 
 
 def strip_parenthetical_oracle_sql(expr: str) -> str:
-    return f"trim(regexp_replace({expr}, '\\(.*?\\)', '', 'g'))"
+    return (
+        f"regexp_replace(regexp_replace({expr}, '\\(.*?\\)', '', 'g'),"
+        f" '^\\s+|\\s+$', '', 'g')"
+    )
 
 
 def generate_uri(c: Column | str) -> Column:
@@ -120,7 +129,13 @@ def with_converted_name(df: DataFrame, name_col: str, out_col: str) -> DataFrame
         ).withColumn(
             "__cn_rest",
             F.when(
-                hit, F.trim(F.replace(F.col("__cn_rest"), F.lit(kw), F.lit("")))
+                hit,
+                # Python str.strip() semantics (all whitespace), not SQL trim
+                F.regexp_replace(
+                    F.replace(F.col("__cn_rest"), F.lit(kw), F.lit("")),
+                    r"^\s+|\s+$",
+                    "",
+                ),
             ).otherwise(F.col("__cn_rest")),
         )
     converted = F.when(
@@ -157,7 +172,8 @@ def convert_name_oracle_query(
         hit = f"(strpos(cn_rest, '{kw_sql}') > 0)"
         steps.append(
             f"s{i} AS (SELECT {keep}, cn_applies, cn_last, "
-            f"CASE WHEN {hit} THEN trim(replace(cn_rest, '{kw_sql}', '')) "
+            f"CASE WHEN {hit} THEN regexp_replace(replace(cn_rest, '{kw_sql}', ''), "
+            f"'^\\s+|\\s+$', '', 'g') "
             f"ELSE cn_rest END AS cn_rest, "
             f"CASE WHEN {hit} THEN "
             f"CASE WHEN cn_titles = '' THEN '{kw_sql}' "

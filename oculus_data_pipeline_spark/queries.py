@@ -1790,6 +1790,85 @@ def q55_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "q56_deterministic_sample",
+    f"""
+    WITH s AS (
+      SELECT * FROM lineitem
+      WHERE ({md5_int_sql("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}) % 10 = 0
+    )
+    SELECT l_returnflag, COUNT(*) AS n_sampled, {dsum_sql('l_quantity', 6)} AS sum_qty
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def q56_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via content-hash bucketing (md5 % 10)
+    — reproducible across runs/engines/cluster sizes, unlike
+    TABLESAMPLE's RNG; the standard trick for stable dev subsets of a
+    100 TB table. Oracle-checked exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        li.where(md5_int(key) % 10 == 0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"), dsum("l_quantity", 6).alias("sum_qty"))
+    )
+
+
+@query(
+    "q57_stratified_sample",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY ({md5_int_sql("CAST(doc_id AS VARCHAR)")}), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: exactly 20 docs per language,
+    chosen by deterministic hash order (stable under data growth
+    within a stratum) — per-class training-data capping."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        md5_int(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+@query(
+    "q58_width_bucket",
+    f"""
+    SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+                WHEN c_acctbal >= 10000.0 THEN 12
+                ELSE floor((c_acctbal - (-1000.0)) / 1000.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n, {dsum_sql('c_acctbal', 6)} AS total_bal
+    FROM customer GROUP BY bucket
+    """,
+)
+def q58_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (SQL-standard binning;\n    DuckDB 1.0 lacks the function, so the oracle spells out the same\n    floor arithmetic — bucket width here is exactly 1000.0)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.withColumn(
+            "bucket",
+            F.width_bucket("c_acctbal", F.lit(-1000.0), F.lit(10000.0), F.lit(11)).cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal", 6).alias("total_bal"))
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
