@@ -28,13 +28,16 @@ HEADLINE = [
     "q12_json_extraction",
     "q14_tumbling_windows",
     "q16_session_windows",
+    "q19_asof_join",
     "q21_generate_uri",
     "q30_exact_dedup",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash",
+    "q38_lsh_ann_topk",
     "q42_lang_id",
     "q50_cosine_topk",
+    "q56_deterministic_sample",
     "q62_graph_edges",
 ]
 

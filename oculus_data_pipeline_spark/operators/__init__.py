@@ -5,8 +5,9 @@ from .dedup import (
     shingle_table,
     simhash,
 )
-from .similarity import brute_force_topk, cosine_pairs
-from .textstats import lang_id, quality_score, token_stats
+from .similarity import brute_force_topk, cosine_pairs, lsh_ann_topk
+from .skew import salted_join
+from .textstats import fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
     "exact_dedup",
@@ -16,6 +17,9 @@ __all__ = [
     "simhash",
     "brute_force_topk",
     "cosine_pairs",
+    "lsh_ann_topk",
+    "salted_join",
+    "fingerprint",
     "lang_id",
     "quality_score",
     "token_stats",
