@@ -1869,6 +1869,90 @@ def q58_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "q59_correlated_subquery",
+    f"""
+    WITH avgs AS (
+      SELECT p_brand,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*)
+               AS brand_avg
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice,
+           ROUND(p.p_retailprice - a.brand_avg, 4) AS above_brand_avg
+    FROM part p JOIN avgs a ON a.p_brand = p.p_brand
+    WHERE p.p_retailprice > a.brand_avg
+    """,
+)
+def q59_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics (price above its brand's
+    average), expressed as its decorrelated window form — one scan, no
+    per-row subquery. The oracle spells the same decimal-sum/count
+    average (a native AVG would sum doubles in engine order and could
+    flip the > comparison at the boundary)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast("decimal(22,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        p.withColumn("brand_avg", brand_avg)
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_retailprice",
+            F.round(F.col("p_retailprice") - F.col("brand_avg"), 4).alias(
+                "above_brand_avg"
+            ),
+        )
+    )
+
+
+@query(
+    "q63_nation_pair_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           COUNT(*) AS n_lineitems,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    """,
+)
+def q63_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join with the nation dimension joined
+    twice under different roles; all dims broadcast, one fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("volume"),
+        )
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
