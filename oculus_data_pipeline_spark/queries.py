@@ -1953,6 +1953,46 @@ def q63_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "q64_multiset_ops",
+    """
+    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q64_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set-op semantics: INTERSECT ALL keeps min
+    multiplicity per side — distinct from q11's set semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.where(F.col("c_acctbal") > 0).select(F.col("c_nationkey").alias("k"))
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    return pos.intersectAll(bld)
+
+
+@query(
+    "q65_posexplode",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos, toks[i + 1] AS tok
+    FROM t, UNNEST(range(len(toks))) AS u(i)
+    """,
+)
+def q65_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: ordinal-preserving array flattening (P4's primitive,
+    oracle-checked standalone; DuckDB spells ordinality via a range
+    lateral)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    toks = F.split(normalize_term("text"), " ")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
