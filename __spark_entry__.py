@@ -11,9 +11,16 @@ one DuckDB oracle per operator in SURVEY.md §2 / §2.13.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# robust under import-by-path: the package lives next to this file
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from oculus_data_pipeline_spark.queries import get_oracle_sql, get_queries
 
