@@ -35,6 +35,6 @@ def test_registry_reentrant(spark, sf_dir):
     stable."""
     qs = get_queries()
     for name in ("q34_grouping_sets", "q32_minhash_lsh_pairs"):
-        r1 = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
-        r2 = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        r1 = sorted(map(tuple, qs[name](spark, sf_dir).collect()), key=repr)
+        r2 = sorted(map(tuple, qs[name](spark, sf_dir).collect()), key=repr)
         assert r1 == r2, name
