@@ -1993,6 +1993,36 @@ def q65_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
 
 
+
+@query(
+    "q44_rolling_hash",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_transform(toks, tk -> ({md5_int_sql('tk')}) % 2147483647),
+                       (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
+    FROM t
+    """,
+)
+def q44_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin–Karp document fingerprint: left fold of
+    acc·B + h(token) mod 2^31−1 over the token sequence (distinguishes
+    shuffled near-dups that the bag-of-words fingerprint q43 equates).
+    Same fold order and modular arithmetic in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_term("text"), " ")
+    hashed = F.transform(toks, lambda t: md5_int(t) % 2147483647)
+    rolling = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % 2147483647,
+    )
+    return d.select("doc_id", rolling.alias("rolling_fp"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
