@@ -696,10 +696,11 @@ def _shingle_cte(n: int = 3) -> str:
     "q31_ngram_jaccard_pairs",
     f"""
     WITH {_shingle_cte(3)},
+    hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b,
