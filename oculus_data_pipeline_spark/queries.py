@@ -2058,6 +2058,180 @@ def q66_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "q67_large_quantity_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(22,6))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+           {dsum_sql('l.l_quantity', 6)} AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+)
+def q67_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING (semi-join on
+    an aggregated derived table), then re-join and re-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(22,6)")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity", 6).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q68_global_sales_opportunity",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS n_customers,
+           {dsum_sql('c.c_acctbal', 6)} AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q68_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar aggregate subquery
+    (broadcast one-row cross join) + NOT EXISTS anti-join + group."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(22,6)")).cast("double")
+                / F.count("*")
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", 6).alias("total_bal"))
+    )
+
+
+@query(
+    "q69_important_stock",
+    f"""
+    WITH contrib AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6)))
+               AS val
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_partkey
+    ), totals AS (
+      SELECT s_nationkey, SUM(val) AS total FROM contrib GROUP BY s_nationkey
+    )
+    SELECT c.s_nationkey AS nationkey, c.l_partkey AS partkey,
+           CAST(c.val AS DOUBLE) AS part_value
+    FROM contrib c JOIN totals t ON c.s_nationkey = t.s_nationkey
+    WHERE c.val > t.total * 0.002
+    """,
+)
+def q69_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group contribution vs a per-group grand total
+    (fraction-of-total filter); exact decimal sums so the comparison
+    threshold can never drift cross-engine (decimal*decimal literal)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    contrib = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(22,6)"
+                )
+            ).alias("val")
+        )
+    )
+    totals = contrib.groupBy("s_nationkey").agg(F.sum("val").alias("total"))
+    return (
+        contrib.join(totals, "s_nationkey")
+        .where(F.col("val") > F.col("total") * F.lit(0.002).cast("decimal(6,3)"))
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH lang AS (SELECT id, pred_lang FROM ({_lang_id_oracle()})),
+    qual AS (SELECT id, quality_score FROM ({_quality_oracle()})),
+    groups AS (
+      SELECT md5({normalize_term_oracle_sql('text')}) AS h, MIN(doc_id) AS canonical
+      FROM documents GROUP BY 1
+    ),
+    near AS (SELECT id_b FROM ({_lsh_verified_oracle()})),
+    survivors AS (
+      SELECT d.doc_id, l.pred_lang, q.quality_score
+      FROM documents d
+      JOIN lang l ON l.id = d.doc_id
+      JOIN qual q ON q.id = d.doc_id
+      JOIN groups g ON g.canonical = d.doc_id
+      WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5
+        AND d.doc_id NOT IN (SELECT id_b FROM near)
+    )
+    SELECT doc_id, pred_lang, ROUND(quality_score, 6) AS quality_score
+    FROM survivors
+    """
+
+
+@query("q70_curation_pipeline", _curation_oracle())
+def q70_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: language filter (stopword
+    vote) ∧ quality threshold ∧ exact-dedup canonical ∧ near-dup
+    suppression (LSH+verified pairs; the smaller doc_id survives).
+    One composed lazy plan over four operators — the flagship
+    'curate a corpus' query."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang = textstats.lang_id(docs).select("id", "pred_lang")
+    qual = textstats.quality_score(docs).select("id", "quality_score")
+    canon = dedup.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    near_b = dedup.lsh_verified_near_dups(docs).select(F.col("id_b").alias("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(lang, docs.doc_id == lang.id)
+        .join(qual, docs.doc_id == qual.id)
+        .join(canon, "doc_id", "left_semi")
+        .join(near_b, "doc_id", "left_anti")
+        .where((F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "pred_lang", F.round("quality_score", 6).alias("quality_score"))
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
