@@ -39,6 +39,8 @@ HEADLINE = [
     "q50_cosine_topk",
     "q56_deterministic_sample",
     "q62_graph_edges",
+    "q66_lsh_verified_near_dups",
+    "q70_curation_pipeline",
 ]
 
 

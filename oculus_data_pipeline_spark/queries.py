@@ -2232,6 +2232,83 @@ def q70_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q71_first_event_per_user_type",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q71_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins dedup as a registry operator (D1's
+    semantics, xml_to_json.py:24-44, generalized to any key/order)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "q72_null_safe_join",
+    """
+    WITH d AS (SELECT doc_id, nullif(lang, 'en') AS lang_n, source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_pairs
+    FROM d a JOIN d b
+      ON a.lang_n IS NOT DISTINCT FROM b.lang_n AND a.doc_id < b.doc_id
+    GROUP BY a.source, b.source
+    """,
+)
+def q72_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics plain equi-joins silently drop."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif("lang", F.lit("en")).alias("lang_n"), "source"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.lang_n").eqNullSafe(F.col("b.lang_n"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q73_ordered_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q73_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic listagg: collect_list is unordered in a
+    distributed engine, so the stable form is array_sort before the
+    join — equal to SQL string_agg(ORDER BY)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.count("*").alias("n_nations"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
