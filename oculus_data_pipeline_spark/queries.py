@@ -2309,6 +2309,55 @@ def q73_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q74_scd2_apply",
+    """
+    WITH current AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             '1995-01-01' AS valid_from, '9999-12-31' AS valid_to
+      FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+             '2000-06-15' AS change_date
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to FROM (
+      SELECT cur.c_custkey, cur.c_name, cur.c_acctbal, cur.valid_from,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.change_date
+                  ELSE cur.valid_to END AS valid_to
+      FROM current cur LEFT JOIN updates u ON u.c_custkey = cur.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, change_date AS valid_from,
+             '9999-12-31' AS valid_to
+      FROM updates
+    )
+    """,
+)
+def q74_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 upsert emulated with anti-join + union (the MERGE
+    INTO fallback without a transactional table format) — updated keys
+    get their open row closed at the change date plus a new open
+    version; history rows pass through untouched."""
+    from .operators.scd import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    )
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("2000-06-15").alias("change_date"),
+    )
+    return scd2_apply(current, updates, key="c_custkey")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

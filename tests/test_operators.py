@@ -180,3 +180,30 @@ def test_openai_classifier_gated(spark):
         pass
     with pytest.raises(NotImplementedError):
         OpenAIBatchClassifier().classify(terms.select("norm_term"))
+
+
+def test_scd2_preserves_history(spark):
+    from oculus_data_pipeline_spark.operators.scd import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, "a-v1", "2020-01-01", "2021-01-01"),   # closed history
+            (1, "a-v2", "2021-01-01", "9999-12-31"),   # open
+            (2, "b-v1", "2020-05-01", "9999-12-31"),   # open, untouched
+        ],
+        ["k", "attr", "valid_from", "valid_to"],
+    )
+    updates = spark.createDataFrame(
+        [(1, "a-v3", "2022-06-01")], ["k", "attr", "change_date"]
+    )
+    got = sorted(
+        tuple(r) for r in scd2_apply(current, updates, key="k").collect()
+    )
+    assert got == sorted(
+        [
+            (1, "a-v1", "2020-01-01", "2021-01-01"),
+            (1, "a-v2", "2021-01-01", "2022-06-01"),
+            (1, "a-v3", "2022-06-01", "9999-12-31"),
+            (2, "b-v1", "2020-05-01", "9999-12-31"),
+        ]
+    )
