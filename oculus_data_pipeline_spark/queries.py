@@ -2358,6 +2358,29 @@ def q74_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(current, updates, key="c_custkey")
 
 
+@query(
+    "q75_purchase_view_attribution",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           p.value AS purchase_value
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def q75_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream attribution join
+    (streaming/joins.py; streaming==batch equality pinned in tests) —
+    time-bounded self-join, state bounded by the watermark horizon in
+    the streaming mode."""
+    from .streaming.joins import purchases_with_recent_views
+
+    return purchases_with_recent_views(load_table(spark, sf_dir, "events"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -38,3 +38,28 @@ def test_registry_reentrant(spark, sf_dir):
         r1 = sorted(map(tuple, qs[name](spark, sf_dir).collect()), key=repr)
         r2 = sorted(map(tuple, qs[name](spark, sf_dir).collect()), key=repr)
         assert r1 == r2, name
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from oculus_data_pipeline_spark.streaming.joins import purchases_with_recent_views
+
+    batch = {
+        tuple(r)
+        for r in purchases_with_recent_views(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert batch, "no purchase-view pairs in testdata?"
+    stream = purchases_with_recent_views(
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssjoin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssjoin_out").collect()}
+    assert got == batch
