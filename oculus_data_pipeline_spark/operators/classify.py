@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 from typing import Iterator, Protocol
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE31, affine_hash, md5_int, minhash_params
+from ..functions.hashing import affine_hash, md5_int, minhash_params
 from ..functions.text import normalize_term
 
 
