@@ -2381,6 +2381,70 @@ def q75_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return purchases_with_recent_views(load_table(spark, sf_dir, "events"))
 
 
+@query(
+    "q76_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_oracle()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    )
+    SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+    """,
+)
+def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: LSH-verified near-dup pairs collapsed
+    into connected components (iterative min-label propagation,
+    operators/graph_algo.py) with the min doc id as the deterministic
+    canonical. Oracle: recursive-CTE reachability + MIN — a genuinely
+    iterative algorithm checked exactly against SQL recursion."""
+    from .operators.graph_algo import connected_components
+
+    pairs = dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+@query(
+    "q77_graph_degree",
+    f"""
+    WITH {_doc_terms_cte()},
+    edges AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
+             CASE WHEN label <> 'term' THEN {generate_uri_oracle_sql('norm_term')}
+                  ELSE norm_term END AS dst,
+             'HAS_' || upper(label) AS rel_type
+      FROM labeled
+    )
+    SELECT dst AS entity_key, COUNT(*) AS in_degree,
+           COUNT(DISTINCT rel_type) AS n_rel_types
+    FROM edges GROUP BY dst
+    ORDER BY in_degree DESC, entity_key LIMIT 25
+    """,
+)
+def q77_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the engine's own output: top-25 entity
+    in-degree on the document graph (hot entities = the graph-sink
+    skew risk called out in SURVEY §4)."""
+    edges = graph.build_edges(_doc_terms(spark, sf_dir))
+    return (
+        edges.groupBy(F.col("dst").alias("entity_key"))
+        .agg(
+            F.count("*").alias("in_degree"),
+            F.countDistinct("rel_type").alias("n_rel_types"),
+        )
+        .orderBy(F.desc("in_degree"), F.asc("entity_key"))
+        .limit(25)
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
