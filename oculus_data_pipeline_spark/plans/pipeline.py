@@ -142,6 +142,69 @@ def read_documents_xml(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_documents_xml_with_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Failure-isolating ingest: malformed XML never aborts the job.
+
+    The reference aborts only the failing file and continues
+    (run_pipeline.py:55-75); the engine equivalent is PERMISSIVE
+    parsing with a corrupt-record column — good documents flow on, bad
+    payloads land in a quarantine DataFrame (raw text + source file)
+    for reprocessing. Returns (documents, quarantine).
+    """
+    schema_with_corrupt = T.StructType(
+        [*DOCUMENT_XML_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "document")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema_with_corrupt)
+        .load(path)
+        # input_file_name() is only defined while the scan is live —
+        # capture it before the cache boundary or it comes back ''
+        .withColumn("__source_file", F.input_file_name())
+    ).cache()
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_payload"),
+        F.col("__source_file").alias("source_file"),
+    )
+    good = raw.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record", "__source_file"
+    )
+    docs = good.select(
+        F.col("documentID").alias("doc_id"),
+        F.col("documentTitle").alias("title"),
+        F.struct(
+            F.col("projectInfo.publicationName").alias("publication_name"),
+            F.col("projectInfo.seriesName").alias("series_name"),
+            F.col("projectInfo.volumeInfo").alias("volume_info"),
+            F.col("projectInfo.publisher").alias("publisher"),
+            F.coalesce(F.col("projectInfo.formats.type"), F.array()).alias("formats"),
+        ).alias("project_info"),
+        F.coalesce(F.col("authors.author"), F.array()).alias("authors"),
+        F.coalesce(F.col("recipients.recipient"), F.array()).alias("recipients"),
+        F.col("dates.`date-from`").alias("date_from"),
+        F.col("dates.`date-to`").alias("date_to"),
+        F.col("location.placeName").alias("location_name"),
+        F.coalesce(F.col("repositories.repository"), F.array()).alias("repositories"),
+        F.coalesce(F.col("indexing.indexTerm"), F.array()).alias("indexing"),
+    )
+    return docs, bad
+
+
+def compact_small_files(
+    spark: SparkSession, src: str, dst: str, target_files: int
+) -> None:
+    """Small-file compaction for ingest landing zones (SURVEY §4 risk
+    c: many tiny XML/JSON files make scan planning the bottleneck).
+    Reads, coalesces without a shuffle, rewrites as ``target_files``
+    parquet files."""
+    spark.read.parquet(src).coalesce(target_files).write.mode("overwrite").parquet(dst)
+
+
 def extract_terms(docs: DataFrame) -> DataFrame:
     """P4/D1: flatten term triples with parenthetical-strip per part and
     first-occurrence-wins per-document dedup (xml_to_json.py:24-44).

@@ -145,3 +145,40 @@ def test_pipeline_matches_reference_model(spark, xml_dir):
         f"missing={sorted(exp_edges - got_edges)[:5]} "
         f"extra={sorted(got_edges - exp_edges)[:5]}"
     )
+
+
+def test_quarantine_isolates_corrupt_files(spark, tmp_path):
+    from oculus_data_pipeline_spark.plans.pipeline import (
+        read_documents_xml_with_quarantine,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.xml").write_text(XML)
+    (d / "bad.xml").write_text(
+        "<root><document><documentID>broken</documentID><unclosed></root>"
+    )
+    docs, bad = read_documents_xml_with_quarantine(spark, str(d))
+    got_ids = sorted(r["doc_id"] for r in docs.collect())
+    assert got_ids == ["doc1", "doc2"]  # good file fully parsed
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "broken" in bad_rows[0]["raw_payload"]
+    assert bad_rows[0]["source_file"].endswith("bad.xml")
+
+
+def test_compact_small_files(spark, tmp_path):
+    import os
+
+    from oculus_data_pipeline_spark.plans.pipeline import compact_small_files
+    from oculus_data_pipeline_spark.sources.tables import load_table
+
+    src = str(tmp_path / "many")
+    load_table(spark, "/root/testdata/sf0.001", "orders").repartition(16).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src >= 16
+    dst = str(tmp_path / "few")
+    compact_small_files(spark, src, dst, target_files=2)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst <= 2
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()

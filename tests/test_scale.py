@@ -102,3 +102,37 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     )
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing partitioned by a date column and filtering on it must
+    prune partitions at planning time (the scan lists only matching
+    directories) — the core trick for time-series data at 100 TB."""
+    out = str(tmp_path / "events_parted")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan
+    # count only reads the one partition's files
+    expected = e.where(F.col("day") == "2024-01-05").count()
+    assert df.count() == expected > 0
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """merge/shuffle_hash/broadcast hints override Catalyst's choice —
+    the manual control needed when statistics mislead at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in physical_plan(merged)
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in physical_plan(hashed)
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in physical_plan(bcast)
+    # all three strategies agree on the answer
+    n = merged.count()
+    assert n == hashed.count() == bcast.count()
