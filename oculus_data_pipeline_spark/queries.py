@@ -2445,6 +2445,47 @@ def q77_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_features_oracle() -> str:
+    cols = ",\n           ".join(
+        "CAST(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(dig, {(4 * i) % 60 + 1 + j}, 1)) - 1) * {16 ** (3 - j)}"
+            for j in range(4)
+        )
+        + f") AS BIGINT) AS f{i}"
+        for i in range(16)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, sha256(text) AS dig,
+             CAST(length(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, n_bytes, substr(dig, 1, 16) AS content_sha,
+           {cols}
+    FROM m
+    """
+
+
+@query("q78_media_features", _media_features_oracle())
+def q78_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the REAL Arrow mapInPandas
+    path (multimodal/binary_ops.py): binary content → 16-dim feature
+    vector. Features are dyadic rationals (k/65536, k < 2^16 — exact
+    in float32), re-emitted as the integer k's so the oracle compares
+    exactly with no float formatting in play. ASCII text bytes make
+    sha256(binary) ≡ DuckDB's sha256(text)."""
+    from .multimodal.binary_ops import extract_image_features, make_media_table
+
+    media = make_media_table(load_table(spark, sf_dir, "documents"))
+    feats = extract_image_features(media)
+    f_ints = [
+        F.round(F.element_at("features", i + 1) * 65536).cast("bigint").alias(f"f{i}")
+        for i in range(16)
+    ]
+    return feats.select("media_id", "n_bytes", "content_sha", *f_ints)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
