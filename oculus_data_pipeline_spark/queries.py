@@ -2486,6 +2486,63 @@ def q78_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_sha", *f_ints)
 
 
+@query(
+    "q79_from_json_typed",
+    f"""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
+                            BETWEEN 10 AND 50) AS k_mid,
+           {dsum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT) * value", 6)}
+             AS weighted
+    FROM events GROUP BY event_type
+    """,
+)
+def q79_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (vs q12's
+    path extraction) — the production path when the JSON shape is
+    known; the parsed struct participates in arithmetic directly."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "p",
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())])),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.when(F.col("p.k").between(10, 50), 1)).alias("k_mid"),
+        dsum(F.col("p.k") * F.col("value"), 6).alias("weighted"),
+    )
+
+
+@query(
+    "q80_higher_order_predicates",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x = 'spark')) > 0 AS BOOLEAN) AS has_spark,
+           CAST(len(list_filter(toks, x -> length(x) < 2)) = 0 AS BOOLEAN)
+             AS all_tokens_multichar,
+           CAST(len(list_filter(toks, x -> x LIKE 's%')) AS BIGINT) AS s_tokens
+    FROM t
+    """,
+)
+def q80_higher_order_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates: exists / forall / filter-count —
+    all JVM lambda expressions inside codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_term("text"), " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.forall(toks, lambda x: F.length(x) >= 2).alias("all_tokens_multichar"),
+        F.size(F.filter(toks, lambda x: x.startswith("s"))).cast("bigint").alias(
+            "s_tokens"
+        ),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
