@@ -136,3 +136,20 @@ def test_join_strategy_hints(spark, sf_dir):
     # all three strategies agree on the answer
     n = merged.count()
     assert n == hashed.count() == bcast.count()
+
+
+def test_observe_metrics_without_extra_action(spark, sf_dir):
+    """df.observe collects data-quality metrics inline with the main
+    action — no second pass over 100 TB just to count nulls."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+    )
+    n = observed.count()
+    assert obs.get["rows"] == n
+    assert obs.get["bad_qty"] == 0
