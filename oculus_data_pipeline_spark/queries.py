@@ -2543,6 +2543,115 @@ def q80_higher_order_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q81_forecast_revenue_change",
+    f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 6)} AS revenue_effect,
+           COUNT(*) AS n_qualifying
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q81_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate + scan aggregation — every filter
+    pushes to the parquet reader; zero joins, one partial+final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "revenue_effect"
+            ),
+            F.count("*").alias("n_qualifying"),
+        )
+    )
+
+
+@query(
+    "q82_promo_revenue_ratio",
+    f"""
+    SELECT ROUND(
+             100.0 * {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' OR p_name LIKE 'new%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 6)}
+             / {dsum_sql('l_extendedprice * (1 - l_discount)', 6)}, 6) AS promo_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q82_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + conditional-aggregate ratio (CASE inside
+    the sum); both sums exact decimals so the ratio divides identical
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    pt = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(
+        F.col("p_type").like("PROMO%") | F.col("p_name").like("new%"), rev
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * dsum(promo, 6) / dsum(rev, 6), 6).alias("promo_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q83_disjunctive_predicates",
+    f"""
+    SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_matches
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q83_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides —
+    the predicate Catalyst must keep above the join while still pushing
+    the common parts down."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count("*").alias("n_matches"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
