@@ -50,10 +50,19 @@ def build_nodes(doc_ids: DataFrame, classified_terms: DataFrame) -> DataFrame:
     ``doc_ids``: one row per document with a ``doc_id`` column.
     ``classified_terms``: (doc_id, norm_term, label).
     """
+    # Document name mirrors the reference's `d.title` property
+    # (json_to_db.py:7-15): the title when the source carries one,
+    # else the document id — same coalesce the XML pipeline path uses
+    # (plans/pipeline.py build_document_graph).
+    name_col = (
+        F.coalesce(F.col("title"), F.col("doc_id").cast("string"))
+        if "title" in doc_ids.columns
+        else F.col("doc_id").cast("string")
+    )
     doc_nodes = doc_ids.select(
         F.lit("Document").alias("label"),
         F.col("doc_id").cast("string").alias("key"),
-        F.col("doc_id").cast("string").alias("name"),
+        name_col.alias("name"),
     )
     entity_nodes = classified_terms.select(
         _node_label(F.col("label")).alias("label"),
@@ -67,10 +76,17 @@ def build_nodes(doc_ids: DataFrame, classified_terms: DataFrame) -> DataFrame:
 
 
 def build_edges(classified_terms: DataFrame) -> DataFrame:
-    """``edges(src, dst, rel_type)``: Document --HAS_<TYPE>--> entity."""
+    """``edges(src, dst, rel_type)`` with reference directions
+    (json_to_db.py): typed entities point AT the document —
+    (e)-[:HAS_PERSON|HAS_PLACE|HAS_ORGANIZATION]->(d) via
+    create_relationship (:46-52) — while plain terms hang off it —
+    (d)-[:HAS_TERM]->(t) via relate_index_term (:54-60)."""
+    ekey = entity_key(F.col("norm_term"), F.col("label"))
+    doc = F.col("doc_id").cast("string")
+    is_term = F.col("label") == "term"
     return classified_terms.select(
-        F.col("doc_id").cast("string").alias("src"),
-        entity_key(F.col("norm_term"), F.col("label")).alias("dst"),
+        F.when(is_term, doc).otherwise(ekey).alias("src"),
+        F.when(is_term, ekey).otherwise(doc).alias("dst"),
         F.concat(F.lit("HAS_"), F.upper("label")).alias("rel_type"),
     ).distinct()
 

@@ -331,15 +331,19 @@ def build_document_graph(docs: DataFrame, classified: DataFrame):
         F.col("doc_id").alias("key"),
         F.coalesce("title", F.col("doc_id")).alias("name"),
     )
-    author_people = docs.select(F.col("doc_id"), F.explode("authors").alias("name")).withColumn(
+    author_people = docs.select(F.col("doc_id"), F.explode("authors").alias("raw_name")).withColumn(
         "rel", F.lit("AUTHOR")
     )
     recipient_people = docs.select(
-        F.col("doc_id"), F.explode("recipients").alias("name")
+        F.col("doc_id"), F.explode("recipients").alias("raw_name")
     ).withColumn("rel", F.lit("RECIPIENT"))
-    people = author_people.unionByName(recipient_people).withColumn(
-        "uri", generate_uri("name")
-    )
+    # convert_name runs in the classification stage (json_classification
+    # .py:233-237), BEFORE the URI stage hashes the name (generate_uri
+    # .py:50-53) — so reference Person nodes carry the converted
+    # 'First Last' name and the URI hashes the converted string.
+    people = with_converted_name(
+        author_people.unionByName(recipient_people), "raw_name", "name"
+    ).withColumn("uri", generate_uri("name"))
     person_nodes = people.select(
         F.lit("Person").alias("label"), F.col("uri").alias("key"), "name"
     )
@@ -351,8 +355,10 @@ def build_document_graph(docs: DataFrame, classified: DataFrame):
         "doc_id", F.col("location_name").alias("name")
     ).withColumn("uri", generate_uri("name"))
     loc_nodes = locs.select(F.lit("Place").alias("label"), F.col("uri").alias("key"), "name")
+    # create_relationship (json_to_db.py:46-52) MERGEs (e)-[:LOCATION]->(d):
+    # entity → document, same as AUTHOR/RECIPIENT.
     loc_edges = locs.select(
-        F.col("doc_id").alias("src"), F.col("uri").alias("dst"), F.lit("LOCATION").alias("rel_type")
+        F.col("uri").alias("src"), F.col("doc_id").alias("dst"), F.lit("LOCATION").alias("rel_type")
     )
 
     dates = (
@@ -381,26 +387,37 @@ def build_document_graph(docs: DataFrame, classified: DataFrame):
     term_nodes = classified.where(F.col("main").isNotNull()).select(
         main_l.alias("label"), main_k.alias("key"), F.col("main.term").alias("name")
     )
+    # Edge direction per json_to_db.py: typed entities use
+    # create_relationship (:46-52) — (e)-[:HAS_*]->(d), entity →
+    # document; plain terms use relate_index_term (:54-60) —
+    # (d)-[:HAS_TERM]->(t), document → term.
+    main_is_term = F.col("main.type") == "term"
     term_edges = classified.where(F.col("main").isNotNull()).select(
-        F.col("doc_id").alias("src"),
-        main_k.alias("dst"),
+        F.when(main_is_term, F.col("doc_id")).otherwise(main_k).alias("src"),
+        F.when(main_is_term, main_k).otherwise(F.col("doc_id")).alias("dst"),
         F.concat(F.lit("HAS_"), F.upper(F.col("main.type"))).alias("rel_type"),
     )
 
+    # relate_sub_term (json_to_db.py:62-68, :121-127): midsub AND sub
+    # nodes are always MERGEd as Term keyed by term text, and BOTH
+    # edges hang off the MAIN term (relate_sub_term is called with
+    # term['term'] as the parent for midsub and for sub alike).
     sub_nodes = []
     sub_edges = []
-    for child, parent in (("midsub", "main"), ("sub", "midsub")):
-        c_l, c_k = entity_cols(F.col(child))
-        _, p_k = entity_cols(F.col(parent))
-        has_child = classified.where(F.col(child).isNotNull() & F.col(parent).isNotNull())
+    for child in ("midsub", "sub"):
+        has_child = classified.where(F.col(child).isNotNull() & F.col("main").isNotNull())
         sub_nodes.append(
-            has_child.select(c_l.alias("label"), c_k.alias("key"), F.col(f"{child}.term").alias("name"))
+            has_child.select(
+                F.lit("Term").alias("label"),
+                F.col(f"{child}.term").alias("key"),
+                F.col(f"{child}.term").alias("name"),
+            )
         )
         sub_edges.append(
             has_child.select(
-                p_k.alias("src"),
-                c_k.alias("dst"),
-                F.lit("MIDSUB" if child == "midsub" else "SUB").alias("rel_type"),
+                main_k.alias("src"),
+                F.col(f"{child}.term").alias("dst"),
+                F.lit(child.upper()).alias("rel_type"),
             )
         )
 

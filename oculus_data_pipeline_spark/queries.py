@@ -1067,16 +1067,20 @@ def q61_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_graph_edges",
     f"""
     WITH {_doc_terms_cte()}
-    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
-           CASE WHEN label <> 'term' THEN {generate_uri_oracle_sql('norm_term')}
-                ELSE norm_term END AS dst,
+    SELECT DISTINCT
+           CASE WHEN label = 'term' THEN CAST(doc_id AS VARCHAR)
+                ELSE {generate_uri_oracle_sql('norm_term')} END AS src,
+           CASE WHEN label = 'term' THEN norm_term
+                ELSE CAST(doc_id AS VARCHAR) END AS dst,
            'HAS_' || upper(label) AS rel_type
     FROM labeled
     """,
 )
 def q62_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph sink stage 2: bulk typed edges (json_to_db.py:46-76
-    re-expressed; dynamic Cypher labels → fixed rel_type column)."""
+    """Graph sink stage 2: bulk typed edges with reference directions —
+    typed entities point AT the document (create_relationship,
+    json_to_db.py:46-52), plain terms hang off it (relate_index_term,
+    :54-60); dynamic Cypher labels → fixed rel_type column."""
     return graph.build_edges(_doc_terms(spark, sf_dir))
 
 
@@ -2417,30 +2421,38 @@ def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_doc_terms_cte()},
     edges AS (
-      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
-             CASE WHEN label <> 'term' THEN {generate_uri_oracle_sql('norm_term')}
-                  ELSE norm_term END AS dst,
+      SELECT DISTINCT
+             CASE WHEN label = 'term' THEN CAST(doc_id AS VARCHAR)
+                  ELSE {generate_uri_oracle_sql('norm_term')} END AS src,
+             CASE WHEN label = 'term' THEN norm_term
+                  ELSE CAST(doc_id AS VARCHAR) END AS dst,
              'HAS_' || upper(label) AS rel_type
       FROM labeled
     )
-    SELECT dst AS entity_key, COUNT(*) AS in_degree,
+    SELECT CASE WHEN rel_type = 'HAS_TERM' THEN dst ELSE src END AS entity_key,
+           COUNT(*) AS degree,
            COUNT(DISTINCT rel_type) AS n_rel_types
-    FROM edges GROUP BY dst
-    ORDER BY in_degree DESC, entity_key LIMIT 25
+    FROM edges GROUP BY 1
+    ORDER BY degree DESC, entity_key LIMIT 25
     """,
 )
 def q77_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the engine's own output: top-25 entity
-    in-degree on the document graph (hot entities = the graph-sink
-    skew risk called out in SURVEY §4)."""
+    degree on the document graph (hot entities = the graph-sink skew
+    risk called out in SURVEY §4). The entity sits on the src side for
+    typed HAS_* edges and the dst side for HAS_TERM (reference edge
+    directions, json_to_db.py:46-60)."""
     edges = graph.build_edges(_doc_terms(spark, sf_dir))
+    entity = F.when(F.col("rel_type") == "HAS_TERM", F.col("dst")).otherwise(
+        F.col("src")
+    )
     return (
-        edges.groupBy(F.col("dst").alias("entity_key"))
+        edges.groupBy(entity.alias("entity_key"))
         .agg(
-            F.count("*").alias("in_degree"),
+            F.count("*").alias("degree"),
             F.countDistinct("rel_type").alias("n_rel_types"),
         )
-        .orderBy(F.desc("in_degree"), F.asc("entity_key"))
+        .orderBy(F.desc("degree"), F.asc("entity_key"))
         .limit(25)
     )
 

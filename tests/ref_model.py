@@ -98,15 +98,22 @@ def run_reference_model(docs: list[dict]) -> tuple[set, set]:
 
     for d in docs:
         nodes.add(("Document", d["doc_id"], d.get("title") or d["doc_id"]))
-        for nm in d.get("authors", []):
-            nodes.add(("Person", uri(nm), nm))
-            edges.add((uri(nm), d["doc_id"], "AUTHOR"))
-        for nm in d.get("recipients", []):
-            nodes.add(("Person", uri(nm), nm))
-            edges.add((uri(nm), d["doc_id"], "RECIPIENT"))
+        # convert_name runs in the classification stage
+        # (json_classification.py:233-237) BEFORE generate_uri hashes
+        # the name (generate_uri.py:50-53), so Person nodes carry the
+        # converted name and the URI hashes the converted string.
+        # create_relationship (json_to_db.py:46-52) MERGEs
+        # (e)-[:ROLE]->(d): entity → document for AUTHOR/RECIPIENT/
+        # LOCATION and all typed HAS_* edges.
+        for rel, names in (("AUTHOR", d.get("authors", [])),
+                           ("RECIPIENT", d.get("recipients", []))):
+            for nm in names:
+                conv = convert_name(nm)
+                nodes.add(("Person", uri(conv), conv))
+                edges.add((uri(conv), d["doc_id"], rel))
         if d.get("location_name"):
             nodes.add(("Place", uri(d["location_name"]), d["location_name"]))
-            edges.add((d["doc_id"], uri(d["location_name"]), "LOCATION"))
+            edges.add((uri(d["location_name"]), d["doc_id"], "LOCATION"))
         for rel, key in (("DATE_FROM", "date_from"), ("DATE_TO", "date_to")):
             v = d.get(key)
             if v:
@@ -127,13 +134,19 @@ def run_reference_model(docs: list[dict]) -> tuple[set, set]:
             if main_o:
                 k = main_o["uri"] or main_o["term"]
                 nodes.add((node_label(main_o["type"]), k, main_o["term"]))
-                edges.add((d["doc_id"], k, "HAS_" + main_o["type"].upper()))
-                if mid_o:
-                    mk = mid_o["uri"] or mid_o["term"]
-                    nodes.add((node_label(mid_o["type"]), mk, mid_o["term"]))
-                    edges.add((k, mk, "MIDSUB"))
-                    if sub_o:
-                        sk = sub_o["uri"] or sub_o["term"]
-                        nodes.add((node_label(sub_o["type"]), sk, sub_o["term"]))
-                        edges.add((mk, sk, "SUB"))
+                if main_o["type"] == "term":
+                    # relate_index_term: (d)-[:HAS_TERM]->(t)
+                    edges.add((d["doc_id"], k, "HAS_TERM"))
+                else:
+                    # create_relationship: (e)-[:HAS_*]->(d)
+                    edges.add((k, d["doc_id"], "HAS_" + main_o["type"].upper()))
+                # relate_sub_term (json_to_db.py:62-68, :121-127):
+                # midsub AND sub are MERGEd as Term nodes keyed by the
+                # (display) term text, and BOTH edges hang off the
+                # MAIN term — relate_sub_term is called with
+                # term['term'] as the parent in both branches.
+                for rel, o in (("MIDSUB", mid_o), ("SUB", sub_o)):
+                    if o:
+                        nodes.add(("Term", o["term"], o["term"]))
+                        edges.add((k, o["term"], rel))
     return nodes, edges
