@@ -173,7 +173,13 @@ def classify_terms(
         )
     else:
         labels = inferred
+    # No broadcast hint on the join-back: ``labels`` is ALL distinct
+    # terms (with labels) — at 100 TB that's billions of rows, so a
+    # mandatory broadcast would OOM the executors. AQE picks broadcast
+    # at runtime whenever the distinct-term set is actually small
+    # (the known-entities anti-join above stays hinted because the
+    # reference's known set is small by construction).
     return (
-        with_norm.join(F.broadcast(labels), "norm_term", "left")
+        with_norm.join(labels, "norm_term", "left")
         .withColumn("label", F.coalesce("label", F.lit("term")))
     )

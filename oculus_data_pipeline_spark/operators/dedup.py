@@ -103,11 +103,7 @@ def ngram_jaccard_pairs(
     MinHash-LSH (minhash_candidate_pairs) instead, which measures
     sub-linear here.
     """
-    sh = (
-        shingle_table(docs, text_col, id_col, n)
-        .select("id", md5_int("shingle").alias("sh"))
-        .persist()
-    )
+    sh = hashed_shingle_table(docs, text_col, id_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if not prefix_filter:
         a, b = sh.alias("a"), sh.alias("b")
@@ -167,12 +163,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh): 48-bit int hash of each distinct shingle — the shared
+    input of minhash signature generation AND exact-Jaccard
+    verification, so composed operators build it once."""
+    return shingle_table(docs, text_col, id_col, n).select(
+        "id", md5_int("shingle").alias("sh")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perms: int = 16,
     shingle_n: int = 3,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Wide minhash signatures: (id, m0..m{P-1}).
 
@@ -182,9 +193,17 @@ def minhash_signatures(
     shuffle on the doc id with map-side partial mins, no row
     expansion. (A long-form unpivot would multiply the shingle rows
     ×P before the shuffle — 16× the shuffle volume for P=16.)
+
+    ``hashed_shingles`` lets a composed operator (lsh_verified_near_
+    dups) pass in an already-built (id, sh) table so the corpus is
+    shingled exactly once.
     """
-    sh = shingle_table(docs, text_col, id_col, shingle_n)
-    h = md5_int("shingle")
+    sh = (
+        hashed_shingles
+        if hashed_shingles is not None
+        else hashed_shingle_table(docs, text_col, id_col, shingle_n)
+    )
+    h = F.col("sh")
     perm_cols = [
         affine_hash(h, a, b).alias(f"p{j}")
         for j, (a, b) in enumerate(minhash_params(num_perms))
@@ -202,6 +221,7 @@ def minhash_candidate_pairs(
     num_perms: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs whose signatures agree on an entire band.
 
@@ -212,7 +232,9 @@ def minhash_candidate_pairs(
     true near-dup buckets.
     """
     rows_per_band = num_perms // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_perms, shingle_n)
+    sig = minhash_signatures(
+        docs, text_col, id_col, num_perms, shingle_n, hashed_shingles=hashed_shingles
+    )
     band_rows = [
         F.struct(
             F.lit(band).alias("band"),
@@ -261,14 +283,15 @@ def lsh_verified_near_dups(
     bands); precision is exact — false candidates are filtered by the
     true Jaccard. The verification join touches |candidates| × shingle
     rows, not the quadratic all-pairs set.
+
+    The hashed shingle table is built ONCE and persisted: it feeds
+    both minhash signature generation (via ``hashed_shingles``) and
+    the exact verification joins — one corpus scan + shingle explode
+    instead of two.
     """
+    sh = hashed_shingle_table(docs, text_col, id_col, shingle_n).persist()
     cand = minhash_candidate_pairs(
-        docs, text_col, id_col, num_perms, bands, shingle_n
-    )
-    sh = (
-        shingle_table(docs, text_col, id_col, shingle_n)
-        .select("id", md5_int("shingle").alias("sh"))
-        .persist()
+        docs, text_col, id_col, num_perms, bands, shingle_n, hashed_shingles=sh
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (

@@ -1,17 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Three tiers:
 
 - ``brute_force_topk`` / ``cosine_pairs``: exact. The pairing is a
   join, the scoring is a JVM higher-order-function fold — fine when
   one side is small (query set, or a threshold prunes early). At 100 TB
   the query side is broadcast so the big side streams through codegen
-  with no shuffle at all.
-- ``lsh_ann_topk``: random-hyperplane LSH. Each vector gets a small
-  sign-bit bucket key; candidate generation is an equi-join on the
-  bucket — sub-linear work per query at the cost of recall. Planes are
-  derived from a fixed integer recurrence so the operator (and its SQL
-  oracle) is fully deterministic with no stored model.
+  with no shuffle at all. ``cosine_pairs`` is an all-pairs theta join —
+  quadratic, explicitly NOT the default pair path at scale.
+- ``lsh_near_dup_pairs``: the DEFAULT near-dup pair path. Multi-table
+  random-hyperplane LSH candidate generation (equi-join on short
+  (table, bucket) keys, vectors never shuffled) + exact cosine
+  verification of the candidates only — sub-quadratic end to end.
+- ``lsh_ann_topk``: random-hyperplane LSH top-k. Each vector gets a
+  small sign-bit bucket key; candidate generation is an equi-join on
+  the bucket — sub-linear work per query at the cost of recall. Planes
+  are derived from a fixed integer recurrence so the operator (and its
+  SQL oracle) is fully deterministic with no stored model.
 
 North-star addition (no reference instance; SURVEY.md §2.13).
 """
@@ -98,8 +103,13 @@ def hyperplane(dim: int, plane_idx: int) -> list[float]:
     ]
 
 
-def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int):
+def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int = 0):
     """Sign-bit bucket id for a vector column: Σ 2^j·[v·p_j > 0].
+
+    ``table`` selects an independent plane set (plane indices
+    ``table*n_planes + j``) so multiple hash tables can be derived from
+    the one deterministic recurrence — table 0 reproduces the original
+    single-table buckets exactly.
 
     Implemented as zip_with + left-fold over an array-literal plane
     (~3× faster in codegen than an element_at chain, measured; fold
@@ -107,7 +117,7 @@ def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int):
     """
     bucket = F.lit(0)
     for j in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in hyperplane(dim, j)])
+        plane = F.array(*[F.lit(w) for w in hyperplane(dim, table * n_planes + j)])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -115,6 +125,67 @@ def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int):
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("long")
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """THE default near-dup pair path: multi-table hyperplane LSH
+    candidates + exact cosine verification — sub-quadratic, unlike
+    ``cosine_pairs`` (the exact all-pairs tier, kept for small inputs
+    and as the recall baseline).
+
+    Candidate generation shuffles only (id, table, bucket) triples —
+    never the vectors — then the (small) verified candidate pair set
+    joins back to the vector table twice for exact scoring, mirroring
+    dedup.lsh_verified_near_dups. Recall at threshold t is
+    1 − (1 − (1 − θ_t/π)^P)^T over T tables of P planes; more tables
+    buy recall linearly in candidate volume, never quadratically.
+    """
+    e = _as_double(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr("v", dim, n_planes, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    keyed = e.select("id", F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def lsh_ann_topk(

