@@ -208,14 +208,22 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_mktsegment
     """,
 )
 def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) + groupBy."""
+    """Left-anti join (NOT EXISTS with a correlated predicate) +
+    groupBy: customers who never placed an URGENT order. (The bare
+    no-orders-at-all predicate is vacuous on this testdata — every
+    customer has orders — so the anti-join filters on priority to keep
+    the check non-empty at every SF: 18/203/1986 rows.)"""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -371,20 +379,35 @@ def q10_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     EXCEPT
     SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
-    WHERE c.c_acctbal < 0
+    GROUP BY n.n_name
+    HAVING AVG(c.c_acctbal) < (SELECT AVG(c_acctbal) FROM customer)
     """,
 )
 def q11_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT + EXCEPT set algebra over derived key sets."""
+    """INTERSECT + EXCEPT set algebra over derived key sets: nations
+    with both customers and suppliers, minus nations whose average
+    customer balance is below the global average. (The below-average
+    form is scale-stable — roughly half the nations are excluded at
+    any SF, so the result is non-empty everywhere: 6/12/13 rows —
+    where an absolute-threshold EXISTS predicate saturates to all 25
+    nations as the per-nation sample grows.)"""
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     cust_nations = n.join(c, c.c_nationkey == n.n_nationkey).select("n_name")
     supp_nations = n.join(s, s.s_nationkey == n.n_nationkey).select("n_name")
-    negative = (
-        n.join(c, (c.c_nationkey == n.n_nationkey) & (c.c_acctbal < 0)).select("n_name")
+    # scalar subquery as a broadcast single-row cross join — stays one
+    # lazy plan, no driver-side collect
+    global_avg = c.agg(F.avg("c_acctbal").alias("global_avg_bal"))
+    below_avg = (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .crossJoin(F.broadcast(global_avg))
+        .where(F.col("avg_bal") < F.col("global_avg_bal"))
+        .select("n_name")
     )
-    return cust_nations.intersect(supp_nations).exceptAll(negative).distinct()
+    return cust_nations.intersect(supp_nations).exceptAll(below_avg).distinct()
 
 
 @query(
@@ -1617,12 +1640,44 @@ def q46_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q47_ivf_ann")
+def _ivf_oracle(k: int = 5, dim: int = EMB_DIM) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT UNNEST(range(1, {dim + 1})) AS d),
+    flat AS (
+      SELECT label, d,
+             CAST(SUM(CAST(v[d] AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS cx
+      FROM e CROSS JOIN dims GROUP BY label, d
+    ),
+    cent AS (SELECT label, list(cx ORDER BY d) AS cv FROM flat GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, qv, label AS probe_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_cosine_sql('qv', 'cv', dim)} DESC, label) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    best AS (SELECT query_id, qv, probe_label FROM probe WHERE rn = 1),
+    scored AS (
+      SELECT b.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('b.qv', 'c.v', dim)}, 6) AS cos_sim
+      FROM best b JOIN e c ON c.label = b.probe_label AND c.vec_id <> b.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q47_ivf_ann", _ivf_oracle())
 def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label-mean centroids (the embeddings table ships
     a cluster label), queries probe the nearest centroid's partition
-    only. Engine-internal float reductions → rows-only check; pytest
-    asserts recall vs the exact baseline."""
+    only. Centroid means use the decimal-sum trick (order-independent,
+    bit-identical across engines); the final scores fold raw vectors
+    in the oracle's explicit order, so the whole query hash-matches."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -1631,7 +1686,9 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = e.select("vec_id", "label", dim_idx.alias("d", "x"))
     centroids = (
         flat.groupBy("label", "d")
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            (F.sum(F.col("x").cast("decimal(30,15)")).cast("double") / F.count("x")).alias("cx")
+        )
         .groupBy("label")
         .agg(
             F.transform(
