@@ -2766,9 +2766,82 @@ def q83_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-attestation ordering: the external correctness driver checks
+# the FIRST 50 registered queries each round. Round 1 attested the
+# first 50 in file order, leaving the flagship curation/dedup/SCD2/
+# streaming-join operators (q44, q48-q49, q52-q59, q63-q83) with only
+# local-harness evidence — so this round rotates them to the front,
+# followed by the queries whose semantics changed since r1 (q05, q11,
+# q47, q51, q60-q62: all need driver re-attestation), then stable
+# representatives of each operator family. Queries past the window
+# keep their r1 driver rows and stay covered by tests/ (stricter
+# exact-value compare at sf0.001 AND sf0.01).
+_ATTESTATION_PRIORITY = [
+    # flagship LLM-data-pipeline operators, never driver-checked
+    "q66_lsh_verified_near_dups",
+    "q70_curation_pipeline",
+    "q74_scd2_apply",
+    "q75_purchase_view_attribution",
+    "q76_dedup_clusters",
+    "q77_graph_degree",
+    "q78_media_features",
+    "q44_rolling_hash",
+    # UDF surface / sampling / scalar breadth, never driver-checked
+    "q48_window_stats",
+    "q49_regexp_scalars",
+    "q52_pandas_udf_score",
+    "q53_applyinpandas_topk",
+    "q54_stream_dedup_batch",
+    "q55_map_scalars",
+    "q56_deterministic_sample",
+    "q57_stratified_sample",
+    "q58_width_bucket",
+    "q59_correlated_subquery",
+    "q63_nation_pair_volume",
+    "q64_multiset_ops",
+    "q65_posexplode",
+    "q67_large_quantity_orders",
+    "q68_global_sales_opportunity",
+    "q69_important_stock",
+    "q71_first_event_per_user_type",
+    "q72_null_safe_join",
+    "q73_ordered_string_agg",
+    "q79_from_json_typed",
+    "q80_higher_order_predicates",
+    "q81_forecast_revenue_change",
+    "q82_promo_revenue_ratio",
+    "q83_disjunctive_predicates",
+    # changed since round 1 — need driver re-attestation
+    "q05_customers_without_orders",
+    "q11_set_operations",
+    "q47_ivf_ann",
+    "q51_cosine_near_dup_pairs",
+    "q60_classify_terms",
+    "q61_graph_nodes",
+    "q62_graph_edges",
+    # stable family representatives filling the 50-query window
+    "q30_exact_dedup",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs",
+    "q33_simhash",
+    "q50_cosine_topk",
+    "q38_lsh_ann_topk",
+    "q01_pricing_summary",
+    "q14_tumbling_windows",
+    "q19_asof_join",
+    "q20_normalize_terms",
+    "q21_generate_uri",
+]
+
+
+def _attestation_order(names) -> list[str]:
+    rank = {n: i for i, n in enumerate(_ATTESTATION_PRIORITY)}
+    return sorted(names, key=lambda n: (rank.get(n, len(rank)), n))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _attestation_order(QUERIES)}
 
 
 def get_oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return {n: ORACLE[n] for n in _attestation_order(ORACLE)}
