@@ -88,60 +88,239 @@ class MockReplayClassifier:
         )
 
 
-class OpenAIBatchClassifier:
-    """Real-API classifier via an OpenAI-compatible endpoint, batched
-    per Arrow chunk inside mapInPandas (no driver-side loop, no
-    per-row calls). Requires the ``openai`` package and an API key at
-    call time; never used in correctness checks."""
+class BatchTransport(Protocol):
+    """The four remote calls of the reference's Batch API flow
+    (json_classification.py:160-192), isolated so tests inject a fake
+    and production uses the OpenAI client. All methods may raise;
+    the classifier retries with bounded backoff."""
 
-    def __init__(self, model: str = "gpt-4o-mini", temperature: float = 0.1,
-                 api_key: str | None = None, batch_size: int = 64):
+    def upload_file(self, content: bytes) -> str:
+        """files.create(purpose='batch') → file id."""
+        ...
+
+    def create_batch(self, input_file_id: str) -> str:
+        """batches.create(endpoint='/v1/chat/completions',
+        completion_window='24h') → batch id."""
+        ...
+
+    def get_batch(self, batch_id: str) -> tuple[str, str | None]:
+        """batches.retrieve → (status, output_file_id or None)."""
+        ...
+
+    def download_file(self, file_id: str) -> bytes:
+        """files.content → raw result JSONL bytes."""
+        ...
+
+
+class OpenAITransport:
+    """Production transport; requires the ``openai`` package."""
+
+    def __init__(self, api_key: str | None = None):  # pragma: no cover
+        try:
+            from openai import OpenAI
+        except ImportError as e:
+            raise NotImplementedError(
+                "OpenAITransport requires the 'openai' package; "
+                "use EchoClassifier or MockReplayClassifier instead"
+            ) from e
+        self._client = OpenAI(api_key=api_key)
+
+    def upload_file(self, content: bytes) -> str:  # pragma: no cover
+        import io
+
+        return self._client.files.create(
+            file=io.BytesIO(content), purpose="batch"
+        ).id
+
+    def create_batch(self, input_file_id: str) -> str:  # pragma: no cover
+        return self._client.batches.create(
+            input_file_id=input_file_id,
+            endpoint="/v1/chat/completions",
+            completion_window="24h",
+        ).id
+
+    def get_batch(self, batch_id: str) -> tuple[str, str | None]:  # pragma: no cover
+        b = self._client.batches.retrieve(batch_id)
+        return b.status, getattr(b, "output_file_id", None)
+
+    def download_file(self, file_id: str) -> bytes:  # pragma: no cover
+        return self._client.files.content(file_id).content
+
+
+#: Compact restatement of the reference's NER instruction
+#: (json_classification.py:289-298): classify one term per request as
+#: PERSON / PLACE / ORGANIZATION / TERM, JSON object out.
+BATCH_SYSTEM_PROMPT = (
+    "You are an NER system that classifies terms into PERSON, PLACE, "
+    "ORGANIZATION, or TERM. Return a json object of the form "
+    '{"classification": string} for the provided term.'
+)
+
+
+class OpenAIBatchClassifier:
+    """The reference's actual Batch API flow (json_classification.py:
+    95-217), productionized: build request JSONL → (K3) audit-write →
+    upload → batches.create(completion_window='24h') → poll → download
+    → (K4) audit-write raw results → parse → labels.
+
+    Faithfulness + scale notes:
+    - custom_id is ``task-{index}`` over the enumerated term list,
+      exactly the reference's scheme (:128), and the audit files use
+      the reference's ``batch_tasks_*/batch_results_*`` JSONL shapes —
+      so a run with ``audit_dir`` set produces fixtures that
+      MockReplayClassifier (the reference's ``test_mode``) replays
+      directly.
+    - The Batch API is a file-upload API (one JSONL ≤ 50k requests per
+      job), so orchestration is inherently driver-side; terms stream
+      through ``toLocalIterator`` in bounded chunks (never a full
+      ``collect``), one batch job per chunk, all jobs polled together.
+      By the distinct→anti-known shape of :func:`classify_terms`, the
+      rows reaching this stage are |distinct unknown terms|, not
+      corpus rows.
+    - Transient transport errors retry with bounded exponential
+      backoff; a terminally failed batch raises rather than silently
+      dropping labels.
+
+    Never used in correctness checks (Echo/MockReplay are).
+    """
+
+    def __init__(
+        self,
+        model: str = "gpt-4o-mini",
+        temperature: float = 0.1,
+        api_key: str | None = None,
+        transport: BatchTransport | None = None,
+        audit_dir: str | None = None,
+        audit_name: str = "batch",
+        max_requests_per_batch: int = 50_000,
+        poll_interval: float = 5.0,
+        max_retries: int = 3,
+        sleep=None,
+    ):
         self.model = model
         self.temperature = temperature
         self.api_key = api_key
-        self.batch_size = batch_size
+        self.transport = transport
+        self.audit_dir = audit_dir
+        self.audit_name = audit_name
+        self.max_requests_per_batch = max_requests_per_batch
+        self.poll_interval = poll_interval
+        self.max_retries = max_retries
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        self.sleep = sleep
+
+    # -- request building (reference task shape, json_classification.py:126-148)
+
+    def _task(self, index: int, term: str) -> dict:
+        return {
+            "custom_id": f"task-{index}",
+            "method": "POST",
+            "url": "/v1/chat/completions",
+            "body": {
+                "model": self.model,
+                "temperature": self.temperature,
+                "response_format": {"type": "json_object"},
+                "messages": [
+                    {"role": "system", "content": BATCH_SYSTEM_PROMPT},
+                    {"role": "user", "content": term},
+                ],
+            },
+        }
+
+    def _with_retries(self, fn, *args):
+        delay = 1.0
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn(*args)
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                self.sleep(delay)
+                delay *= 2
+
+    def _audit_write(self, suffix: str, content: bytes) -> None:
+        if self.audit_dir is None:
+            return
+        import os
+
+        os.makedirs(self.audit_dir, exist_ok=True)
+        path = os.path.join(self.audit_dir, f"{suffix}_{self.audit_name}.jsonl")
+        mode = "ab" if os.path.exists(path) else "wb"
+        with open(path, mode) as f:
+            f.write(content)
 
     def classify(self, terms: DataFrame) -> DataFrame:
-        try:
-            import openai  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "OpenAIBatchClassifier requires the 'openai' package; "
-                "use EchoClassifier or MockReplayClassifier instead"
-            ) from e
-        model, temperature, api_key, batch_size = (
-            self.model, self.temperature, self.api_key, self.batch_size,
+        transport = self.transport or OpenAITransport(self.api_key)
+        spark = terms.sparkSession
+
+        # 1. stream distinct terms driver-side in bounded chunks and
+        #    submit one batch job per <=50k-request JSONL file
+        jobs: list[tuple[str, dict[str, str]]] = []  # (batch_id, custom_id→term)
+        chunk: list[str] = []
+        index = 0
+
+        def submit(chunk_terms: list[str], start: int) -> None:
+            tasks = [
+                self._task(start + i, t) for i, t in enumerate(chunk_terms)
+            ]
+            payload = ("\n".join(json.dumps(t) for t in tasks) + "\n").encode()
+            self._audit_write("batch_tasks", payload)  # K3: request audit
+            file_id = self._with_retries(transport.upload_file, payload)
+            batch_id = self._with_retries(transport.create_batch, file_id)
+            jobs.append(
+                (batch_id, {t["custom_id"]: c for t, c in zip(tasks, chunk_terms)})
+            )
+
+        for row in terms.select("norm_term").toLocalIterator():
+            chunk.append(row["norm_term"])
+            if len(chunk) >= self.max_requests_per_batch:
+                submit(chunk, index)
+                index += len(chunk)
+                chunk = []
+        if chunk:
+            submit(chunk, index)
+
+        # 2. poll every job to a terminal state (reference loop :178-186)
+        results: list[tuple[str, str]] = []
+        for batch_id, id_to_term in jobs:
+            while True:
+                status, output_file_id = self._with_retries(
+                    transport.get_batch, batch_id
+                )
+                if status in ("completed", "failed", "expired", "cancelled"):
+                    break
+                self.sleep(self.poll_interval)
+            if status != "completed" or output_file_id is None:
+                raise RuntimeError(f"batch {batch_id} ended in status {status!r}")
+            raw = self._with_retries(transport.download_file, output_file_id)
+            self._audit_write("batch_results", raw)  # K4: raw result audit
+            for line in raw.decode().splitlines():
+                if not line.strip():
+                    continue
+                entry = json.loads(line)
+                term = id_to_term.get(entry["custom_id"])
+                if term is None:
+                    continue
+                content = entry["response"]["body"]["choices"][0]["message"][
+                    "content"
+                ]
+                label = str(
+                    json.loads(content).get("classification", "term")
+                ).lower()
+                results.append((term, label))
+
+        # 3. back to a DataFrame; unlabeled terms default to 'term' via
+        #    the left join in classify_terms
+        labels = spark.createDataFrame(results, "norm_term string, label string")
+        return (
+            terms.join(labels, "norm_term", "left")
+            .select(
+                "norm_term", F.coalesce("label", F.lit("term")).alias("label")
+            )
         )
-        system_prompt = (
-            "Classify the given index term as one of PERSON, PLACE, "
-            'ORGANIZATION, or TERM. Respond as JSON {"classification": ...}.'
-        )
-
-        def infer(batches: Iterator) -> Iterator:  # pragma: no cover
-            import pandas as pd
-            from openai import OpenAI
-
-            client = OpenAI(api_key=api_key)
-            for pdf in batches:
-                labels = []
-                for i in range(0, len(pdf), batch_size):
-                    for term in pdf["norm_term"].iloc[i : i + batch_size]:
-                        resp = client.chat.completions.create(
-                            model=model,
-                            temperature=temperature,
-                            response_format={"type": "json_object"},
-                            messages=[
-                                {"role": "system", "content": system_prompt},
-                                {"role": "user", "content": term},
-                            ],
-                        )
-                        content = resp.choices[0].message.content
-                        labels.append(
-                            json.loads(content).get("classification", "term").lower()
-                        )
-                yield pd.DataFrame({"norm_term": pdf["norm_term"], "label": labels})
-
-        return terms.mapInPandas(infer, schema="norm_term string, label string")
 
 
 def classify_terms(
