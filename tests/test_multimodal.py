@@ -1,4 +1,5 @@
-"""Multimodal binary-column plumbing tests (deterministic fake codec)."""
+"""Multimodal binary-column tests: real header-parse decode path plus
+the deterministic fake codec plumbing."""
 
 from __future__ import annotations
 
@@ -9,9 +10,12 @@ import pytest
 from oculus_data_pipeline_spark.multimodal.binary_ops import (
     FEATURE_DIM,
     decode_images,
+    encode_image_stub,
     extract_image_features,
     frame_sample_video,
+    make_image_table,
     make_media_table,
+    parse_image_header,
 )
 from oculus_data_pipeline_spark.sources.tables import load_table
 
@@ -42,9 +46,44 @@ def test_feature_extraction_deterministic(spark, sf_dir, media):
         assert feats2[mid]["features"] == row["features"]
 
 
-def test_decode_stub_gating(media):
-    with pytest.raises(NotImplementedError):
-        decode_images(media).collect()
+def test_parse_image_header_round_trip():
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        for w, h in [(1, 1), (16, 16), (2063, 1039), (65535, 1023)]:
+            assert parse_image_header(encode_image_stub(w, h, fmt)) == (w, h, fmt)
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"not an image") is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # JPEG without SOF
+
+
+def test_decode_real_path_unrecognized_quarantined(media):
+    # media here carries raw text bytes, not image containers — the
+    # real decode must mark every row unparsed, not crash
+    rows = decode_images(media).collect()
+    assert rows and all(not r["decoded_ok"] for r in rows)
+    assert all(r["width"] is None and r["pixel_format"] is None for r in rows)
+
+
+def test_decode_real_path_parses_real_containers(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = {
+        r["media_id"]: r
+        for r in decode_images(make_image_table(docs)).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(decoded) == set(texts)
+    fmts = set()
+    for mid, text in texts.items():
+        n = len(text)
+        row = decoded[mid]
+        assert row["decoded_ok"]
+        assert row["width"] == 16 + n % 2048
+        assert row["height"] == 16 + (n * 7) % 1024
+        assert row["pixel_format"] == ["png", "gif", "bmp", "jpeg"][n % 4]
+        fmts.add(row["pixel_format"])
+    assert fmts == {"png", "gif", "bmp", "jpeg"}  # all four branches hit
+
+
+def test_decode_fake_stand_in(media):
     decoded = decode_images(media, fake=True)
     rows = decoded.collect()
     assert all(r["decoded_ok"] for r in rows)
