@@ -1,0 +1,95 @@
+"""Plan-level proof for the storage-layout scale patterns:
+
+1. bucketed-bucketed join → NO Exchange in the physical plan (the
+   one-time bucketed write replaces every future shuffle on that key);
+2. partitioned write + partition filter → the scan prunes partitions
+   at planning time (filter never touches data files).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oculus_data_pipeline_spark.sinks.layout import (
+    drop_table,
+    physical_plan,
+    write_bucketed,
+    write_partitioned,
+)
+from oculus_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Disable auto-broadcast so small test tables exercise the
+    shuffle path a 100 TB fact-fact join would take."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, no_broadcast):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        bo, bl = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        # same join on the raw parquet DOES shuffle — the control
+        raw = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).select("o_orderkey", "l_quantity")
+        assert "Exchange" in physical_plan(raw)
+
+        # and values agree
+        assert joined.count() == raw.count()
+    finally:
+        drop_table(spark, "t_orders_b")
+        drop_table(spark, "t_lineitem_b")
+
+
+def test_bucketed_aggregation_is_shuffle_free(spark, sf_dir, no_broadcast):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(lineitem, "t_lineitem_agg", ["l_orderkey"], 8)
+    try:
+        agg = (
+            spark.table("t_lineitem_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert "Exchange" not in physical_plan(agg)
+        # values match the shuffled computation
+        raw = lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, raw.collect()))
+    finally:
+        drop_table(spark, "t_lineitem_agg")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, ["event_type"])
+
+    part = spark.read.parquet(out)
+    n_types = part.select("event_type").distinct().count()
+    assert n_types > 1
+
+    pruned = part.where(F.col("event_type") == "view")
+    plan = physical_plan(pruned)
+    # pruning happened at planning time: the partition filter reaches
+    # the scan node and the unselected partitions never appear
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = events.where(F.col("event_type") == "view").count()
+    assert pruned.count() == expected
