@@ -133,8 +133,9 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 4,
+    target_bucket_size: int = 32,
 ) -> DataFrame:
     """THE default near-dup pair path: multi-table hyperplane LSH
     candidates + exact cosine verification — sub-quadratic, unlike
@@ -147,10 +148,24 @@ def lsh_near_dup_pairs(
     dedup.lsh_verified_near_dups. Recall at threshold t is
     1 − (1 − (1 − θ_t/π)^P)^T over T tables of P planes; more tables
     buy recall linearly in candidate volume, never quadratically.
+
+    **Plane count must grow with the corpus.** A FIXED P gives 2^P
+    buckets, so expected candidates are Σ n_b²/2 ≈ N²/2^(P+1) per
+    table — quadratic with a small constant, which is exactly the
+    failure mode that only shows up at 100× scale. The default
+    (``n_planes=None``) therefore sizes P ≈ log2(N / target_bucket
+    _size) from a one-pass count, holding expected bucket occupancy —
+    and thus candidates-per-vector — constant as N grows: total work
+    Θ(N·target_bucket_size·T). Pass an explicit ``n_planes`` only when
+    a deterministic, count-independent plan is required (the oracle-
+    checked registry query pins P=6 at test scale).
     """
     e = _as_double(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
     )
+    if n_planes is None:
+        n = e.count()  # one cheap columnar count to size the index
+        n_planes = max(4, (max(n, 1) // max(target_bucket_size, 1)).bit_length())
     tables = F.array(
         *[
             F.struct(
@@ -160,8 +175,14 @@ def lsh_near_dup_pairs(
             for t in range(n_tables)
         ]
     )
-    keyed = e.select("id", F.explode(tables).alias("tb")).select(
-        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    # persist: the (id, table, bucket) triples feed both sides of the
+    # self-join — caching them also keeps the large plane-literal
+    # expression trees out of the joined plan (analyzed once, not per
+    # side), which dominates small-input latency
+    keyed = (
+        e.select("id", F.explode(tables).alias("tb"))
+        .select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .persist()
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (

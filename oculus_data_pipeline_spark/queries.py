@@ -1023,7 +1023,10 @@ def q51_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (similarity.cosine_pairs) stays available behind its own
     function for small inputs / recall baselines."""
     return similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        # P pinned to 6 so the static SQL oracle derives the same
+        # buckets; production default (n_planes=None) auto-sizes P to
+        # the corpus so candidate volume stays linear — see operator
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6
     )
 
 

@@ -84,6 +84,40 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert found >= 0.9, f"LSH recall {found} on jaccard>=0.8 pairs"
 
 
+def test_lsh_near_dup_pairs_auto_planes(spark, sf_dir):
+    """Auto-sized plane count: results are exact-verified (every
+    returned pair really clears the cosine threshold — a subset of the
+    all-pairs truth regardless of P), and P grows with the corpus so
+    bucket occupancy — and with it candidate volume per vector — stays
+    bounded instead of going quadratic."""
+    from oculus_data_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, sim in got.items():
+        assert sim == exact[pair]
+
+    # the P policy itself: doubling N adds a plane (halves buckets)
+    def auto_p(n, target=32):
+        return max(4, (max(n, 1) // max(target, 1)).bit_length())
+
+    assert auto_p(2_000) == 6
+    assert auto_p(16_000) == 9
+    assert auto_p(2_000_000_000) == 26  # 100TB-ish: 2^26 buckets/table
+    assert auto_p(10) == 4  # floor
+
+
 def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.9).collect()
