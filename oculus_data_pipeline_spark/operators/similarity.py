@@ -216,19 +216,32 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
+    target_bucket_size: int = 32,
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket, then exact
     cosine re-rank within the bucket. Equi-join on the bucket key
-    replaces the cross join — the scale path."""
+    replaces the cross join — the scale path.
+
+    Same plane-count policy as :func:`lsh_near_dup_pairs`: by default
+    P is sized ≈ log2(|corpus| / target_bucket_size) so per-query
+    candidate work stays ~constant as the corpus grows (a fixed P
+    leaves buckets of N/2^P — linear per query). Pin ``n_planes``
+    for a deterministic count-independent plan (the registry query
+    does, to match its static SQL oracle)."""
     from pyspark.sql import Window as W
 
     q = _as_double(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv"
-    ).withColumn("bucket", lsh_bucket_expr("qv", dim, n_planes))
+    )
     c = _as_double(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv"
-    ).withColumn("bucket", lsh_bucket_expr("cv", dim, n_planes))
+    )
+    if n_planes is None:
+        n = c.count()
+        n_planes = max(4, (max(n, 1) // max(target_bucket_size, 1)).bit_length())
+    q = q.withColumn("bucket", lsh_bucket_expr("qv", dim, n_planes))
+    c = c.withColumn("bucket", lsh_bucket_expr("cv", dim, n_planes))
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
