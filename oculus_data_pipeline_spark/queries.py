@@ -1733,6 +1733,21 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q85_ivf_kmeans_ann")
+def q85_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a k-means IVF index (operators/ivf.py): codebook sized
+    ~sqrt(N), Arrow-vectorized assignment, decimal-exact centroid
+    updates, 2-probe search with exact in-list re-rank. Iterative
+    training has no closed-form SQL, so like q46 (HLL) this is the
+    rows-only tier — the algorithm is pinned bit-exactly against an
+    independent NumPy replica in tests/test_ivf_kmeans.py."""
+    from .operators.ivf import ivf_kmeans_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_ann(
+        emb.where(F.col("vec_id") < 10), emb, topk=5, k_centroids=8, n_iters=3
+    )
+
 
 # ---------------------------------------------------------------------------
 # Batch 3: UDF surface, window stats, regexp scalars, stream-shaped dedup

@@ -1,0 +1,115 @@
+"""k-means IVF ANN: verified against an independent NumPy replica of
+the exact same deterministic algorithm (init, cosine assignment,
+decimal-quantized means), plus search invariants."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+from oculus_data_pipeline_spark.operators.ivf import ivf_kmeans_ann, train_kmeans
+from oculus_data_pipeline_spark.sources.tables import load_table
+from pyspark.sql import functions as F
+
+
+def _np_normalized(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _np_decimal_mean(vals):
+    """Replicates Spark's decimal(30,15) sum → double / count."""
+    q = Decimal("0.000000000000001")
+    total = sum(Decimal(repr(v)).quantize(q) for v in vals)
+    return float(total) / len(vals)
+
+
+def _np_kmeans(V, ids, k, n_iters):
+    order = np.argsort(ids, kind="stable")
+    cents = V[order[:k]].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(_np_normalized(V) @ _np_normalized(cents).T, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = V[assign == c]
+            if len(members):
+                new[c] = [
+                    _np_decimal_mean(members[:, d]) for d in range(V.shape[1])
+                ]
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def test_train_kmeans_matches_numpy_replica(spark, sf_dir, emb_np):
+    ids, V = emb_np
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    got = train_kmeans(c, k=8, n_iters=3)
+    exp = _np_kmeans(V, ids, k=8, n_iters=3)
+    assert np.allclose(got, exp, rtol=0, atol=1e-12), np.abs(got - exp).max()
+
+    # and invariant to partitioning (decimal sums are order-independent)
+    got2 = train_kmeans(c.repartition(7), k=8, n_iters=3)
+    assert np.array_equal(got, got2)
+
+
+def test_ivf_kmeans_search_semantics(spark, sf_dir, emb_np):
+    ids, V = emb_np
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_kmeans_ann(
+        emb.where(F.col("vec_id") < 10), emb, topk=5, k_centroids=8, n_iters=3
+    ).collect()
+
+    # replicate: same codebook, probe 2 lists, exact re-rank inside
+    cents = _np_kmeans(V, ids, k=8, n_iters=3)
+    cn = _np_normalized(cents)
+    Vn = _np_normalized(V)
+    assign = np.argmax(Vn @ cn.T, axis=1)
+
+    expected = {}
+    for qi in np.where(ids < 10)[0]:
+        sims_c = Vn[qi] @ cn.T
+        probes = np.argsort(-sims_c, kind="stable")[:2]
+        mask = np.isin(assign, probes) & (ids != ids[qi])
+        sims = np.round(Vn[qi] @ Vn[mask].T, 6)
+        ranked = sorted(zip(-sims, ids[mask]))[:5]
+        expected[ids[qi]] = [
+            (int(nid), float(-negs)) for negs, nid in ranked
+        ]
+
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos_sim"]))
+    assert got == expected
+
+
+def test_ivf_auto_codebook_size(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = ivf_kmeans_ann(emb.where(F.col("vec_id") < 3), emb, topk=3, n_iters=1)
+    rows = out.collect()
+    assert rows
+    # every query returns ranked, deduped neighbors
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len({r["neighbor_id"] for r in rs}) == len(rs)
