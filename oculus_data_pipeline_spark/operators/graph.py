@@ -75,20 +75,29 @@ def build_nodes(doc_ids: DataFrame, classified_terms: DataFrame) -> DataFrame:
     return doc_nodes.unionByName(entity_nodes).distinct()
 
 
-def build_edges(classified_terms: DataFrame) -> DataFrame:
+def build_edges(classified_terms: DataFrame, dedup: bool = True) -> DataFrame:
     """``edges(src, dst, rel_type)`` with reference directions
     (json_to_db.py): typed entities point AT the document —
     (e)-[:HAS_PERSON|HAS_PLACE|HAS_ORGANIZATION]->(d) via
     create_relationship (:46-52) — while plain terms hang off it —
-    (d)-[:HAS_TERM]->(t) via relate_index_term (:54-60)."""
+    (d)-[:HAS_TERM]->(t) via relate_index_term (:54-60).
+
+    ``dedup=False`` skips the final distinct — a whole shuffle stage of
+    the full edge set. Safe whenever ``classified_terms`` is already
+    (doc_id, norm_term)-distinct (the classification operator's output
+    contract): the edge map is then 1:1, and MERGE idempotency is
+    still guaranteed by the sink's (src, dst, rel_type) dedup at write
+    time — the same division of labor build_nodes documents for
+    (label, key)."""
     ekey = entity_key(F.col("norm_term"), F.col("label"))
     doc = F.col("doc_id").cast("string")
     is_term = F.col("label") == "term"
-    return classified_terms.select(
+    edges = classified_terms.select(
         F.when(is_term, doc).otherwise(ekey).alias("src"),
         F.when(is_term, ekey).otherwise(doc).alias("dst"),
         F.concat(F.lit("HAS_"), F.upper("label")).alias("rel_type"),
-    ).distinct()
+    )
+    return edges.distinct() if dedup else edges
 
 
 def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:

@@ -54,12 +54,10 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + a composite score in [0, 1]-ish.
-
-    Features: punctuation ratio, stopword ratio, distinct-token ratio,
-    length band. Deterministic, fully SQL-expressible.
-    """
+def _quality_cols(text_col: str) -> dict[str, Column]:
+    """The quality feature expressions keyed by output name — exposed
+    so composed pipelines (q70) can inline them on an existing scan
+    instead of self-joining the ``quality_score`` projection back."""
     toks = _toks(text_col)
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
@@ -74,32 +72,59 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.lit(0.2) * (1 - punct_ratio)
         + F.lit(0.1) * F.least(stop_ratio * 5, F.lit(1.0))
     )
+    return {
+        "stopword_ratio": F.round(stop_ratio.cast("double"), 6),
+        "punct_ratio": F.round(punct_ratio.cast("double"), 6),
+        "distinct_ratio": F.round(distinct_ratio.cast("double"), 6),
+        "quality_score": F.round(score.cast("double"), 6),
+    }
+
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as a single Column expression."""
+    return _quality_cols(text_col)["quality_score"]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]-ish.
+
+    Features: punctuation ratio, stopword ratio, distinct-token ratio,
+    length band. Deterministic, fully SQL-expressible.
+    """
+    cols = _quality_cols(text_col)
     return docs.select(
-        F.col(id_col).alias("id"),
-        F.round(stop_ratio.cast("double"), 6).alias("stopword_ratio"),
-        F.round(punct_ratio.cast("double"), 6).alias("punct_ratio"),
-        F.round(distinct_ratio.cast("double"), 6).alias("distinct_ratio"),
-        F.round(score.cast("double"), 6).alias("quality_score"),
+        F.col(id_col).alias("id"), *[c.alias(n) for n, c in cols.items()]
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID. Ties break by fixed language order
-    (en, es, fr, de, zh) — deterministic, matching the SQL oracle."""
+def _lang_votes(text_col: str) -> dict[str, Column]:
     toks = _toks(text_col)
-    def vote_counter(words):
-        return F.size(F.filter(toks, lambda t: t.isin(words)))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
 
-    votes = {lang: vote_counter(words) for lang, words in LANG_STOPWORDS.items()}
+
+def pred_lang_col(text_col: str = "text") -> Column:
+    """The predicted-language expression alone — inlineable on an
+    existing scan (see _quality_cols rationale)."""
+    votes = _lang_votes(text_col)
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[votes[lang] for lang in langs])
     pred = F.lit(None).cast("string")
     for lang in reversed(langs):
         pred = F.when(votes[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID. Ties break by fixed language order
+    (en, es, fr, de, zh) — deterministic, matching the SQL oracle."""
+    votes = _lang_votes(text_col)
     return docs.select(
         F.col(id_col).alias("id"),
-        *[votes[lang].cast("long").alias(f"votes_{lang}") for lang in langs],
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        *[votes[lang].cast("long").alias(f"votes_{lang}") for lang in LANG_STOPWORDS],
+        pred_lang_col(text_col).alias("pred_lang"),
     )
 
 

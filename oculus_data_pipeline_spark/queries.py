@@ -1138,8 +1138,7 @@ def q61_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_graph_edges",
     f"""
     WITH {_doc_terms_cte()}
-    SELECT DISTINCT
-           CASE WHEN label = 'term' THEN CAST(doc_id AS VARCHAR)
+    SELECT CASE WHEN label = 'term' THEN CAST(doc_id AS VARCHAR)
                 ELSE {generate_uri_oracle_sql('norm_term')} END AS src,
            CASE WHEN label = 'term' THEN norm_term
                 ELSE CAST(doc_id AS VARCHAR) END AS dst,
@@ -1151,8 +1150,14 @@ def q62_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph sink stage 2: bulk typed edges with reference directions —
     typed entities point AT the document (create_relationship,
     json_to_db.py:46-52), plain terms hang off it (relate_index_term,
-    :54-60); dynamic Cypher labels → fixed rel_type column."""
-    return graph.build_edges(_doc_terms(spark, sf_dir))
+    :54-60); dynamic Cypher labels → fixed rel_type column.
+
+    ``dedup=False``: the classification output is (doc_id, norm_term)-
+    distinct so the edge set is distinct by construction — the final
+    MERGE-style dedup shuffle is pushed to the sink's write-time
+    (src, dst, rel_type) dropDuplicates. Oracle drops DISTINCT in
+    lockstep, so both engines compute the same multiset."""
+    return graph.build_edges(_doc_terms(spark, sf_dir), dedup=False)
 
 
 
@@ -2341,18 +2346,21 @@ def q70_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     One composed lazy plan over four operators — the flagship
     'curate a corpus' query."""
     docs = load_table(spark, sf_dir, "documents")
-    lang = textstats.lang_id(docs).select("id", "pred_lang")
-    qual = textstats.quality_score(docs).select("id", "quality_score")
     canon = dedup.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
     near_b = dedup.lsh_verified_near_dups(docs).select(F.col("id_b").alias("doc_id"))
+    # lang + quality are narrow per-row expressions: inline them on ONE
+    # docs scan (a join back to their operator projections would be a
+    # self-join Catalyst can't eliminate) and filter before the
+    # semi/anti joins so only surviving rows shuffle.
+    scored = docs.select(
+        "doc_id",
+        textstats.pred_lang_col("text").alias("pred_lang"),
+        textstats.quality_score_col("text").alias("quality_score"),
+    ).where((F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5))
     return (
-        docs.select("doc_id")
-        .join(lang, docs.doc_id == lang.id)
-        .join(qual, docs.doc_id == qual.id)
-        .join(canon, "doc_id", "left_semi")
+        scored.join(canon, "doc_id", "left_semi")
         .join(near_b, "doc_id", "left_anti")
-        .where((F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5))
-        .select("doc_id", "pred_lang", F.round("quality_score", 6).alias("quality_score"))
+        .select("doc_id", "pred_lang", "quality_score")
     )
 
 
