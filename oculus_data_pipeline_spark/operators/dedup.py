@@ -343,3 +343,66 @@ def simhash(
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    n_bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash band-bucketing + exact Hamming
+    verify — the SimHash scale path (q33 only computes fingerprints).
+
+    Pigeonhole completeness: any pair with Hamming distance
+    ``< n_bands`` agrees on at least one full band, so with
+    ``max_hamming <= n_bands - 1`` the banded equi-join on
+    (band_idx, band_val) loses no true pair — candidates come from
+    short-key buckets (the MinHash-LSH join shape), never an
+    all-pairs theta join. Verification is one JVM expression:
+    ``bit_count(fp_a XOR fp_b)``.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("completeness needs max_hamming <= n_bands - 1")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(docs, text_col, id_col, bits)
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

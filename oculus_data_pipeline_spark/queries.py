@@ -811,6 +811,35 @@ def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_near_dup_oracle(bits: int = 48, n_bands: int = 2, max_hamming: int = 1) -> str:
+    bb = bits // n_bands
+    mask = (1 << bb) - 1
+    return f"""
+    WITH fps AS ({_simhash_oracle(bits)}),
+    bands AS (
+      SELECT id, simhash, b AS band_idx, (simhash >> (b*{bb})) & {mask} AS band_val
+      FROM fps, UNNEST(range({n_bands})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@query("q86_simhash_near_dups", _simhash_near_dup_oracle())
+def q86_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 48-bit fingerprints, 2×24-bit
+    band buckets (pigeonhole-complete for Hamming ≤ 1), exact
+    bit_count-XOR verify — the banded scale path for SimHash, matching
+    the MinHash-LSH join shape (operators/dedup.py)."""
+    return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star) over documents
 # ---------------------------------------------------------------------------
@@ -2868,7 +2897,8 @@ _ATTESTATION_PRIORITY = [
     "q81_forecast_revenue_change",
     "q82_promo_revenue_ratio",
     "q83_disjunctive_predicates",
-    # changed since round 1 — need driver re-attestation
+    # new in round 2 / changed since round 1 — need driver attestation
+    "q86_simhash_near_dups",
     "q05_customers_without_orders",
     "q11_set_operations",
     "q47_ivf_ann",
@@ -2886,9 +2916,8 @@ _ATTESTATION_PRIORITY = [
     "q01_pricing_summary",
     "q14_tumbling_windows",
     "q19_asof_join",
-    "q20_normalize_terms",
-    # q21_generate_uri rotates out (r1-attested pass) to keep the
-    # 50-query driver window at 50 with q84 added
+    # q20_normalize_terms and q21_generate_uri rotate out (r1-attested
+    # passes) to keep the 50-query driver window at 50 with q84 + q86
 ]
 
 

@@ -139,6 +139,36 @@ def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
     assert avg_near < avg_rand / 2, (avg_near, avg_rand)
 
 
+def test_simhash_near_dups_banding_is_complete(spark, sf_dir):
+    """The banded candidate join must lose NO pair within the Hamming
+    budget (pigeonhole: hamming <= n_bands-1 => one band identical) —
+    banded output == brute-force all-pairs, values included."""
+    from oculus_data_pipeline_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    bits, n_bands, max_h = 48, 2, 1
+    fps = {r["id"]: r["simhash"] for r in simhash(docs, bits=bits).collect()}
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            docs, bits=bits, n_bands=n_bands, max_hamming=max_h
+        ).collect()
+    }
+    assert brute, "fixture must produce at least one near pair"
+    assert got == brute
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs, n_bands=2, max_hamming=2)
+
+
 def test_mock_replay_classifier(spark, tmp_path):
     # fixtures in the reference's batch JSONL format
     # (json_classification.py:126-149 request; :207-212 response path)
