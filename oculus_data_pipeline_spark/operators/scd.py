@@ -1,15 +1,16 @@
-"""Slowly-changing-dimension (SCD type 2) application without a
-transactional table format.
+"""Change-history operators: SCD type 2 application and CDC
+changelog collapse, without a transactional table format.
 
-With Delta/Iceberg on the classpath this is a single ``MERGE INTO``;
-here it is emulated exactly with the classic anti-join + union shape
-(the guide's sanctioned fallback): matched current rows are closed
-(valid_to = change date), incoming versions are appended open-ended,
-untouched rows pass through. Pure set operations — idempotent given
-the same inputs, shuffle only on the business key.
+With Delta/Iceberg on the classpath these are ``MERGE INTO``s; here
+they are emulated exactly with classic set operations (the guide's
+sanctioned fallback): anti-join + union for SCD2, max_by-per-key for
+CDC. Idempotent given the same inputs, shuffle only on the business
+key.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,3 +59,31 @@ def scd2_apply(
         .unionByName(untouched_open)
         .unionByName(new_versions)
     )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse an ordered insert/update/delete changelog (a CDC
+    stream) to its latest snapshot: the highest-``seq_col`` row per
+    key wins, and keys whose winning op is ``delete_op`` disappear.
+
+    ``max_by(struct(*), seq)`` instead of a row_number window on
+    purpose: the aggregate runs a map-side partial, so each shuffle
+    partition ships ONE candidate row per key instead of the window
+    sort's every-changelog-row shuffle — the difference between
+    shuffling the snapshot and shuffling the full history at 100 TB.
+    ``seq_col`` must be unique per key (a CDC LSN / commit sequence).
+    """
+    payload = F.struct(*[F.col(c) for c in changelog.columns])
+    latest = changelog.groupBy(*key_cols).agg(
+        F.max_by(payload, F.col(seq_col)).alias("__r")
+    )
+    rest = [c for c in changelog.columns if c not in key_cols]
+    return latest.select(
+        *key_cols, *[F.col(f"__r.{c}").alias(c) for c in rest]
+    ).where(F.col(op_col) != delete_op)

@@ -2520,6 +2520,53 @@ def q74_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q87_cdc_apply",
+    """
+    WITH chg AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             event_type, value, ts
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id,
+             arg_max(event_id, event_id) AS event_id,
+             arg_max(op, event_id) AS op,
+             arg_max(event_type, event_id) AS event_type,
+             arg_max(value, event_id) AS value,
+             arg_max(ts, event_id) AS ts
+      FROM chg GROUP BY user_id
+    )
+    SELECT user_id, event_id, op, event_type, value, ts
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def q87_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → latest snapshot (operators/scd.py cdc_apply):
+    events re-read as an I/U/D changelog keyed by user_id with
+    event_id as the commit sequence — max_by(struct) per key with
+    map-side partials, deleted keys dropped. The MERGE-free twin of
+    q74's SCD2 history apply."""
+    from .operators.scd import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    chg = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "event_type",
+        "value",
+        "ts",
+    )
+    return cdc_apply(chg, key_cols=["user_id"], seq_col="event_id")
+
+
+@query(
     "q75_purchase_view_attribution",
     """
     SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -2899,6 +2946,7 @@ _ATTESTATION_PRIORITY = [
     "q83_disjunctive_predicates",
     # new in round 2 / changed since round 1 — need driver attestation
     "q86_simhash_near_dups",
+    "q87_cdc_apply",
     "q05_customers_without_orders",
     "q11_set_operations",
     "q47_ivf_ann",
@@ -2914,10 +2962,10 @@ _ATTESTATION_PRIORITY = [
     "q50_cosine_topk",
     "q38_lsh_ann_topk",
     "q01_pricing_summary",
-    "q14_tumbling_windows",
     "q19_asof_join",
-    # q20_normalize_terms and q21_generate_uri rotate out (r1-attested
-    # passes) to keep the 50-query driver window at 50 with q84 + q86
+    # q14_tumbling_windows, q20_normalize_terms and q21_generate_uri
+    # rotate out (r1-attested passes) to keep the 50-query driver
+    # window at 50 with q84 + q86 + q87 added
 ]
 
 

@@ -273,6 +273,31 @@ def test_scd2_preserves_history(spark):
     )
 
 
+def test_cdc_apply_latest_wins_and_deletes_drop(spark):
+    from oculus_data_pipeline_spark.operators.scd import cdc_apply
+
+    chg = spark.createDataFrame(
+        [
+            (1, 10, "I", "v1"),
+            (1, 20, "U", "v2"),   # latest for key 1 → survives
+            (2, 11, "I", "w1"),
+            (2, 30, "D", None),   # latest for key 2 is a delete → gone
+            (3, 5, "D", None),
+            (3, 6, "I", "x1"),    # insert AFTER delete → resurrected
+        ],
+        ["k", "seq", "op", "val"],
+    )
+    out = cdc_apply(chg, key_cols=["k"], seq_col="seq")
+    got = {r["k"]: (r["seq"], r["op"], r["val"]) for r in out.collect()}
+    assert got == {1: (20, "U", "v2"), 3: (6, "I", "x1")}
+
+    # scale contract: the snapshot comes from a partial (map-side)
+    # aggregate, not a window sort over the whole changelog
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan or "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_classify_join_back_not_force_broadcast(spark):
     """The join-back label table is ALL distinct terms — at 100 TB a
     mandatory broadcast hint would OOM. Only the (small by
