@@ -50,8 +50,18 @@ def main() -> None:
     spark = get_spark("oculus-bench")
     queries = get_queries()
 
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the JVM: parquet footers, whole-stage codegen, the shuffle
+    # machinery, and a broadcast exchange — otherwise the first timed
+    # query pays one-time session costs that are not query cost
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.count()
+    warm = spark.range(100_000).withColumn("k", F.col("id") % 101)
+    warm.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    warm.join(F.broadcast(region), warm.k == region.r_regionkey).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

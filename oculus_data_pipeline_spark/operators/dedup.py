@@ -184,6 +184,7 @@ def minhash_signatures(
     num_perms: int = 16,
     shingle_n: int = 3,
     hashed_shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """Wide minhash signatures: (id, m0..m{P-1}).
 
@@ -196,7 +197,10 @@ def minhash_signatures(
 
     ``hashed_shingles`` lets a composed operator (lsh_verified_near_
     dups) pass in an already-built (id, sh) table so the corpus is
-    shingled exactly once.
+    shingled exactly once. ``with_size`` adds an ``n_sh`` shingle
+    count to the same aggregation — one extra partial count instead
+    of a second full pass over the shingle table for callers that
+    need set sizes for Jaccard verification.
     """
     sh = (
         hashed_shingles
@@ -209,9 +213,10 @@ def minhash_signatures(
         for j, (a, b) in enumerate(minhash_params(num_perms))
     ]
     hashed = sh.select("id", *perm_cols)
-    return hashed.groupBy("id").agg(
-        *[F.min(f"p{j}").alias(f"m{j}") for j in range(num_perms)]
-    )
+    aggs = [F.min(f"p{j}").alias(f"m{j}") for j in range(num_perms)]
+    if with_size:
+        aggs.append(F.count("*").alias("n_sh"))
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -222,6 +227,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     hashed_shingles: DataFrame | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """LSH banding: docs whose signatures agree on an entire band.
 
@@ -229,11 +235,19 @@ def minhash_candidate_pairs(
     (built by plain concat from the wide signature — no extra
     shuffle); the candidate join shuffles on (band, band_sig) — a
     short, well-hashed key, so the quadratic blow-up is confined to
-    true near-dup buckets.
+    true near-dup buckets. ``with_sizes`` threads each side's shingle
+    count (``n_a``/``n_b``) through from the signature aggregation so
+    verification needs no separate size table.
     """
     rows_per_band = num_perms // bands
     sig = minhash_signatures(
-        docs, text_col, id_col, num_perms, shingle_n, hashed_shingles=hashed_shingles
+        docs,
+        text_col,
+        id_col,
+        num_perms,
+        shingle_n,
+        hashed_shingles=hashed_shingles,
+        with_size=with_sizes,
     )
     band_rows = [
         F.struct(
@@ -248,12 +262,23 @@ def minhash_candidate_pairs(
         )
         for band in range(bands)
     ]
+    size_cols = ["n_sh"] if with_sizes else []
     band_sigs = (
-        sig.select("id", F.explode(F.array(*band_rows)).alias("b"))
-        .select("id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+        sig.select("id", *size_cols, F.explode(F.array(*band_rows)).alias("b"))
+        .select(
+            "id",
+            *size_cols,
+            F.col("b.band").alias("band"),
+            F.col("b.band_sig").alias("band_sig"),
+        )
         .persist()  # feeds both sides of the candidate self-join
     )
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    out_cols = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
+    if with_sizes:
+        # n_a/n_b are functions of the pair key — carrying them through
+        # the distinct is free and saves the post-hoc size joins
+        out_cols += [F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b")]
     return (
         a.join(
             b,
@@ -261,7 +286,7 @@ def minhash_candidate_pairs(
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(*out_cols)
         .distinct()
     )
 
@@ -287,23 +312,30 @@ def lsh_verified_near_dups(
     The hashed shingle table is built ONCE and persisted: it feeds
     both minhash signature generation (via ``hashed_shingles``) and
     the exact verification joins — one corpus scan + shingle explode
-    instead of two.
+    instead of two. Set sizes ride along the signature aggregation
+    (``with_sizes``) and through the candidate pairs, so there is no
+    second pass over the shingle table and no post-hoc size joins —
+    at 100 TB that removes one full-corpus shuffle and two joins.
     """
     sh = hashed_shingle_table(docs, text_col, id_col, shingle_n).persist()
     cand = minhash_candidate_pairs(
-        docs, text_col, id_col, num_perms, bands, shingle_n, hashed_shingles=sh
+        docs,
+        text_col,
+        id_col,
+        num_perms,
+        bands,
+        shingle_n,
+        hashed_shingles=sh,
+        with_sizes=True,
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
