@@ -1,0 +1,55 @@
+"""Blocked string-similarity joins (edit distance).
+
+Levenshtein is O(|a|·|b|) per pair and cannot be indexed by Spark, so
+the scale shape is the classic record-linkage one: dedup the strings
+first (the reference's dedup-before-expensive-enrichment pattern,
+json_classification.py:322-335), equi-join on a cheap BLOCKING KEY so
+candidates are confined to small buckets, then verify candidates with
+the exact distance — never an all-pairs theta join. Recall is the
+blocking recall (pairs disagreeing on the block key are never
+compared); precision is exact.
+
+The default block key is the first token, which for name-like data
+keeps buckets small while catching the common suffix-typo /
+word-swap-in-tail edits. Callers with other priors pass any Column
+(soundex, length bucket, prefix) as ``block_key``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 3,
+    block_key: Column | None = None,
+) -> DataFrame:
+    """Distinct-value pairs with edit distance ≤ ``max_dist`` sharing
+    a blocking key. Returns (name_a, name_b, dist) with
+    name_a < name_b.
+
+    One distinct shuffle over the values, one equi-join shuffle on the
+    block key; the quadratic verify runs only inside each block.
+    Spark's ``levenshtein`` accepts a threshold argument that lets the
+    JVM kernel abandon a pair early once the distance bound is
+    exceeded — O(max_dist·len) instead of O(len²) per comparison.
+    """
+    key = (
+        block_key
+        if block_key is not None
+        else F.split(F.col("v"), " ").getItem(0)
+    )
+    vals = df.select(F.col(text_col).alias("v")).distinct().withColumn("k", key)
+    a, b = vals.alias("a"), vals.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.v") < F.col("b.v")))
+        .select(
+            F.col("a.v").alias("name_a"),
+            F.col("b.v").alias("name_b"),
+            F.levenshtein(F.col("a.v"), F.col("b.v"), max_dist).alias("dist"),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

@@ -2566,6 +2566,57 @@ def q87_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(chg, key_cols=["user_id"], seq_col="event_id")
 
 
+def _rollup_level_sql(unit: str) -> str:
+    return f"""
+    SELECT '{unit}' AS resolution,
+           strftime(date_trunc('{unit}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           event_type, COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS total_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY bucket_ts, event_type
+    """
+
+
+@query(
+    "q88_multires_rollup",
+    " UNION ALL ".join(_rollup_level_sql(u) for u in ("minute", "hour", "day")),
+)
+def q88_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate lattice (operators/
+    rollup.py): raw events aggregate ONCE at minute resolution; hour
+    and day are aggregated from the next-finer AGGREGATE, so only one
+    shuffle ever touches raw data. Decimal sums make the cascade
+    bit-identical to the oracle's three direct aggregations."""
+    from .operators.rollup import multires_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return multires_rollup(ev, resolutions=("minute", "hour", "day"))
+
+
+@query(
+    "q89_blocked_edit_distance",
+    """
+    WITH vals AS (SELECT DISTINCT p_name AS v FROM part)
+    SELECT a.v AS name_a, b.v AS name_b,
+           levenshtein(a.v, b.v) AS dist
+    FROM vals a JOIN vals b
+      ON string_split(a.v, ' ')[1] = string_split(b.v, ' ')[1]
+     AND a.v < b.v
+    WHERE levenshtein(a.v, b.v) <= 3
+    """,
+)
+def q89_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs (operators/stringsim.py):
+    distinct part names → equi-join on the first-token block key →
+    exact thresholded levenshtein verify (the JVM kernel early-exits
+    past the bound). Never an all-pairs theta join; the record-linkage
+    scale shape."""
+    from .operators.stringsim import blocked_levenshtein_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs(p, "p_name", max_dist=3)
+
+
 @query(
     "q75_purchase_view_attribution",
     """
