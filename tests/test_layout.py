@@ -93,3 +93,37 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
     expected = events.where(F.col("event_type") == "view").count()
     assert pruned.count() == expected
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir, no_broadcast):
+    """Spark's runtime row-group filter: a selective dim predicate
+    injects a bloom filter on the fact side's join key, so fact rows
+    that cannot match are dropped AT THE SCAN, before the join
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the matching slice. Thresholds are
+    lowered because the injection heuristics are sized for cluster
+    scans, not sf0.001 fixtures; the mechanism under test is the same.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        pa = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+        j = li.join(pa, li.l_partkey == pa.p_partkey)
+        plan = physical_plan(j)
+        assert "might_contain" in plan, plan
+        # the filter lands on the FACT (lineitem) side of the join
+        assert "l_partkey" in plan.split("might_contain", 1)[1][:400], plan
+        # and the result is identical to the unfiltered join
+        n_expected = li.join(
+            pa.hint("broadcast"), li.l_partkey == pa.p_partkey
+        ).count()
+        assert j.count() == n_expected
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
