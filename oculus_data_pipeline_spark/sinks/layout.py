@@ -15,13 +15,23 @@ engineering per SURVEY.md §4's Spark mapping:
   directory listing, not a scan. tests/test_layout.py pins that the
   scan's partition count drops accordingly.
 
-Both are plain ``DataFrameWriter`` surface — kept thin on purpose; the
+- **Z-order clustering** interleaves the bits of several columns into
+  one sort key, so files are tight bounding boxes in EVERY clustered
+  dimension instead of only the leading sort column. Parquet min/max
+  row-group stats then skip data for predicates on ANY of the
+  dimensions — the multi-dimensional analogue of sorting, and what
+  Delta ``OPTIMIZE ZORDER BY`` does. tests/test_layout.py measures
+  per-file bounding boxes: z-ordered files cover a small slice of the
+  secondary dimension where a linear sort covers its full range.
+
+All are plain ``DataFrameWriter`` surface — kept thin on purpose; the
 value is the documented, plan-verified pattern.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -56,6 +66,65 @@ def write_partitioned(
     cardinality columns only — each distinct value is a directory).
     Filters on these columns prune at planning time."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key(cols: list[tuple[Column, float, float]], bits: int = 8) -> Column:
+    """Morton (z-curve) key from ``(column, lo, hi)`` triples.
+
+    Each column is range-bucketed to ``2**bits`` levels with
+    ``width_bucket`` (lo/hi come from a cheap min/max agg or domain
+    knowledge — sample-derived bounds are fine, outliers just saturate
+    the edge buckets), then the bucket bits are interleaved
+    column-major so nearby z-values are nearby in every dimension.
+    Pure JVM expressions: bits*len(cols) shift-and-mask terms.
+    """
+    levels = 1 << bits
+    bucketed = [
+        (F.width_bucket(c.cast("double"), F.lit(lo), F.lit(hi), F.lit(levels - 1)) - 1)
+        .cast("long")
+        for c, lo, hi in cols
+    ]
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucketed):
+            pos = bit * len(bucketed) + i
+            key = key + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)), pos
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the z-curve of ``cols``.
+
+    One min/max agg for the bucket bounds, one range repartition +
+    within-partition sort on the z-key (the same one-time cost as a
+    linear sort), then plain parquet — every file becomes a bounding
+    box in all ``cols``, so min/max stats skip row groups for
+    predicates on any clustered column, not just the first.
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).first()
+    key = zorder_key(
+        [(F.col(c), bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in cols], bits
+    )
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def physical_plan(df: DataFrame) -> str:

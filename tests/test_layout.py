@@ -127,3 +127,56 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir, no_broadcast):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_files_are_tight_in_every_dimension(spark, sf_dir, tmp_path):
+    """Z-ordered files must be bounding boxes in BOTH clustered
+    columns (so parquet min/max stats can skip files for predicates
+    on either), where a linear sort is tight only in its leading
+    column and spans the full secondary range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oculus_data_pipeline_spark.sinks.layout import write_zordered
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(events, zpath, ["user_id", "value"], num_files=8)
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    import numpy as np
+
+    def coverages(path, col):
+        """Per-file min/max span in global RANK space — rank space
+        (what range-bucketed skipping effectively sees) is robust to
+        the value column's long tail, raw ranges are not."""
+        mins, maxs, allvals = [], [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=[col]).to_pandas()[col]
+            if len(t) == 0:
+                continue
+            mins.append(float(t.min()))
+            maxs.append(float(t.max()))
+            allvals.append(t.to_numpy())
+        g = np.sort(np.concatenate(allvals))
+        lo = np.searchsorted(g, mins, side="left") / len(g)
+        hi = np.searchsorted(g, maxs, side="right") / len(g)
+        return (hi - lo).tolist()
+
+    z_user, z_val = coverages(zpath, "user_id"), coverages(zpath, "value")
+    l_val = coverages(lpath, "value")
+    assert len(z_user) >= 4
+    # linear sort: every file spans ~the whole secondary rank range
+    assert sum(l_val) / len(l_val) > 0.85, l_val
+    # z-order: both dimensions bounded well below full range
+    assert sum(z_user) / len(z_user) < 0.7, z_user
+    assert sum(z_val) / len(z_val) < 0.7, z_val
+
+    # and the layout is lossless
+    assert spark.read.parquet(zpath).count() == events.count()
