@@ -3057,6 +3057,9 @@ _ATTESTATION_PRIORITY = [
     # new in round 2 / changed since round 1 — need driver attestation
     "q86_simhash_near_dups",
     "q87_cdc_apply",
+    "q88_multires_rollup",
+    "q89_blocked_edit_distance",
+    "q90_sole_late_supplier",
     "q05_customers_without_orders",
     "q11_set_operations",
     "q47_ivf_ann",
@@ -3065,17 +3068,15 @@ _ATTESTATION_PRIORITY = [
     "q61_graph_nodes",
     "q62_graph_edges",
     # stable family representatives filling the 50-query window
-    "q30_exact_dedup",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
-    "q33_simhash",
     "q50_cosine_topk",
     "q38_lsh_ann_topk",
-    "q01_pricing_summary",
-    "q19_asof_join",
-    # q14_tumbling_windows, q20_normalize_terms and q21_generate_uri
-    # rotate out (r1-attested passes) to keep the 50-query driver
-    # window at 50 with q84 + q86 + q87 added
+    "q33_simhash",
+    # q01_pricing_summary, q14_tumbling_windows, q19_asof_join,
+    # q20_normalize_terms, q21_generate_uri and q30_exact_dedup rotate
+    # out (r1-attested passes, unchanged since) to keep the 50-query
+    # driver window at 50 with q84 + q86–q90 added
 ]
 
 
