@@ -124,3 +124,52 @@ def test_streaming_xml_pipeline_equals_batch(spark, tmp_path):
     bn, be = run_pipeline(spark, str(landing), EchoClassifier())
     assert got_nodes == {tuple(r) for r in bn.collect()}
     assert got_edges == {tuple(r) for r in be.collect()}
+
+
+def test_streaming_minute_level_feeds_rollup_lattice(spark, sf_dir):
+    """The rollup lattice's finest level is exactly a tumbling 1-minute
+    streaming aggregation: drained stream == batch minute slice, so a
+    continuous pipeline can maintain the minute aggregate with
+    Structured Streaming and derive hour/day from it in batch."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.operators.rollup import multires_rollup
+
+    batch = {
+        tuple(r)
+        for r in multires_rollup(
+            load_table(spark, sf_dir, "events"), resolutions=("minute",)
+        ).collect()
+    }
+    stream = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("_tv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.lit("minute").alias("resolution"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "event_type",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("minute_rollup_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM minute_rollup_out").collect()
+    }
+    assert got == batch
