@@ -67,3 +67,34 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("id", "comp")
+
+
+def two_hop_candidates(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Open wedges: node pairs exactly two hops apart that are NOT
+    directly connected — the transitive-closure frontier of a
+    similarity graph (candidates a blocked/banded pair generator
+    missed but a cluster pass would merge; also the classic
+    friend-of-friend recommendation shape).
+
+    One self-join on the shared middle node + one anti-join to drop
+    direct edges. The join key is a node id, so skew follows the
+    degree distribution — hub nodes are the hot keys, and degree
+    capping (dropping super-hubs) is the standard mitigation upstream.
+    Returns (src, dst) with src < dst, deduplicated across middles.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    u1, u2 = sym.alias("u1"), sym.alias("u2")
+    wedges = (
+        u1.join(u2, F.col("u1.b") == F.col("u2.a"))
+        .where(F.col("u1.a") < F.col("u2.b"))
+        .select(F.col("u1.a").alias(src), F.col("u2.b").alias(dst))
+        .distinct()
+    )
+    direct = edges.select(
+        F.least(src, dst).alias(src), F.greatest(src, dst).alias(dst)
+    )
+    return wedges.join(direct, [src, dst], "left_anti")

@@ -387,3 +387,57 @@ def test_classify_join_back_not_force_broadcast(spark):
     out = classify_terms(terms, EchoClassifier(), known_entities=known)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_funnel_gap_bounds_and_first_qualifying(spark):
+    from oculus_data_pipeline_spark.operators.sequence import funnel
+
+    rows = [
+        # user 1: completes signup → view (+1h) → purchase (+2h after view)
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 01:00:00"),
+        (1, "view", "2024-01-01 02:00:00"),      # later view ignored (first wins)
+        (1, "purchase", "2024-01-01 03:00:00"),
+        # user 2: view arrives AFTER the 1-day gap → stage 1 null, and
+        # stage 2 must be null too even though a purchase follows the view
+        (2, "signup", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-03 00:00:00"),
+        (2, "purchase", "2024-01-03 01:00:00"),
+        # user 3: view BEFORE signup never counts
+        (3, "view", "2023-12-31 23:00:00"),
+        (3, "signup", "2024-01-01 00:00:00"),
+        # user 4: never signed up → no row at all
+        (4, "view", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = funnel(ev, [("signup", None), ("view", "1 DAY"), ("purchase", "1 DAY")])
+    got = {
+        r["user_id"]: (
+            r["ts_1"] and str(r["ts_1"]),
+            r["ts_2"] and str(r["ts_2"]),
+        )
+        for r in out.collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == ("2024-01-01 01:00:00", "2024-01-01 03:00:00")
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+
+
+def test_two_hop_candidates_excludes_direct_and_dedups_middles(spark):
+    from oculus_data_pipeline_spark.operators.graph_algo import two_hop_candidates
+
+    # path a-b-c-d plus direct a-c: two-hop pairs are (a,c) via b
+    # [excluded: direct], (b,d) via c, (a,d)? three hops — no.
+    # two middles between b and d? add b-e, e-d → (b,d) via c AND e:
+    # must appear once.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "e"), ("e", "d")],
+        ["src", "dst"],
+    )
+    got = {
+        (r["src"], r["dst"]) for r in two_hop_candidates(edges).collect()
+    }
+    assert got == {("b", "d"), ("a", "e"), ("c", "e"), ("a", "d")}
