@@ -2698,6 +2698,52 @@ def q92_two_hop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_candidates(edges, src="name_a", dst="name_b")
 
 
+def _pagerank_oracle(iterations: int = 3) -> str:
+    its = ["it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)"]
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT n.node,
+             CAST(150000000 + (850 * COALESCE(s.in_sum, 0)) // 1000 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr // d.deg) AS in_sum
+        FROM it{i - 1} r JOIN deg d ON r.node = d.src JOIN e ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )""")
+    return f"""
+    WITH e AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                               's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    {', '.join(its)}
+    SELECT node, pr FROM it{iterations}
+    """
+
+
+@query("q93_pagerank", _pagerank_oracle())
+def q93_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round PageRank (operators/pagerank.py) over the directed
+    customer→supplier purchase graph, in scaled-integer arithmetic so
+    the recurrence is bit-identical cross-engine (floor division for
+    contributions and damping). One join + one aggregation per round;
+    dangling supplier nodes keep the teleport share."""
+    from .operators.pagerank import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3)
+
+
 @query(
     "q90_sole_late_supplier",
     """
@@ -3158,7 +3204,9 @@ _ATTESTATION_PRIORITY = [
     # q20_normalize_terms, q21_generate_uri, q30_exact_dedup,
     # q33_simhash and q50_cosine_topk rotate out (r1-attested passes,
     # unchanged since) to keep the 50-query driver window at 50 with
-    # q84 + q86–q92 added
+    # q84 + q86–q92 added. q93_pagerank waits outside the window
+    # (local oracle evidence at sf0.001 + sf0.01) for the next
+    # rotation.
 ]
 
 

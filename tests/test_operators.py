@@ -441,3 +441,27 @@ def test_two_hop_candidates_excludes_direct_and_dedups_middles(spark):
         (r["src"], r["dst"]) for r in two_hop_candidates(edges).collect()
     }
     assert got == {("b", "d"), ("a", "e"), ("c", "e"), ("a", "d")}
+
+
+def test_pagerank_matches_python_recurrence_exactly(spark):
+    from oculus_data_pipeline_spark.operators.pagerank import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=4).collect()}
+
+    one = 10**9
+    nodes = sorted({n for e in edges for n in e})
+    out = {n: [d for s, d in edges if s == n] for n in nodes}
+    pr = {n: one for n in nodes}
+    for _ in range(4):
+        in_sum = {n: 0 for n in nodes}
+        for u in nodes:
+            if out[u]:
+                c = pr[u] // len(out[u])
+                for v in out[u]:
+                    in_sum[v] += c
+        pr = {n: 150 * one // 1000 + (850 * in_sum[n]) // 1000 for n in nodes}
+    assert got == pr
+    # dangling node d keeps exactly the teleport share
+    assert got["d"] == 150 * one // 1000
