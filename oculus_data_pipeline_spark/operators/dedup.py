@@ -438,3 +438,44 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """DIRECTED near-containment pairs: (id_a, id_b) where at least
+    ``threshold_pct`` % of a's distinct n-gram shingles also occur in
+    b. Asymmetric by design — catches "a is an excerpt/quote of b",
+    which symmetric Jaccard misses when |b| ≫ |a| (the classic
+    boilerplate / quoted-reply case in training-data dedup).
+
+    Same inverted-index self-join shape as ngram_jaccard_pairs — the
+    only differences are keeping both orderings (containment is
+    directed) and thresholding on |∩| · 100 ≥ pct · |A| in exact
+    integer arithmetic. Shares hashed_shingle_table with the
+    minhash/LSH family, so composed plans build the shingles once.
+    Exact tier: inherits the quadratic worst case on hot shingles;
+    web-scale use should pre-bucket with minhash_candidate_pairs and
+    feed the candidates through the same integer threshold.
+    """
+    sh = hashed_shingle_table(docs, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .where(F.col("n_inter") * 100 >= F.lit(threshold_pct) * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
+        )
+    )

@@ -142,3 +142,52 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.substring(F.sha2(normalize_term(text_col), 256), 1, 16).alias("content_fp"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bow_fp"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k most-characteristic terms per document by a tf·idf rank,
+    computed in exact integer arithmetic so the ranking is bit-identical
+    cross-engine: score = tf · ((N · idf_scale) DIV df) as BIGINT
+    (rational idf N/df, fixed-point; monotone in true tf·idf for fixed
+    tf). Log-damped idf would drift in float; the *ranking* — which is
+    what top-k consumes — is preserved for the dominant single-doc-
+    frequency case and the tie-break (score desc, term asc) is total.
+
+    Shape: one shuffle for tf (groupBy doc,term on exploded tokens),
+    one aggregation for df reduced map-side, a single-row N broadcast-
+    joined in, then one window for top-k. The df join keys on term —
+    vocabulary-sized, AQE picks broadcast only when it fits.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("id"), F.explode(_toks(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df_t = terms.select("id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr(f"(n_docs * {idf_scale}L) DIV df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id", "term", "tf", "df", "score", "rnk")
+    )

@@ -39,6 +39,7 @@ from .functions.text import (
 )
 from .operators import dedup, graph, similarity, textstats
 from .operators.classify import EchoClassifier, classify_terms
+from .operators.split import split_col_sql
 from .sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2745,6 +2746,226 @@ def q93_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q94_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    terms AS (SELECT id, UNNEST(toks) AS term FROM tok),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY id, term),
+    dfx AS (SELECT term, COUNT(DISTINCT id) AS df FROM terms WHERE term <> '' GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT id, term, tf, df, tf * ((n_docs * 1000000) // df) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q94_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer-exact tf·idf
+    rank (operators/textstats.py:tfidf_top_terms): score = tf · ((N ·
+    10^6) DIV df) in BIGINT so the ranking is bit-identical
+    cross-engine; total tie-break (score desc, term asc)."""
+    return textstats.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "q95_train_val_test_split",
+    f"""
+    WITH s AS (
+      SELECT *, {split_col_sql("CAST(doc_id AS VARCHAR)")} AS split FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM s GROUP BY split
+    """,
+)
+def q95_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed by content
+    hash (operators/split.py) — a pure Column expression, zero
+    shuffles for the assignment itself; summarized per split. Same doc
+    lands in the same split on every run/engine/cluster size."""
+    from .operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, F.col("doc_id").cast("string"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "q96_containment_pairs",
+    f"""
+    WITH {_shingle_cte(3)},
+    hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, ROUND(n_inter / sa.n_sh, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.id = id_a
+    WHERE n_inter * 100 >= 70 * sa.n_sh
+    """,
+)
+def q96_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-containment pairs (≥70% of a's 3-gram shingles
+    occur in b) — asymmetric excerpt/quote detection that symmetric
+    Jaccard misses when |b| ≫ |a|. Integer threshold arithmetic;
+    shares the hashed shingle table with the minhash/LSH family."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_pct=70
+    )
+
+
+@query(
+    "q97_semantic_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    )
+    SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+    """,
+)
+def q97_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: embedding near-dup pairs (LSH buckets +
+    exact cosine ≥ 0.4 verify, q51's path) collapsed into connected
+    components — the embedding-space sibling of q76's shingle-based
+    clusters, for paraphrase-level dedup that token overlap misses.
+    Oracle: recursive-CTE reachability + MIN canonical."""
+    from .operators.graph_algo import connected_components
+
+    pairs = similarity.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6
+    )
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+@query(
+    "q98_value_outliers",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * 100) AS HUGEINT) AS xc
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xc) AS s, SUM(xc * xc) AS q
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_id, ev.event_type, value
+    FROM ev JOIN st ON ev.event_type = st.event_type
+    WHERE (xc * n - s) * (xc * n - s) > 4 * (n * q - s * s)
+    """,
+)
+def q98_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 2-sigma outliers in EXACT arithmetic: values in
+    integer cents, the test |x−μ| > 2σ squared to (x·n − S)² >
+    4·(n·Q − S²) so no float mean/stddev ever materializes — the
+    flag is bit-identical cross-engine (DECIMAL(38,0) here, HUGEINT in
+    the oracle). One partial-aggregated stats pass + a tiny per-type
+    stats join back on the scan; at 100 TB swap DECIMAL(38,0) for
+    per-partition Welford partials if value magnitudes threaten 38
+    digits."""
+    e = load_table(spark, sf_dir, "events")
+    xc = F.expr("CAST(ROUND(value * 100) AS DECIMAL(38,0))")
+    ev = e.select("event_id", "event_type", "value", xc.alias("xc"))
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("q"),
+    )
+    j = ev.join(st, "event_type")
+    lhs = (F.col("xc") * F.col("n") - F.col("s"))
+    return (
+        j.where(lhs * lhs > F.lit(4) * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q99_group_median",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    )
+    SELECT lang, n_chars AS median_chars, cnt AS n_docs
+    FROM r WHERE rn = (cnt + 1) // 2
+    """,
+)
+def q99_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (percentile_disc(0.5) semantics, lower
+    median) via explicit row_number selection — deterministic where
+    approx_percentile is not, and the same formulation runs verbatim
+    in the oracle. One shuffle on the group key; the full-partition
+    COUNT window rides the same sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("lang")))
+        .where(F.expr("rn = (cnt + 1) DIV 2"))
+        .select(
+            "lang",
+            F.col("n_chars").alias("median_chars"),
+            F.col("cnt").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q100_boilerplate_shingles",
+    f"""
+    WITH {_shingle_cte(3)}
+    SELECT shingle, COUNT(*) AS df
+    FROM sh GROUP BY shingle
+    ORDER BY df DESC, shingle LIMIT 20
+    """,
+)
+def q100_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter 3-gram shingles by document frequency —
+    the boilerplate/template discovery pass that seeds dedup stopword
+    lists. Map-side partial counts, one shuffle, deterministic top-20
+    (df desc, shingle asc tie-break)."""
+    return (
+        dedup.shingle_table(load_table(spark, sf_dir, "documents"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+@query(
     "q90_sole_late_supplier",
     """
     WITH late AS (
@@ -3204,7 +3425,7 @@ _ATTESTATION_PRIORITY = [
     # q20_normalize_terms, q21_generate_uri, q30_exact_dedup,
     # q33_simhash and q50_cosine_topk rotate out (r1-attested passes,
     # unchanged since) to keep the 50-query driver window at 50 with
-    # q84 + q86–q92 added. q93_pagerank waits outside the window
+    # q84 + q86–q92 added. q93–q100 wait outside the window
     # (local oracle evidence at sf0.001 + sf0.01) for the next
     # rotation.
 ]

@@ -465,3 +465,81 @@ def test_pagerank_matches_python_recurrence_exactly(spark):
     assert got == pr
     # dangling node d keeps exactly the teleport share
     assert got["d"] == 150 * one // 1000
+
+
+def test_hash_split_matches_python_md5_buckets(spark):
+    import hashlib
+    from oculus_data_pipeline_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(str(i),) for i in range(200)], ["k"])
+    got = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    names = ["train", "val", "test"]
+    for k, split in got.items():
+        b = int(hashlib.md5(k.encode()).hexdigest()[:12], 16) % 10
+        expect = names[0] if b < 8 else names[1] if b < 9 else names[2]
+        assert split == expect, (k, b, split, expect)
+    # all three splits occupied at n=200
+    assert set(got.values()) == set(names)
+
+
+def test_containment_is_directed(spark):
+    from oculus_data_pipeline_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, threshold_pct=90).collect()}
+    # every shingle of the small doc occurs in the big doc, not vice versa
+    assert rows == {(1, 2): 1.0}
+
+
+def test_tfidf_rank_prefers_rare_terms(spark):
+    from oculus_data_pipeline_spark.operators.textstats import tfidf_top_terms
+
+    docs = [
+        (1, "common common rare"),
+        (2, "common common common"),
+        (3, "common filler words"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    top1 = {
+        r["id"]: r["term"]
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    # 'rare' (df=1) outranks 'common' (df=3) in doc 1 despite lower tf
+    assert top1[1] == "rare"
+    assert top1[2] == "common"
+
+
+def test_exact_outlier_rule_matches_integer_math(spark):
+    from oculus_data_pipeline_spark import queries as Q
+
+    vals = [10.0, 10.5, 9.5, 10.25, 9.75, 50.0]  # 50.0 is the outlier
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        ["event_id", "event_type", "value"],
+    )
+    from pyspark.sql import functions as F
+
+    xc = F.expr("CAST(ROUND(value * 100) AS DECIMAL(38,0))")
+    ev = df.select("event_id", "event_type", "value", xc.alias("xc"))
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("q"),
+    )
+    j = ev.join(st, "event_type")
+    lhs = F.col("xc") * F.col("n") - F.col("s")
+    got = sorted(
+        r["event_id"]
+        for r in j.where(
+            lhs * lhs > F.lit(4) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        ).collect()
+    )
+    cents = [round(v * 100) for v in vals]
+    n, s, q2 = len(cents), sum(cents), sum(c * c for c in cents)
+    expect = sorted(
+        i for i, c in enumerate(cents) if (c * n - s) ** 2 > 4 * (n * q2 - s * s)
+    )
+    assert got == expect == [5]
