@@ -3377,25 +3377,26 @@ _ATTESTATION_PRIORITY = [
     "q78_media_features",
     "q84_image_decode",
     "q44_rolling_hash",
+    # new in this round — flagship training-pipeline operators
+    "q93_pagerank",
+    "q94_tfidf_top_terms",
+    "q95_train_val_test_split",
+    "q96_containment_pairs",
+    "q97_semantic_clusters",
+    "q98_value_outliers",
+    "q99_group_median",
+    "q100_boilerplate_shingles",
     # UDF surface / sampling / scalar breadth, never driver-checked
-    "q48_window_stats",
-    "q49_regexp_scalars",
     "q52_pandas_udf_score",
     "q53_applyinpandas_topk",
     "q54_stream_dedup_batch",
-    "q55_map_scalars",
     "q56_deterministic_sample",
     "q57_stratified_sample",
-    "q58_width_bucket",
     "q59_correlated_subquery",
     "q63_nation_pair_volume",
-    "q64_multiset_ops",
-    "q65_posexplode",
     "q67_large_quantity_orders",
     "q68_global_sales_opportunity",
     "q69_important_stock",
-    "q71_first_event_per_user_type",
-    "q72_null_safe_join",
     "q73_ordered_string_agg",
     "q79_from_json_typed",
     "q80_higher_order_predicates",
@@ -3423,11 +3424,15 @@ _ATTESTATION_PRIORITY = [
     "q38_lsh_ann_topk",
     # q01_pricing_summary, q14_tumbling_windows, q19_asof_join,
     # q20_normalize_terms, q21_generate_uri, q30_exact_dedup,
-    # q33_simhash and q50_cosine_topk rotate out (r1-attested passes,
-    # unchanged since) to keep the 50-query driver window at 50 with
-    # q84 + q86–q92 added. q93–q100 wait outside the window
-    # (local oracle evidence at sf0.001 + sf0.01) for the next
-    # rotation.
+    # q33_simhash and q50_cosine_topk rotated out (r1-attested passes,
+    # unchanged since). q48_window_stats, q49_regexp_scalars,
+    # q55_map_scalars, q58_width_bucket, q64_multiset_ops,
+    # q65_posexplode, q71_first_event_per_user_type and
+    # q72_null_safe_join step aside for q93–q100 — simple relational
+    # scalar shapes with the lowest cross-engine divergence risk, all
+    # exact-value green in the stricter local harness at sf0.001 +
+    # sf0.01; the window's 50 slots go to the differentiated
+    # training-pipeline operators first.
 ]
 
 
