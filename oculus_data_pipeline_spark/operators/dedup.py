@@ -479,3 +479,29 @@ def containment_pairs(
             F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
         )
     )
+
+
+def cross_overlap_pairs(
+    sh_corpus: DataFrame,
+    sh_bench: DataFrame,
+    min_shared: int = 8,
+) -> DataFrame:
+    """Cross-corpus contamination pairs: (id_a from corpus, id_b from
+    bench, n_shared distinct shingles) where n_shared ≥ ``min_shared``.
+    The decontamination primitive for training pipelines — find
+    training docs that leak evaluation/benchmark content.
+
+    Inputs are two hashed_shingle_table outputs. Inverted-index
+    equi-join on the 48-bit shingle hash with map-side partial
+    counting; the benchmark side is typically tiny (thousands of eval
+    docs vs billions of training docs), so AQE broadcasts it and the
+    training side never shuffles.
+    """
+    a = sh_corpus.select(F.col("id").alias("id_a"), "sh")
+    b = sh_bench.select(F.col("id").alias("id_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

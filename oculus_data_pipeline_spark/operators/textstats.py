@@ -159,10 +159,13 @@ def tfidf_top_terms(
     what top-k consumes — is preserved for the dominant single-doc-
     frequency case and the tie-break (score desc, term asc) is total.
 
-    Shape: one shuffle for tf (groupBy doc,term on exploded tokens),
-    one aggregation for df reduced map-side, a single-row N broadcast-
-    joined in, then one window for top-k. The df join keys on term —
-    vocabulary-sized, AQE picks broadcast only when it fits.
+    Shape: one shuffle for tf (groupBy doc,term on exploded tokens);
+    df never re-touches the corpus — it is tf's row count per term
+    (tf has exactly one row per document containing the term), so the
+    df branch hangs off tf's exchange (Catalyst reuses it) instead of
+    a second scan + explode + distinct. A single-row N broadcasts in;
+    one window for top-k. The df join keys on term — vocabulary-sized,
+    AQE picks broadcast only when it fits.
     """
     from pyspark.sql import Window
 
@@ -170,9 +173,7 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(_toks(text_col)).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    df_t = terms.select("id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_t, "term")
@@ -190,4 +191,40 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """Token-bounded document chunking for sequence prep: each doc
+    becomes ⌈n_tokens / chunk_tokens⌉ rows of (id, chunk_id,
+    chunk_text, n_chunk_tokens), chunk boundaries on whitespace-token
+    offsets. Pure Column expressions — sequence + explode + slice —
+    so chunking is a narrow map stage: no shuffle, parallel in the
+    scan partitions, and the text column never moves except sliced.
+    """
+    n = chunk_tokens
+    t = docs.select(F.col(id_col).alias("id"), _toks(text_col).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    c = t.select(
+        "id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"(size(toks) + {n - 1}) DIV {n} - 1"),
+            )
+        ).alias("chunk_id"),
+    )
+    sl = F.slice(F.col("toks"), (F.col("chunk_id") * n + 1).cast("int"), F.lit(n))
+    return c.select(
+        "id",
+        "chunk_id",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
     )

@@ -2966,6 +2966,97 @@ def q100_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q101_chunk_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    t AS (SELECT id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+    c AS (SELECT id, toks, UNNEST(range(0, (n + 63) // 64)) AS chunk_id FROM t)
+    SELECT id, chunk_id,
+           array_to_string(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ') AS chunk_text,
+           len(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64]) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def q101_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking (64 whitespace tokens per chunk) for
+    training-sequence prep — sequence + explode + slice, a narrow map
+    stage with no shuffle (operators/textstats.py:chunk_documents)."""
+    return textstats.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64
+    )
+
+
+@query(
+    "q102_data_quality_report",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(SUM(CASE WHEN len(string_split({normalize_term_oracle_sql('text')}, ' ')) < 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q102_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-quality summary — null/empty/short-doc counts,
+    language spread, char-volume bounds — the standard pre-training
+    corpus health check. One partial-aggregated pass over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_term(F.col("text")), " ")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when(F.size(toks) < 10, 1).otherwise(0)).alias("n_short"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q103_decontamination",
+    f"""
+    WITH {_shingle_cte(3)},
+    hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
+    flags AS (
+      SELECT doc_id AS id,
+             ({md5_int_sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5 AS is_bench
+      FROM documents
+    ),
+    a AS (SELECT h.id AS id_a, sh FROM hashed h JOIN flags f ON h.id = f.id
+          WHERE NOT is_bench),
+    b AS (SELECT h.id AS id_b, sh FROM hashed h JOIN flags f ON h.id = f.id
+          WHERE is_bench)
+    SELECT id_a, id_b, COUNT(*) AS n_shared
+    FROM a JOIN b USING (sh)
+    GROUP BY id_a, id_b HAVING COUNT(*) >= 8
+    """,
+)
+def q103_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥8 distinct
+    3-gram shingles with any doc in the (deterministically sampled 5%)
+    benchmark set — dedup.cross_overlap_pairs. The benchmark side is
+    tiny by construction, so AQE broadcasts it and the training-corpus
+    side never shuffles; at 100 TB this is the shape that makes eval-
+    leak scans affordable."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = md5_int(F.col("doc_id").cast("string")) % 100 < 5
+    sh_corpus = dedup.hashed_shingle_table(docs.where(~is_bench))
+    sh_bench = dedup.hashed_shingle_table(docs.where(is_bench))
+    return dedup.cross_overlap_pairs(sh_corpus, sh_bench, min_shared=8)
+
+
+@query(
     "q90_sole_late_supplier",
     """
     WITH late AS (
@@ -3432,7 +3523,9 @@ _ATTESTATION_PRIORITY = [
     # scalar shapes with the lowest cross-engine divergence risk, all
     # exact-value green in the stricter local harness at sf0.001 +
     # sf0.01; the window's 50 slots go to the differentiated
-    # training-pipeline operators first.
+    # training-pipeline operators first. q101–q103 (chunking, quality
+    # report, decontamination) wait outside the window with the same
+    # two-scale local evidence.
 ]
 
 

@@ -543,3 +543,40 @@ def test_exact_outlier_rule_matches_integer_math(spark):
         i for i, c in enumerate(cents) if (c * n - s) ** 2 > 4 * (n * q2 - s * s)
     )
     assert got == expect == [5]
+
+
+def test_chunk_documents_covers_text_exactly(spark):
+    from oculus_data_pipeline_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))  # 150 tokens, 64-chunks
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=64).collect()
+    )
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert [r[2] for r in rows] == [64, 64, 22]
+    # concatenating the chunks reconstructs the token stream exactly
+    assert " ".join(r[1] for r in rows) == words
+
+
+def test_cross_overlap_pairs_counts_shared_shingles(spark):
+    from oculus_data_pipeline_spark.operators.dedup import (
+        cross_overlap_pairs,
+        hashed_shingle_table,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(1, base + " extra tail"), (2, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in cross_overlap_pairs(
+            hashed_shingle_table(corpus), hashed_shingle_table(bench), min_shared=8
+        ).collect()
+    }
+    # doc 1 shares all 8 3-gram shingles of the 10-token base text
+    assert got == {(1, 100): 8}
