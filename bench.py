@@ -41,6 +41,15 @@ HEADLINE = [
     "q62_graph_edges",
     "q66_lsh_verified_near_dups",
     "q70_curation_pipeline",
+    # round-2 flagship additions — the headline follows the engine's
+    # differentiated surface; r1 comparisons stay per-query
+    "q93_pagerank",
+    "q94_tfidf_top_terms",
+    "q96_containment_pairs",
+    "q97_semantic_clusters",
+    "q98_value_outliers",
+    "q101_chunk_documents",
+    "q103_decontamination",
 ]
 
 
@@ -65,10 +74,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2 runs: steady-state query cost, not run-to-run JVM
+        # noise (GC pauses, first-touch page faults). Construction is
+        # inside the timer — iterative operators (connected
+        # components) materialize eagerly at plan build.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -313,3 +313,115 @@ def frame_sample_video(
     return media.mapInPandas(
         batches, schema="media_id long, frame_idx int, ts_ms long, frame_sha string"
     )
+
+
+AUDIO_DECODED_SCHEMA = (
+    "media_id long, sample_rate int, channels int, bits int, "
+    "n_samples long, duration_ms long, decoded_ok boolean"
+)
+
+
+def encode_wav_stub(sample_rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Emit a REAL RIFF/WAVE header (PCM fmt chunk + data chunk size)
+    for the given stream parameters — valid per the public WAVE spec,
+    with the data payload elided (declared size only). Same test
+    scaffolding role as encode_image_stub."""
+    block_align = channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", len(body) + data_size) + body
+
+
+def parse_wav_header(content: bytes):
+    """(sample_rate, channels, bits, n_samples, duration_ms) straight
+    off RIFF/WAVE container bytes — walks the chunk list per the spec,
+    no audio library. None if the content is not a parsable WAV."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 8 + 16 <= len(content):
+            _, channels, sample_rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", content[pos + 8 : pos + 24]
+            )
+            fmt = (channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data_size = size
+        # data payload is elided in stub containers: the declared size
+        # is honored without requiring the bytes to be present
+        pos += 8 + (size if cid != b"data" else 0)
+    if fmt is None or data_size is None:
+        return None
+    channels, sample_rate, block_align, bits = fmt
+    if block_align == 0 or sample_rate == 0:
+        return None
+    n_samples = data_size // block_align
+    return sample_rate, channels, bits, n_samples, n_samples * 1000 // sample_rate
+
+
+def make_audio_table(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL WAV header bytes, stream
+    parameters chosen by SQL-expressible functions of the text length
+    (mirrors make_image_table) so an oracle predicts exactly what
+    decode_audio must parse back."""
+    rates = F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100))
+    sized = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(rates, (F.length("text") % 4 + 1).cast("int")).alias("rate"),
+        (F.lit(1) + F.length("text") % 2).cast("int").alias("ch"),
+        (F.lit(8) * (F.lit(1) + F.length("text") % 3)).cast("int").alias("bits"),
+        (F.lit(100) + (F.length("text") * 13) % 8000).cast("long").alias("ns"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                    "content": [
+                        encode_wav_stub(int(r), int(c), int(b), int(n))
+                        for r, c, b, n in zip(
+                            pdf["rate"], pdf["ch"], pdf["bits"], pdf["ns"]
+                        )
+                    ],
+                }
+            )
+
+    return sized.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio metadata decode off the container bytes — REAL pure-Python
+    RIFF/WAVE chunk walk (parse_wav_header); unparsable content yields
+    decoded_ok = False with null metadata."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                p = parse_wav_header(content)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "sample_rate": p[0] if p else None,
+                        "channels": p[1] if p else None,
+                        "bits": p[2] if p else None,
+                        "n_samples": p[3] if p else None,
+                        "duration_ms": p[4] if p else None,
+                        "decoded_ok": p is not None,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_DECODED_SCHEMA)

@@ -29,10 +29,13 @@ def connected_components(
 ) -> DataFrame:
     """Returns (id, component) for every node appearing in ``edges``;
     component = min node id reachable (deterministic canonical)."""
+    # pre-partitioned on the probe key: every round's propagation join
+    # re-uses this layout instead of re-shuffling the edge set
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("b")
         .persist()
     )
     labels = (
@@ -47,22 +50,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nmin"))
         )
+        # the convergence flag rides the checkpointed row — detecting
+        # quiescence is then a scan of in-memory data, not a self-join
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("chg"),
             )
+            .localCheckpoint()
         )
-        updated = updated.localCheckpoint()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where("chg").limit(1).count()
+        labels = updated.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     sym.unpersist()

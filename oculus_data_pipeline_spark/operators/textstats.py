@@ -228,3 +228,36 @@ def chunk_documents(
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition signal (the Gopher-rules style
+    duplicate-n-gram filter): per doc, total vs distinct n-gram counts
+    and dup_ngram_ratio = 1 − distinct/total. High ratios flag looping
+    / boilerplate-stuffed documents that length and stopword heuristics
+    miss. Pure Column expressions on one scan — the n-gram array never
+    leaves the row (no explode, no shuffle beyond none at all).
+    """
+    toks = _toks(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        docs.where(F.size(_toks(text_col)) >= n)
+        .select(
+            F.col(id_col).alias("id"),
+            total.cast("long").alias("n_ngrams"),
+            distinct.cast("long").alias("n_distinct_ngrams"),
+            F.round((F.lit(1.0) - distinct / total).cast("double"), 6).alias(
+                "dup_ngram_ratio"
+            ),
+        )
+    )

@@ -3057,6 +3057,33 @@ def q103_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q104_repetition_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS grams
+      FROM tok WHERE len(toks) >= 3
+    )
+    SELECT id, len(grams) AS n_ngrams,
+           len(list_distinct(grams)) AS n_distinct_ngrams,
+           ROUND(1.0 - len(list_distinct(grams)) / len(grams), 6) AS dup_ngram_ratio
+    FROM g
+    """,
+)
+def q104_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style intra-document repetition: duplicate 3-gram
+    ratio per doc (textstats.repetition_stats) — flags looping and
+    boilerplate-stuffed documents. The n-gram array never leaves its
+    row: no explode, no shuffle, one scan."""
+    return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q90_sole_late_supplier",
     """
     WITH late AS (
@@ -3279,6 +3306,39 @@ def q84_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media).select(
         "media_id", "width", "height", "pixel_format", "decoded_ok"
     )
+
+
+@query(
+    "q105_audio_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(CASE length(text) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                      WHEN 2 THEN 22050 ELSE 44100
+                END AS INT) AS sample_rate,
+           CAST(1 + length(text) % 2 AS INT) AS channels,
+           CAST(8 * (1 + length(text) % 3) AS INT) AS bits,
+           CAST(100 + (length(text) * 13) % 8000 AS BIGINT) AS n_samples,
+           CAST((100 + (length(text) * 13) % 8000) * 1000
+                // (CASE length(text) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                          WHEN 2 THEN 22050 ELSE 44100 END)
+                AS BIGINT) AS duration_ms,
+           TRUE AS decoded_ok
+    FROM documents
+    """,
+)
+def q105_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata decode, end to end (q84's pattern for the
+    audio modality): make_audio_table emits genuine RIFF/WAVE header
+    bytes with stream parameters chosen by SQL-expressible functions,
+    and decode_audio walks the chunk list OFF THE BYTES
+    (multimodal/binary_ops.py parse_wav_header) — sample rate,
+    channels, bit depth, sample count and floor-division duration all
+    re-derived from the container. The oracle predicts the encoded
+    parameters independently, so any parse bug breaks the match."""
+    from .multimodal.binary_ops import decode_audio, make_audio_table
+
+    media = make_audio_table(load_table(spark, sf_dir, "documents"))
+    return decode_audio(media)
 
 
 @query(

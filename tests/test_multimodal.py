@@ -99,3 +99,22 @@ def test_frame_sampling_expansion(media):
         idxs = sorted(r["frame_idx"] for r in rows)
         assert idxs == list(range(len(rows)))
         assert len({r["frame_sha"] for r in rows}) == len(rows)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        encode_wav_stub,
+        parse_wav_header,
+    )
+
+    for rate, ch, bits, n in [(8000, 1, 8, 100), (44100, 2, 24, 7919)]:
+        got = parse_wav_header(encode_wav_stub(rate, ch, bits, n))
+        assert got == (rate, ch, bits, n, n * 1000 // rate)
+    # chunk walk skips an unknown leading chunk
+    import struct
+
+    wav = encode_wav_stub(16000, 1, 16, 50)
+    body = b"WAVE" + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[12:]
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav_header(wrapped) == (16000, 1, 16, 50, 3)
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None

@@ -580,3 +580,15 @@ def test_cross_overlap_pairs_counts_shared_shingles(spark):
     }
     # doc 1 shares all 8 3-gram shingles of the 10-token base text
     assert got == {(1, 100): 8}
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from oculus_data_pipeline_spark.operators.textstats import repetition_stats
+
+    looped = "spam ham eggs " * 10  # 30 tokens, heavy 3-gram repeats
+    clean = " ".join(f"u{i}" for i in range(30))
+    df = spark.createDataFrame([(1, looped), (2, clean)], ["doc_id", "text"])
+    got = {r["id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_ngrams"] == 28 and got[1]["n_distinct_ngrams"] == 3
+    assert got[1]["dup_ngram_ratio"] > 0.85
+    assert got[2]["dup_ngram_ratio"] == 0.0
