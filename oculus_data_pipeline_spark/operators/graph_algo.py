@@ -100,3 +100,33 @@ def two_hop_candidates(
         F.least(src, dst).alias(src), F.greatest(src, dst).alias(dst)
     )
     return wedges.join(direct, [src, dst], "left_anti")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED edge set
+    (input rows oriented src < dst, the near-dup pair convention).
+    Classic two-join enumeration on the oriented edges — each triangle
+    a<b<c is produced exactly once from (a,b)+(b,c)+(a,c), so no
+    division by 6 and no symmetrization blow-up. Triangle density
+    separates tight duplicate communities from chains of borderline
+    pairs. Equi-joins on node ids: shuffle-partitioned, AQE handles
+    the skewed hub nodes.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

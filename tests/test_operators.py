@@ -592,3 +592,16 @@ def test_repetition_stats_flags_looping_text(spark):
     assert got[1]["n_ngrams"] == 28 and got[1]["n_distinct_ngrams"] == 3
     assert got[1]["dup_ngram_ratio"] > 0.85
     assert got[2]["dup_ngram_ratio"] == 0.0
+
+
+def test_triangle_counts_oriented_enumeration(spark):
+    from oculus_data_pipeline_spark.operators.graph_algo import triangle_counts
+
+    # K4 on {1,2,3,4} oriented a<b: every node is in C(3,2)=3 triangles
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # a plain path has no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_counts(path).count() == 0
