@@ -24,23 +24,20 @@ from ..plans.pipeline import (
     known_entities_from_docs,
 )
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of the events table (parquet with nanos
-    timestamps → long schema → integer-divide to micros)."""
+    """File-source stream of the events table.
+
+    The driver's parquet has shipped ``ts`` as either TIMESTAMP(NANOS)
+    (readable only as int64 via the nanosAsLong legacy flag) or plain
+    TIMESTAMP_NTZ micros, depending on generation. A streaming file
+    source needs an explicit schema, so probe the footer with a batch
+    read (metadata-only) and normalize either encoding to session-time
+    TIMESTAMP — same contract as sources/tables.load_table.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", 1)
+    probe = spark.read.parquet(path)
+    ts_type = dict(probe.dtypes).get("ts")
+    reader = spark.readStream.schema(probe.schema).option("maxFilesPerTrigger", 1)
     if path.endswith(".parquet"):
         # file source wants a directory; select the one file via glob
         import os
@@ -48,7 +45,11 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":  # nanos-as-long → integer-divide to micros
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_xml_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
