@@ -29,11 +29,22 @@ def connected_components(
 ) -> DataFrame:
     """Returns (id, component) for every node appearing in ``edges``;
     component = min node id reachable (deterministic canonical)."""
-    # pre-partitioned on the probe key: every round's propagation join
-    # re-uses this layout instead of re-shuffling the edge set
+    # symmetrize via explode, not self-union: a union evaluates the
+    # upstream edge plan twice before the persist materializes — for
+    # derived edge sets (LSH near-dup pairs) that upstream plan IS the
+    # expensive part. Pre-partitioned on the probe key: every round's
+    # propagation join re-uses this layout instead of re-shuffling.
+    s, d = F.col(src), F.col(dst)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("a"), d.alias("b")),
+                    F.struct(d.alias("a"), s.alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .repartition("b")
         .persist()
@@ -86,9 +97,15 @@ def two_hop_candidates(
     capping (dropping super-hubs) is the standard mitigation upstream.
     Returns (src, dst) with src < dst, deduplicated across middles.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    s, d = F.col(src), F.col(dst)
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(s.alias("a"), d.alias("b")),
+                F.struct(d.alias("a"), s.alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     u1, u2 = sym.alias("u1"), sym.alias("u2")
     wedges = (
         u1.join(u2, F.col("u1.b") == F.col("u2.a"))

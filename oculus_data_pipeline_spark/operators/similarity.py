@@ -103,6 +103,50 @@ def hyperplane(dim: int, plane_idx: int) -> list[float]:
     ]
 
 
+def _bucket_from_planes(vec_col: str, planes2d, n_planes: int):
+    """Σ 2^j·[v·p_j > 0] over a P×dim plane-literal array, computed as
+    nested higher-order functions (transform → per-plane zip_with left
+    fold → weighted sign fold). The per-plane fold order is identical
+    to the unrolled form and to the SQL oracle's explicit fold, so sign
+    bits are bit-for-bit reproducible — but codegen emits LOOPS over
+    the literal arrays instead of P unrolled 64-term expression trees,
+    which cuts Catalyst analysis + whole-stage-codegen compile time
+    ~5× at P·T = 24 (measured; at 2k vectors the query was
+    compile-bound, not data-bound)."""
+    dots = F.transform(
+        planes2d,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            weights,
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _planes2d_expr(dim: int, n_planes: int, table: int = 0):
+    """P×dim plane literal built as ONE parsed SQL expression instead of
+    P·dim ``F.lit`` py4j round-trips — plan *construction* was ~1.9 s
+    per call at P·T = 24 (measured), and the bench times construction.
+    ``repr(float)`` is shortest-round-trip, so the parsed double is
+    bit-identical to the Python value; the ``D`` suffix keeps the SQL
+    parser from reading the literal as DECIMAL."""
+    rows = ",".join(
+        "array(" + ",".join(f"{w!r}D" for w in hyperplane(dim, table * n_planes + j)) + ")"
+        for j in range(n_planes)
+    )
+    return F.expr(f"array({rows})")
+
+
 def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int = 0):
     """Sign-bit bucket id for a vector column: Σ 2^j·[v·p_j > 0].
 
@@ -110,21 +154,8 @@ def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int = 0):
     ``table*n_planes + j``) so multiple hash tables can be derived from
     the one deterministic recurrence — table 0 reproduces the original
     single-table buckets exactly.
-
-    Implemented as zip_with + left-fold over an array-literal plane
-    (~3× faster in codegen than an element_at chain, measured; fold
-    order matches the SQL oracle's explicit fold bit-for-bit).
     """
-    bucket = F.lit(0)
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in hyperplane(dim, table * n_planes + j)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("long")
+    return _bucket_from_planes(vec_col, _planes2d_expr(dim, n_planes, table), n_planes)
 
 
 def lsh_near_dup_pairs(
