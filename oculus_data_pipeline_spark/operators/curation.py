@@ -1,0 +1,155 @@
+"""Corpus-curation operators: unigram-LM rarity scoring, canonical
+document selection over near-dup clusters, and per-source (domain)
+reputation filtering.
+
+These are the C4/Dolma/RefinedWeb-style corpus stages the reference
+has no instance of (its corpus is small historical documents) —
+north-star additions per the training-pipeline brief:
+
+- ``unigram_rarity``: a perplexity proxy from a corpus unigram LM.
+  All arithmetic is BIGINT (counts and integer-scaled rarity), so the
+  score is bit-identical cross-engine — no float log-probs to drift.
+- ``canonical_docs``: the "which duplicate survives" decision —
+  near-dup pairs → connected components → highest-quality member per
+  cluster (deterministic tie-break) becomes the canonical doc.
+- ``source_reputation``: domain-level curation — per-source volume,
+  mean quality, exact-dup ratio, and a keep/drop verdict; the
+  corpus-scale analog of C4's domain blocklists.
+
+Scale notes (100 TB): the unigram LM is one explode + two hash
+aggregations (map-side partials on both); the token→rarity join keys
+on the token string with AQE free to broadcast the vocabulary when it
+fits. canonical_docs rides the sub-quadratic LSH pair path and a
+per-cluster window whose partitions are near-dup clusters (bounded,
+shallow). source_reputation is a single hash aggregation on source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from . import dedup
+from .graph_algo import connected_components
+from .textstats import _toks, quality_score_col
+
+
+def unigram_rarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document corpus-rarity score — an integer-exact perplexity
+    proxy. Token rarity = (total_tokens · scale) DIV ctf (collection
+    term frequency); doc score = Σ tf·rarity DIV n_tokens. Rare-token-
+    heavy documents score high, boilerplate scores low.
+
+    BIGINT throughout: safe to ~9e12 total tokens at scale=1e6; past
+    that, widen to DECIMAL(38,0) — the plan shape is unchanged.
+    Returns (id, n_tokens, rarity_score).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(_toks(text_col)).alias("token")
+    )
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    ctf = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("total_tokens"))
+    rarity = ctf.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.expr(f"total_tokens * {scale} div ctf").alias("rarity"),
+    )
+    return (
+        tf.join(rarity, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("rarity")).alias("rarity_mass"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.expr("rarity_mass div n_tokens").alias("rarity_score"),
+        )
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Canonical-representative selection over near-dup clusters: LSH
+    candidates + exact-Jaccard pairs (dedup.lsh_verified_near_dups) →
+    connected components → per cluster, the member with the highest
+    quality score (ties broken by min id) is canonical. Returns one
+    row per clustered doc: (id, comp, quality_score, canonical_id,
+    cluster_size, is_canonical) — the dedup *decision*, not just the
+    pair list; downstream keeps ``is_canonical`` rows.
+    """
+    pairs = dedup.lsh_verified_near_dups(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    qual = docs.select(
+        F.col(id_col).alias("id"), quality_score_col(text_col).alias("quality_score")
+    )
+    members = comp.join(qual, "id")
+    w = W.partitionBy("comp")
+    rnk = F.row_number().over(
+        w.orderBy(F.desc("quality_score"), F.asc("id"))
+    )
+    return (
+        members.withColumn("rn", rnk)
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn(
+            "canonical_id",
+            F.first(F.when(F.col("rn") == 1, F.col("id")), ignorenulls=True).over(w),
+        )
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("comp").cast("long").alias("comp"),
+            "quality_score",
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def source_reputation(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 5,
+    quality_floor: float = 0.5,
+) -> DataFrame:
+    """Domain-level curation verdicts: per source, document volume,
+    decimal-exact mean quality, exact-duplicate ratio (md5 canonical),
+    and keep = (mean_quality ≥ floor AND n_docs ≥ min_docs). One hash
+    aggregation on source; at web scale sources are the natural unit
+    for crawl filtering (C4-style blocklisting by domain statistics).
+    """
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        quality_score_col(text_col).alias("q"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum(F.col("q").cast("decimal(22,6)")).alias("qsum"),
+    )
+    mean_q = F.round((F.col("qsum").cast("double") / F.col("n_docs")), 6)
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round((1 - F.col("n_unique") / F.col("n_docs")).cast("double"), 6).alias(
+            "dup_ratio"
+        ),
+        mean_q.alias("mean_quality"),
+        (
+            (mean_q >= F.lit(quality_floor)) & (F.col("n_docs") >= F.lit(min_docs))
+        ).alias("keep"),
+    )

@@ -64,3 +64,37 @@ def funnel(
             stage, cur[user_col] == stage["_u"], "left"
         ).drop("_u")
     return cur
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention matrix: users are cohorted by the ISO week of
+    their FIRST event; each (cohort_week, week_offset) cell counts the
+    distinct cohort members active that week.
+
+    Two hash aggregations (first-event per user, then distinct users
+    per cell) plus one join keyed on ``user_id`` — the same key both
+    shuffles use, so the join itself is co-partitioned. Exact distinct
+    counts; at extreme cardinality the swap to approx_count_distinct
+    is one expression.
+    Returns (cohort_week, week_offset, n_active_users).
+    """
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731 — Monday-start, UTC session
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    cohorted = events.join(first, user_col).select(
+        user_col,
+        week("first_ts").alias("cohort_wk"),
+        week(F.col(ts_col)).alias("active_wk"),
+    )
+    return (
+        cohorted.groupBy("cohort_wk", "active_wk")
+        .agg(F.countDistinct(user_col).alias("n_active_users"))
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
+            "n_active_users",
+        )
+    )

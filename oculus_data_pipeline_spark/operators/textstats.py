@@ -261,3 +261,36 @@ def repetition_stats(
             ),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token → postings-list construction (the retrieval-index build
+    step): per token, document frequency, collection term frequency,
+    and an id-sorted ``docid:tf`` postings string.
+
+    Two hash aggregations — (token, doc) term frequencies with map-side
+    partials, then per-token assembly. The postings string is built
+    from an array_sort'd struct list so output is deterministic and
+    order-insensitive to partitioning; at web scale the per-token
+    postings for stopword-class tokens are the skew risk — cap or
+    shard them upstream (df cutoffs) as classic IR systems do.
+    Returns (token, df, ctf, postings).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(_toks(text_col)).alias("token")
+    )
+    per_doc = tok.groupBy("token", "id").agg(F.count("*").alias("tf"))
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "tf"))),
+            lambda s: F.concat_ws(":", s.id.cast("string"), s.tf.cast("string")),
+        ),
+        ",",
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+        postings.alias("postings"),
+    )

@@ -3537,6 +3537,350 @@ def q83_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: PII scrub, skew-salted join, unigram-LM rarity,
+# retention cohorts, inverted index, canonical-doc dedup decision,
+# int8 embedding quantization, bucketed range join, source reputation
+# ---------------------------------------------------------------------------
+
+def _pii_planted_cte() -> str:
+    """Deterministically derive PII-bearing text from the documents
+    table (same derivation in the Spark query), so the scrub operator
+    is exercised on non-vacuous matches without synthesizing inputs."""
+    return """
+    planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 123-45-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS text
+      FROM documents
+    )
+    """
+
+
+def _pii_oracle() -> str:
+    from .operators.pii import PII_PATTERNS, pii_count_sql, pii_redact_sql
+
+    counts = ",\n           ".join(
+        f"CAST({pii_count_sql('text', p)} AS BIGINT) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    return f"""
+    WITH {_pii_planted_cte()}
+    SELECT doc_id AS id,
+           {counts},
+           {pii_redact_sql('text')} AS redacted
+    FROM planted
+    """
+
+
+@query("q107_pii_redaction", _pii_oracle())
+def q107_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py) — the C4/Dolma scrub
+    stage: per-category regexp_count on the original text + one
+    chained regexp_replace pass, all codegen'd Column expressions (no
+    UDF, no shuffle — runs at scan speed at 100 TB). The corpus has no
+    organic PII, so the query plants emails/phones/SSNs/IPs derived
+    deterministically from doc_id — identical derivation in the
+    oracle — making every category count non-vacuous."""
+    from .operators.pii import detect_and_redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d, F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    return detect_and_redact_pii(planted)
+
+
+@query(
+    "q108_salted_join",
+    f"""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           {dsum_sql('l.l_quantity', 6)} AS sum_qty,
+           {dsum_sql('l.l_extendedprice', 6)} AS sum_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q108_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): the big side's key is
+    sharded 8 ways, the small side replicated ×8, so a single
+    pathologically hot key spreads over 8 tasks — the explicit fallback
+    for skew AQE splitting can't fix. Aggregated output is salt-
+    invariant; the oracle is the plain join, proving correctness."""
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, on="suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity", 6).alias("sum_qty"),
+            dsum("l_extendedprice", 6).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q109_unigram_rarity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    ctf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS total_tokens FROM ctf),
+    rar AS (SELECT token, (total_tokens * 1000000) // ctf AS rarity
+            FROM ctf CROSS JOIN tot)
+    SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(tf * rarity) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS BIGINT)
+             AS rarity_score
+    FROM tf JOIN rar USING (token)
+    GROUP BY id
+    """,
+)
+def q109_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM rarity score per document — the perplexity
+    proxy quality signal, in BIGINT-exact arithmetic (no float
+    log-probs): rarity(token) = total·10⁶ DIV ctf, score = Σ tf·rarity
+    DIV n_tokens (operators/curation.py:unigram_rarity)."""
+    from .operators.curation import unigram_rarity
+
+    return unigram_rarity(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q110_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id,
+             date_trunc('week', f.first_ts) AS cw,
+             date_trunc('week', e.ts) AS aw
+      FROM events e JOIN first f USING (user_id)
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM c GROUP BY cw, aw
+    """,
+)
+def q110_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix over the event log: cohort = ISO week of
+    each user's first event; cells count distinct cohort members active
+    per week offset (operators/sequence.py:retention_cohorts). Both
+    shuffles key on user_id, so the cohort join is co-partitioned."""
+    from .operators.sequence import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q111_inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS token
+      FROM documents
+    ),
+    pd AS (SELECT token, id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS ctf,
+           string_agg(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ',' ORDER BY id) AS postings
+    FROM pd GROUP BY token
+    """,
+)
+def q111_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index build: token → (df, ctf, id-sorted docid:tf
+    postings string) via two hash aggregations
+    (operators/textstats.py:inverted_index)."""
+    return textstats.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def _canonical_docs_oracle(threshold: float = 0.5) -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_oracle()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    qual AS (SELECT id, quality_score FROM ({_quality_oracle()})),
+    m AS (
+      SELECT comp.id, comp.comp, qual.quality_score
+      FROM comp JOIN qual USING (id)
+    )
+    SELECT id, comp, quality_score,
+           FIRST_VALUE(id) OVER (
+             PARTITION BY comp ORDER BY quality_score DESC, id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+           id = FIRST_VALUE(id) OVER (
+             PARTITION BY comp ORDER BY quality_score DESC, id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS is_canonical
+    FROM m
+    """
+
+
+@query("q112_canonical_docs", _canonical_docs_oracle())
+def q112_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision*: near-dup pairs (MinHash-LSH + exact-
+    Jaccard verify) → connected components → highest-quality member
+    per cluster is canonical, ties to min id
+    (operators/curation.py:canonical_docs). Downstream keeps
+    is_canonical rows; the rest map to their survivor."""
+    from .operators.curation import canonical_docs
+
+    return canonical_docs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q113_int8_quantization",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+    st AS (SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY d),
+    el AS (SELECT vec_id, UNNEST(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+    q AS (
+      SELECT vec_id, el.d,
+             CASE WHEN (hi - lo) > 0
+                  THEN CAST(ROUND((x - lo) / (hi - lo) * 254) AS BIGINT) - 127
+                  ELSE 0 END AS code
+      FROM el JOIN st ON el.d = st.d
+    )
+    SELECT vec_id AS id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(code * d) AS BIGINT) AS checksum,
+           CAST(MIN(code) AS BIGINT) AS q_min,
+           CAST(MAX(code) AS BIGINT) AS q_max
+    FROM q GROUP BY vec_id
+    """,
+)
+def q113_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max int8 quantization of the embedding table
+    (operators/quantize.py) — 4× storage compression, FAISS-SQ8-style.
+    One 64-row calibration aggregate broadcast back as array literals;
+    the vectors are never exploded or shuffled (zip_with projection at
+    scan speed). Output pins every code via a position-weighted
+    integer checksum; the oracle recomputes by unnest+join — integer
+    sums are order-free, so both paths match bit-for-bit."""
+    from .operators.quantize import int8_quantize
+
+    return int8_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+_VALUE_BANDS = [
+    ("b000_010", 0.0, 10.0),
+    ("b010_025", 10.0, 25.0),
+    ("b025_050", 25.0, 50.0),
+    ("b050_100", 50.0, 100.0),
+    ("b100_200", 100.0, 200.0),
+    ("b200_350", 200.0, 350.0),
+    ("b350_500", 350.0, 500.0),
+]
+
+
+def _bands_oracle_cte() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{b}' AS band, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi"
+        for b, lo, hi in _VALUE_BANDS
+    )
+    return f"bands AS ({rows})"
+
+
+@query(
+    "q114_bucketed_range_join",
+    f"""
+    WITH {_bands_oracle_cte()}
+    SELECT band, lo, hi, COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band, lo, hi
+    """,
+)
+def q114_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval lookup WITHOUT a nested-loop theta join:
+    intervals explode onto a fixed 32-unit bucket grid, points key
+    into their bucket, and the match is an equi-join + exact predicate
+    (operators/rangejoin.py) — Θ(points + intervals·span/width) at any
+    scale. The oracle is the plain BETWEEN join, proving the rewrite
+    exact."""
+    from .operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranges = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    return (
+        bucketed_range_join(ev, ranges, "value", "lo", "hi", bucket_width=32.0)
+        .groupBy("band", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 6).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q115_source_reputation",
+    f"""
+    WITH qd AS (
+      SELECT d.source, f.quality_score, md5(d.text) AS h
+      FROM ({_quality_oracle()}) f JOIN documents d ON f.id = d.doc_id
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+             SUM(CAST(quality_score AS DECIMAL(22,6))) AS qsum
+      FROM qd GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(1 - n_unique / n_docs, 6) AS dup_ratio,
+           ROUND(CAST(qsum AS DOUBLE) / n_docs, 6) AS mean_quality,
+           (ROUND(CAST(qsum AS DOUBLE) / n_docs, 6) >= 0.5 AND n_docs >= 5) AS keep
+    FROM agg
+    """,
+)
+def q115_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation verdicts (operators/curation.py:
+    source_reputation): per source, volume, exact-dup ratio (md5
+    canonical), decimal-exact mean quality, and a keep/drop flag —
+    the C4-style crawl-domain filter as one hash aggregation."""
+    from .operators.curation import source_reputation
+
+    return source_reputation(load_table(spark, sf_dir, "documents"))
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Round 1 attested the
 # first 50 in file order, leaving the flagship curation/dedup/SCD2/

@@ -1,0 +1,94 @@
+"""Edge-case tests for the round-3 curation/relational operators —
+semantics the sf-scale oracle harness can't pin (left-join null
+extension, boundary points, constant dimensions, cluster invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from oculus_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    ranges = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 20.0)], "band string, lo double, hi double"
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 19.999), (5, 20.0), (6, -0.5)],
+        "pid long, value double",
+    )
+    got = {
+        (r.pid, r.band)
+        for r in bucketed_range_join(pts, ranges, "value", "lo", "hi", 4.0).collect()
+    }
+    # half-open [lo, hi): 10.0 belongs to the upper band only; 20.0 and
+    # -0.5 match nothing
+    assert got == {(1, "lo"), (2, "lo"), (3, "hi"), (4, "hi")}
+
+
+def test_bucketed_range_join_left_keeps_unmatched(spark):
+    from oculus_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    ranges = spark.createDataFrame([("b", 0.0, 1.0)], "band string, lo double, hi double")
+    pts = spark.createDataFrame([(1, 0.5), (2, 5.0)], "pid long, value double")
+    out = bucketed_range_join(pts, ranges, "value", "lo", "hi", 1.0, how="left")
+    rows = {r.pid: r.band for r in out.collect()}
+    assert rows == {1: "b", 2: None}
+
+
+def test_int8_quantize_constant_dim_is_zero(spark):
+    from oculus_data_pipeline_spark.operators.quantize import int8_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 4.0]), (3, [1.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.id: r for r in int8_quantize(emb).collect()}
+    # dim 0 is constant -> code 0 for everyone; dim 1 spans [0, 8] ->
+    # codes -127, round(4/8*254)-127 = 0, 127
+    assert [rows[i].checksum for i in (1, 2, 3)] == [-127 * 2, 0, 127 * 2]
+    assert rows[1].q_min == -127 and rows[3].q_max == 127
+    assert all(rows[i].n_dims == 2 for i in rows)
+
+
+def test_canonical_docs_invariants(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.curation import canonical_docs
+    from oculus_data_pipeline_spark.sources.tables import load_table
+
+    out = canonical_docs(load_table(spark, sf_dir, "documents")).cache()
+    # every cluster's canonical is a member of the cluster, exactly one
+    # canonical per cluster, and it carries the cluster's max quality
+    per_comp = out.groupBy("comp").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.max("quality_score").alias("maxq"),
+    )
+    assert per_comp.where("n_canon <> 1").count() == 0
+    bad = (
+        out.where("is_canonical")
+        .join(per_comp, "comp")
+        .where(F.col("quality_score") < F.col("maxq"))
+    )
+    assert bad.count() == 0
+    # cluster_size matches the actual member count
+    sizes = out.groupBy("comp", "cluster_size").count()
+    assert sizes.where(F.col("cluster_size") != F.col("count")).count() == 0
+    out.unpersist()
+
+
+def test_retention_cohorts_week0_covers_all_users(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.sequence import retention_cohorts
+    from oculus_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = retention_cohorts(ev).cache()
+    # offset-0 cells must exist for every cohort, and their union counts
+    # every distinct user exactly once
+    week0 = out.where("week_offset = 0")
+    assert week0.count() == out.select("cohort_week").distinct().count()
+    n_users = ev.select("user_id").distinct().count()
+    assert (
+        week0.agg(F.sum("n_active_users")).collect()[0][0] == n_users
+    )
+    assert out.where("week_offset < 0").count() == 0
+    out.unpersist()
