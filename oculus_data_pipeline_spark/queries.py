@@ -3882,85 +3882,74 @@ def q115_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-attestation ordering: the external correctness driver checks
-# the FIRST 50 registered queries each round. Round 1 attested the
-# first 50 in file order, leaving the flagship curation/dedup/SCD2/
-# streaming-join operators (q44, q48-q49, q52-q59, q63-q83) with only
-# local-harness evidence — so this round rotates them to the front,
-# followed by the queries whose semantics changed since r1 (q05, q11,
-# q47, q51, q60-q62: all need driver re-attestation), then stable
-# representatives of each operator family. Queries past the window
-# keep their r1 driver rows and stay covered by tests/ (stricter
-# exact-value compare at sf0.001 AND sf0.01).
+# the FIRST 50 registered queries each round. Rounds 1+2 together
+# attested 90 of the registry; round 3's window leads with the 15
+# queries that have NEVER had a driver row, then the 9 new round-3
+# operators, then every query whose execution path changed this round
+# (the NTZ-timestamp loader fix touches all event-time queries; the
+# LSH bucket / connected-components rewrite touches the similarity +
+# graph family), and fills the rest with the flagship operators that
+# anchor each family. Queries past the window keep their prior driver
+# rows and stay covered by tests/ (stricter exact-value compare at
+# sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
-    # flagship LLM-data-pipeline operators, never driver-checked
-    "q66_lsh_verified_near_dups",
-    "q70_curation_pipeline",
+    # --- never driver-attested (r1 ordering artifact / r2 overflow) ---
+    "q48_window_stats",
+    "q49_regexp_scalars",
+    "q55_map_scalars",
+    "q58_width_bucket",
+    "q63_nation_pair_volume",
+    "q64_multiset_ops",
+    "q65_posexplode",
+    "q67_large_quantity_orders",
+    "q68_global_sales_opportunity",
+    "q69_important_stock",
+    "q71_first_event_per_user_type",
+    "q72_null_safe_join",
+    "q85_ivf_kmeans_ann",
+    "q101_chunk_documents",
+    "q102_data_quality_report",
+    # --- new in round 3 ---
+    "q107_pii_redaction",
+    "q108_salted_join",
+    "q109_unigram_rarity",
+    "q110_retention_cohorts",
+    "q111_inverted_index",
+    "q112_canonical_docs",
+    "q113_int8_quantization",
+    "q114_bucketed_range_join",
+    "q115_source_reputation",
+    # --- event-time queries: loader now normalizes TIMESTAMP_NTZ ---
+    "q14_tumbling_windows",
+    "q16_session_windows",
+    "q19_asof_join",
     "q74_scd2_apply",
     "q75_purchase_view_attribution",
-    "q76_dedup_clusters",
-    "q77_graph_degree",
-    "q78_media_features",
-    "q84_image_decode",
-    "q44_rolling_hash",
-    # new in this round — flagship training-pipeline operators
-    "q93_pagerank",
-    "q94_tfidf_top_terms",
-    "q95_train_val_test_split",
-    "q96_containment_pairs",
-    "q97_semantic_clusters",
-    "q98_value_outliers",
-    "q99_group_median",
-    "q100_boilerplate_shingles",
-    "q103_decontamination",
-    "q104_repetition_stats",
-    "q105_audio_decode",
-    "q106_triangle_counts",
-    # UDF surface / sampling / scalar breadth, never driver-checked
-    "q52_pandas_udf_score",
-    "q53_applyinpandas_topk",
-    "q54_stream_dedup_batch",
-    "q56_deterministic_sample",
-    "q57_stratified_sample",
-    "q59_correlated_subquery",
-    "q73_ordered_string_agg",
-    "q79_from_json_typed",
-    "q80_higher_order_predicates",
-    "q81_forecast_revenue_change",
-    "q82_promo_revenue_ratio",
-    "q83_disjunctive_predicates",
-    # new in round 2 / changed since round 1 — need driver attestation
-    "q86_simhash_near_dups",
     "q87_cdc_apply",
-    "q88_multires_rollup",
-    "q89_blocked_edit_distance",
-    "q90_sole_late_supplier",
     "q91_funnel",
-    "q92_two_hop_candidates",
-    "q05_customers_without_orders",
-    "q11_set_operations",
-    "q47_ivf_ann",
+    # --- LSH bucket expression + CC symmetrization rewrite ---
+    "q38_lsh_ann_topk",
     "q51_cosine_near_dup_pairs",
+    "q76_dedup_clusters",
+    "q92_two_hop_candidates",
+    "q97_semantic_clusters",
+    "q106_triangle_counts",
+    # --- flagship family anchors filling the 50-query window ---
+    "q30_exact_dedup",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs",
+    "q33_simhash",
     "q60_classify_terms",
     "q61_graph_nodes",
     "q62_graph_edges",
-    # stable family representatives filling the 50-query window
-    "q31_ngram_jaccard_pairs",
-    "q32_minhash_lsh_pairs",
-    "q38_lsh_ann_topk",
-    # q01_pricing_summary, q14_tumbling_windows, q19_asof_join,
-    # q20_normalize_terms, q21_generate_uri, q30_exact_dedup,
-    # q33_simhash and q50_cosine_topk rotated out (r1-attested passes,
-    # unchanged since). q48_window_stats, q49_regexp_scalars,
-    # q55_map_scalars, q58_width_bucket, q64_multiset_ops,
-    # q65_posexplode, q71_first_event_per_user_type and
-    # q72_null_safe_join step aside for q93–q100 — simple relational
-    # scalar shapes with the lowest cross-engine divergence risk, all
-    # exact-value green in the stricter local harness at sf0.001 +
-    # sf0.01; the window's 50 slots go to the differentiated
-    # training-pipeline operators first. Same trade adds q103–q106
-    # (decontamination, repetition, audio decode, triangles) over
-    # q63/q67/q68/q69. q101/q102 wait outside with two-scale local
-    # evidence.
+    "q66_lsh_verified_near_dups",
+    "q70_curation_pipeline",
+    "q93_pagerank",
+    "q94_tfidf_top_terms",
+    "q103_decontamination",
+    "q104_repetition_stats",
+    # Everything else (r1/r2-attested, unchanged) sorts alphabetically
+    # after the window, still exact-value green in the local harness.
 ]
 
 
