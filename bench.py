@@ -50,6 +50,12 @@ HEADLINE = [
     "q98_value_outliers",
     "q101_chunk_documents",
     "q103_decontamination",
+    # round-3 flagship additions
+    "q107_pii_redaction",
+    "q109_unigram_rarity",
+    "q112_canonical_docs",
+    "q113_int8_quantization",
+    "q114_bucketed_range_join",
 ]
 
 

@@ -44,19 +44,24 @@ def pagerank(
     """
     one = 10**scale
     base = (damping_den - damping_num) * one // damping_den
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).persist()
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
+        e.select(F.explode(F.array("e_src", "e_dst")).alias("node"))
         .distinct()
         .persist()
     )
-    deg = e.groupBy("e_src").agg(F.count("*").alias("deg"))
+    # degree-annotated edges are loop-invariant: join degrees ONCE and
+    # pre-partition on the probe key so every iteration's rank join
+    # reuses this layout instead of re-joining deg + re-shuffling edges
+    ed = (
+        e.join(e.groupBy("e_src").agg(F.count("*").alias("deg")), "e_src")
+        .repartition("e_src")
+        .persist()
+    )
     ranks = nodes.withColumn("pr", F.lit(one).cast("long"))
     for _ in range(iterations):
         contribs = (
-            ranks.join(deg, ranks.node == deg.e_src)
-            .join(e, "e_src")
+            ranks.join(ed, ranks.node == ed.e_src)
             .select(
                 F.col("e_dst").alias("node"),
                 F.expr("pr DIV deg").alias("contrib"),
