@@ -288,3 +288,104 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def lsh_bipartite_matches(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Cross-corpus embedding matches (corpus row ~ benchmark row with
+    cosine ≥ threshold) via the multi-table LSH bucket join — the
+    EMBEDDING-level train/test decontamination pass (the semantic
+    sibling of the shingle-overlap check): a corpus document that
+    collides with an eval-set document in any hash table and verifies
+    above the threshold is flagged.
+
+    Bipartite, not self-join: each side computes its (table, bucket)
+    keys with the SAME plane sets, candidates are the bucket
+    equi-join, and only candidates pay the exact-cosine verify. The
+    benchmark side is typically tiny → its keyed triples broadcast,
+    so the corpus never shuffles at all.
+    Returns (corpus_id, bench_id, cos_sim).
+    """
+    def _keyed(df: DataFrame, out_id: str) -> DataFrame:
+        e = _as_double(
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v")), "v"
+        )
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket_expr("v", dim, n_planes, table=t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return e.select(out_id, F.explode(tables).alias("tb")).select(
+            out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    cand = (
+        _keyed(corpus, "corpus_id")
+        .join(F.broadcast(_keyed(bench, "bench_id")), ["tbl", "bucket"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    cv = _as_double(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")), "cv"
+    )
+    bv = _as_double(
+        bench.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv")), "bv"
+    )
+    return (
+        cand.join(cv, "corpus_id")
+        .join(F.broadcast(bv), "bench_id")
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.round(cosine_similarity(F.col("cv"), F.col("bv")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_recall_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Recall evaluation of the LSH near-dup path against exact ground
+    truth: one row (n_exact, n_lsh, n_common, recall_bp) where
+    recall_bp = n_common·10⁴ DIV n_exact (basis points, integer-exact).
+
+    The exact side is the all-pairs tier — this is an EVALUATION
+    operator for samples/QA gates, not a production pair path; run it
+    on a capped sample at scale. Counts are assembled with aggregates
+    and cross joins of three 1-row frames — no driver-side collect.
+    """
+    exact = cosine_pairs(emb, id_col, vec_col, threshold).select("id_a", "id_b")
+    lsh = lsh_near_dup_pairs(
+        emb, id_col, vec_col, threshold, dim, n_planes, n_tables
+    ).select("id_a", "id_b")
+    common = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(common.agg(F.count("*").alias("n_common")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.expr("n_common * 10000 div n_exact").alias("recall_bp"),
+        )
+    )

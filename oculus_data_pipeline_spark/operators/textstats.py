@@ -294,3 +294,33 @@ def inverted_index(
         F.sum("tf").cast("long").alias("ctf"),
         postings.alias("postings"),
     )
+
+
+def bigram_merge_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 20
+) -> DataFrame:
+    """Top-k most frequent adjacent token pairs — the candidate-scoring
+    step of one BPE/WordPiece merge round, over the whole corpus.
+
+    The pair stream is built per document with zip_with over two
+    shifted slices of the token array (no self-join, no positional
+    explode+rejoin), then one hash aggregation; top-k is a
+    TakeOrderedAndProject with a total (count desc, bigram asc)
+    ordering — never a single-partition global sort. At 100 TB this is
+    exactly the map-reduce shape BPE trainers run per merge iteration.
+    Returns (bigram, n).
+    """
+    toks = _toks(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
