@@ -56,6 +56,7 @@ HEADLINE = [
     "q112_canonical_docs",
     "q113_int8_quantization",
     "q114_bucketed_range_join",
+    "q120_prepare_corpus",
 ]
 
 

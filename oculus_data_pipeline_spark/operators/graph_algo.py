@@ -53,7 +53,7 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -72,7 +72,10 @@ def connected_components(
                 ),
                 (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("chg"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: lineage is cut at the first materialization,
+            # which the convergence probe below triggers anyway — one job
+            # per round instead of an eager-checkpoint job plus a probe job
+            .localCheckpoint(eager=False)
         )
         changed = updated.where("chg").limit(1).count()
         labels = updated.select("id", F.col("new_comp").alias("comp"))

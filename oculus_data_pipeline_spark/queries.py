@@ -3643,9 +3643,8 @@ def q108_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q109_unigram_rarity",
-    f"""
+def _rarity_oracle() -> str:
+    return f"""
     WITH tok AS (
       SELECT doc_id AS id,
              UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS token
@@ -3661,8 +3660,10 @@ def q108_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS rarity_score
     FROM tf JOIN rar USING (token)
     GROUP BY id
-    """,
-)
+    """
+
+
+@query("q109_unigram_rarity", _rarity_oracle())
 def q109_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM rarity score per document — the perplexity
     proxy quality signal, in BIGINT-exact arithmetic (no float
@@ -4034,6 +4035,95 @@ def q119_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prepare_corpus_oracle() -> str:
+    return f"""
+    WITH lang AS (SELECT id, pred_lang FROM ({_lang_id_oracle()})),
+    qual AS (SELECT id, quality_score FROM ({_quality_oracle()})),
+    groups AS (
+      SELECT md5({normalize_term_oracle_sql('text')}) AS h, MIN(doc_id) AS canonical
+      FROM documents GROUP BY 1
+    ),
+    dropnc AS (
+      SELECT id FROM ({_canonical_docs_oracle()}) WHERE NOT is_canonical
+    ),
+    rarity AS (SELECT id, n_tokens, rarity_score FROM ({_rarity_oracle()})),
+    surv AS (
+      SELECT d.doc_id, q.quality_score, r.n_tokens, r.rarity_score,
+             {split_col_sql("CAST(d.doc_id AS VARCHAR)")} AS split
+      FROM documents d
+      JOIN lang l ON l.id = d.doc_id
+      JOIN qual q ON q.id = d.doc_id
+      JOIN groups g ON g.canonical = d.doc_id
+      JOIN rarity r ON r.id = d.doc_id
+      WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5
+        AND d.doc_id NOT IN (SELECT id FROM dropnc)
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(22,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_quality,
+           CAST(SUM(rarity_score) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS mean_rarity
+    FROM surv GROUP BY split
+    """
+
+
+@query("q120_prepare_corpus", _prepare_corpus_oracle())
+def q120_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 flagship end-to-end corpus-prep pipeline — q70's
+    curation upgraded with the quality-canonical dedup decision and
+    train/val/test assignment, all one lazy plan:
+
+      language filter ∧ quality ≥ 0.5        (inlined on one scan)
+      ∧ exact-dedup canonical                 (md5 groups, min id)
+      ∧ near-dup survivor only                (canonical_docs: clusters
+                                               keep their HIGHEST-
+                                               QUALITY member, not the
+                                               min id — the better
+                                               curation decision)
+      + unigram-rarity annotation             (BIGINT perplexity proxy)
+      + deterministic 80/10/10 hash split
+      → per-split corpus summary (docs, tokens, mean quality/rarity).
+    """
+    from .operators.curation import canonical_docs, unigram_rarity
+    from .operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        textstats.pred_lang_col("text").alias("pred_lang"),
+        textstats.quality_score_col("text").alias("quality_score"),
+    ).where((F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5))
+    canon = dedup.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    noncanon = (
+        canonical_docs(docs)
+        .where(~F.col("is_canonical"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    rar = unigram_rarity(docs).select(
+        F.col("id").alias("doc_id"), "n_tokens", "rarity_score"
+    )
+    surv = (
+        scored.join(canon, "doc_id", "left_semi")
+        .join(noncanon, "doc_id", "left_anti")
+        .join(rar, "doc_id")
+    )
+    return (
+        hash_split(surv, F.col("doc_id").cast("string"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(22,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
+            F.expr("sum(rarity_score) div count(*)").alias("mean_rarity"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4087,13 +4177,13 @@ _ATTESTATION_PRIORITY = [
     "q92_two_hop_candidates",
     "q97_semantic_clusters",
     "q106_triangle_counts",
-    # --- second round-3 batch (q116-q119) ---
+    # --- second round-3 batch (q116-q120) ---
     "q116_bigram_merge_candidates",
     "q117_group_percentiles",
     "q118_embedding_decontamination",
     "q119_lsh_recall_report",
+    "q120_prepare_corpus",
     # --- flagship family anchors filling the 50-query window ---
-    "q30_exact_dedup",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash",
