@@ -4124,6 +4124,46 @@ def q120_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_near_dup_oracle() -> str:
+    return f"""
+    WITH jacp AS ({_lsh_verified_oracle()}),
+    cosp AS ({_lsh_pairs_oracle(threshold=0.3)})
+    SELECT id_a, id_b, jaccard, cos_sim,
+           (CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN cos_sim IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
+    FROM jacp FULL OUTER JOIN cosp USING (id_a, id_b)
+    """
+
+
+@query("q121_hybrid_near_dup_report", _hybrid_near_dup_oracle())
+def q121_hybrid_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup report: LEXICAL pairs (MinHash-LSH +
+    exact-Jaccard ≥ 0.5 on documents) full-outer-joined with SEMANTIC
+    pairs (hyperplane-LSH + exact cosine ≥ 0.3 on the row-aligned
+    embedding table) — n_signals tells downstream whether a pair was
+    caught by token overlap, embedding similarity, or both. Two
+    sub-quadratic pair paths + one equi-join on the pair key; the
+    production pattern for dedup reviews that tokens-only or
+    vectors-only sweeps get wrong."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    jac = dedup.lsh_verified_near_dups(docs)
+    cos = similarity.lsh_near_dup_pairs(emb, threshold=0.3, n_planes=6)
+    return (
+        jac.join(cos, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "cos_sim",
+            (
+                F.when(F.col("jaccard").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("cos_sim").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_signals"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4183,8 +4223,8 @@ _ATTESTATION_PRIORITY = [
     "q118_embedding_decontamination",
     "q119_lsh_recall_report",
     "q120_prepare_corpus",
+    "q121_hybrid_near_dup_report",
     # --- flagship family anchors filling the 50-query window ---
-    "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash",
     "q60_classify_terms",

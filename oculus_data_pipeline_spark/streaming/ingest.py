@@ -118,3 +118,20 @@ def stream_pipeline_to_graph(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the documents table (schema probed from
+    the parquet footer, same normalization contract as load_table).
+    Stateless curation operators (PII scrub, quality scoring, lang-id,
+    chunking) are narrow maps, so the SAME batch Column expressions
+    run unchanged on this stream — pinned by the batch/stream parity
+    tests."""
+    probe = spark.read.parquet(path)
+    reader = spark.readStream.schema(probe.schema).option("maxFilesPerTrigger", 1)
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)

@@ -173,3 +173,32 @@ def test_streaming_minute_level_feeds_rollup_lattice(spark, sf_dir):
         tuple(r) for r in spark.sql("SELECT * FROM minute_rollup_out").collect()
     }
     assert got == batch
+
+
+def test_streaming_pii_scrub_equals_batch(spark, sf_dir):
+    """Round-3 curation operators are stream-valid narrow maps: the
+    same detect_and_redact_pii expressions over a file-source stream
+    of the documents table produce exactly the batch result."""
+    import os
+
+    from oculus_data_pipeline_spark.operators.pii import detect_and_redact_pii
+    from oculus_data_pipeline_spark.sources.tables import load_table
+    from oculus_data_pipeline_spark.streaming.ingest import read_documents_stream
+
+    batch = {
+        tuple(r)
+        for r in detect_and_redact_pii(load_table(spark, sf_dir, "documents")).collect()
+    }
+    stream = detect_and_redact_pii(
+        read_documents_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pii_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pii_out").collect()}
+    assert got == batch
