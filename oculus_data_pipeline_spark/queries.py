@@ -4164,6 +4164,59 @@ def q121_hybrid_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q122_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({normalize_term_oracle_sql('text')}, ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_before
+      FROM t
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, cum_before // 512 AS pack_id FROM c
+    )
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the LLM pre-training batch-prep step: docs
+    are greedily packed, in deterministic doc_id order, into ~512-token
+    shards; pack_id = (running token count before this doc) DIV budget.
+    The running sum is windowed PER SOURCE, so packing parallelizes
+    across sources at scale instead of forcing one global sort
+    partition — the two-level packing layout real trainers use
+    (shard within file/domain). Returns per-pack manifests."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_term(F.col("text")), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    packed = c.withColumn("pack_id", F.expr("cum_before div 512"))
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4224,8 +4277,8 @@ _ATTESTATION_PRIORITY = [
     "q119_lsh_recall_report",
     "q120_prepare_corpus",
     "q121_hybrid_near_dup_report",
+    "q122_sequence_packing",
     # --- flagship family anchors filling the 50-query window ---
-    "q32_minhash_lsh_pairs",
     "q33_simhash",
     "q60_classify_terms",
     "q61_graph_nodes",

