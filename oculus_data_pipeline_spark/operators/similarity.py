@@ -206,14 +206,14 @@ def lsh_near_dup_pairs(
             for t in range(n_tables)
         ]
     )
-    # persist: the (id, table, bucket) triples feed both sides of the
-    # self-join — caching them also keeps the large plane-literal
-    # expression trees out of the joined plan (analyzed once, not per
-    # side), which dominates small-input latency
-    keyed = (
-        e.select("id", F.explode(tables).alias("tb"))
-        .select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-        .persist()
+    # the (id, table, bucket) triples feed both sides of the self-join
+    # WITHOUT a persist: recomputing the bucket projection per side is
+    # scan-speed narrow work (loop-form folds, no shuffle), while a
+    # persist would materialize N·T rows into executor memory on every
+    # call and leak cache across invocations — measured a wash locally
+    # and strictly worse at scale
+    keyed = e.select("id", F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
