@@ -4217,6 +4217,37 @@ def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q123_SQL = f"""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+"""
+
+
+@query(
+    "q123_sql_api",
+    _Q123_SQL.replace("YEAR(o.o_orderdate)", "EXTRACT(YEAR FROM o.o_orderdate)"),
+)
+def q123_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string surface: the SAME engine consumed through
+    ``spark.sql`` over registered temp views (sources/tables.py:
+    register_views) instead of the DataFrame builder — one ANSI string
+    runs on Spark and (modulo the YEAR spelling) verbatim on the
+    oracle. Catalyst compiles both surfaces to identical plans, so
+    everything PLANS.md proves for the DataFrame API holds here too."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    return spark.sql(_Q123_SQL)
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4278,8 +4309,8 @@ _ATTESTATION_PRIORITY = [
     "q120_prepare_corpus",
     "q121_hybrid_near_dup_report",
     "q122_sequence_packing",
+    "q123_sql_api",
     # --- flagship family anchors filling the 50-query window ---
-    "q33_simhash",
     "q60_classify_terms",
     "q61_graph_nodes",
     "q62_graph_edges",
