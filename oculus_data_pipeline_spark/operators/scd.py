@@ -87,3 +87,30 @@ def cdc_apply(
     return latest.select(
         *key_cols, *[F.col(f"__r.{c}").alias(c) for c in rest]
     ).where(F.col(op_col) != delete_op)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key: str,
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal (point-in-time) join: each fact row matches the ONE
+    dimension version whose [valid_from, valid_to) interval covers the
+    fact timestamp — the correctness-critical lookup against an SCD2
+    dimension (training-data joins against feature snapshots have the
+    same shape; skew/leakage bugs come from getting this wrong).
+
+    The join is an EQUI-join on the business key with the interval
+    predicate alongside — per key there are few versions, so this is
+    shuffle-partitioned on the key and never a nested loop. ``ts_col``
+    must be comparable with the validity bounds (ISO date strings
+    compare lexicographically).
+    """
+    cond = (
+        (facts[key] == dim_history[key])
+        & (facts[ts_col] >= dim_history["valid_from"])
+        & (facts[ts_col] < dim_history["valid_to"])
+    )
+    return facts.join(dim_history, cond, how).drop(dim_history[key])

@@ -4248,6 +4248,80 @@ def q123_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q123_SQL)
 
 
+@query(
+    "q124_point_in_time_join",
+    f"""
+    WITH current AS (
+      SELECT c_custkey, c_acctbal,
+             '1995-01-01' AS valid_from, '9999-12-31' AS valid_to
+      FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+             '1997-01-01' AS change_date
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    hist AS (
+      SELECT cur.c_custkey, cur.c_acctbal, cur.valid_from,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.change_date
+                  ELSE cur.valid_to END AS valid_to
+      FROM current cur LEFT JOIN updates u ON u.c_custkey = cur.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, change_date, '9999-12-31' FROM updates
+    )
+    SELECT h.valid_from AS version_from, h.valid_to AS version_to,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice', 6)} AS sum_totalprice,
+           {dsum_sql('h.c_acctbal', 6)} AS sum_acctbal_at_order
+    FROM orders o
+    JOIN hist h ON h.c_custkey = o.o_custkey
+              AND strftime(o.o_orderdate, '%Y-%m-%d') >= h.valid_from
+              AND strftime(o.o_orderdate, '%Y-%m-%d') < h.valid_to
+    GROUP BY h.valid_from, h.valid_to
+    """,
+)
+def q124_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal correctness lookup: every order joins the SCD2 customer
+    version valid AT ITS ORDER DATE (operators/scd.py:
+    point_in_time_join — equi-join on the business key, interval
+    predicate alongside; never a nested loop). Customers with
+    c_custkey % 7 = 0 change balance on 1997-01-01, so orders split
+    across three version cohorts — the as-of-time feature-snapshot
+    join every leakage-free training pipeline needs."""
+    from .operators.scd import point_in_time_join, scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    )
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("1997-01-01").alias("change_date"),
+    )
+    hist = scd2_apply(current, updates, key="c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    return (
+        point_in_time_join(o, hist, key="c_custkey", ts_col="order_date")
+        .groupBy(
+            F.col("valid_from").alias("version_from"),
+            F.col("valid_to").alias("version_to"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 6).alias("sum_totalprice"),
+            dsum("c_acctbal", 6).alias("sum_acctbal_at_order"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4310,11 +4384,11 @@ _ATTESTATION_PRIORITY = [
     "q121_hybrid_near_dup_report",
     "q122_sequence_packing",
     "q123_sql_api",
+    "q124_point_in_time_join",
     # --- flagship family anchors filling the 50-query window ---
     "q60_classify_terms",
     "q61_graph_nodes",
     "q62_graph_edges",
-    "q66_lsh_verified_near_dups",
     "q70_curation_pipeline",
     # Everything else (r1/r2-attested, unchanged) sorts alphabetically
     # after the window, still exact-value green in the local harness.
