@@ -4322,6 +4322,130 @@ def q124_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q125_interevent_gap_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    ),
+    gaps AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM gaps
+    )
+    SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_gaps,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(COUNT(*) FILTER (gap_s > 1800) AS BIGINT) AS n_session_breaks,
+           CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN gap_s END) AS BIGINT)
+             AS median_gap_s,
+           CAST(MAX(CASE WHEN rn = (19 * cnt + 19) // 20 THEN gap_s END) AS BIGINT)
+             AS p95_gap_s
+    FROM r GROUP BY event_type
+    """,
+)
+def q125_interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-threshold sizing: the distribution of per-user
+    inter-event gaps, grouped by the event type that CLOSES the gap —
+    n_gaps, max, count over the classic 30-min break, and EXACT
+    median/p95 at percentile_disc ranks. This is the measurement that
+    justifies the session-window gap parameter (q16) and the stream
+    watermark delay, computed from the data instead of folklore. One
+    lag window per user, one rank window per event type (bounded
+    partition count — the q117 percentile pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wl)).alias(
+                "gap_s"
+            ),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    wr = W.partitionBy("event_type").orderBy("gap_s")
+    r = gaps.select(
+        "event_type",
+        "gap_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("cnt"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("cnt").cast("long").alias("n_gaps"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum((F.col("gap_s") > 1800).cast("long")).alias("n_session_breaks"),
+        F.max(F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("gap_s")))
+        .cast("long")
+        .alias("median_gap_s"),
+        F.max(F.when(F.expr("rn = (19 * cnt + 19) DIV 20"), F.col("gap_s")))
+        .cast("long")
+        .alias("p95_gap_s"),
+    )
+
+
+@query(
+    "q126_entity_resolution",
+    """
+    WITH RECURSIVE pairsq AS (
+      WITH vals AS (SELECT DISTINCT p_name AS v FROM part)
+      SELECT a.v AS name_a, b.v AS name_b
+      FROM vals a JOIN vals b
+        ON string_split(a.v, ' ')[1] = string_split(b.v, ' ')[1]
+       AND a.v < b.v
+      WHERE levenshtein(a.v, b.v) <= 3
+    ),
+    sym AS (
+      SELECT name_a AS a, name_b AS b FROM pairsq
+      UNION
+      SELECT name_b, name_a FROM pairsq
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    pc AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1)
+    SELECT comp AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(pc.n) AS BIGINT) AS n_parts
+    FROM comp JOIN pc ON pc.p_name = comp.id
+    GROUP BY comp
+    """,
+)
+def q126_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked edit-distance pairs over
+    distinct part names (q89's record-linkage shape) → connected
+    components over the name-variant graph → one canonical entity per
+    cluster (min name) with variant and row counts. The master-data
+    'same real-world thing, different spellings' pipeline: blocking
+    bounds the quadratic verify, CC handles transitive variants, and
+    the aggregate maps every raw row to its entity."""
+    from .operators.graph_algo import connected_components
+    from .operators.stringsim import blocked_levenshtein_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = blocked_levenshtein_pairs(p, "p_name", max_dist=3).select(
+        "name_a", "name_b"
+    )
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    per_name = p.groupBy(F.col("p_name").alias("id")).agg(F.count("*").alias("n"))
+    return (
+        comp.join(per_name, "id")
+        .groupBy(F.col("comp").alias("canonical_name"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sum("n").alias("n_parts"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4385,11 +4509,11 @@ _ATTESTATION_PRIORITY = [
     "q122_sequence_packing",
     "q123_sql_api",
     "q124_point_in_time_join",
+    "q125_interevent_gap_stats",
+    "q126_entity_resolution",
     # --- flagship family anchors filling the 50-query window ---
-    "q60_classify_terms",
     "q61_graph_nodes",
     "q62_graph_edges",
-    "q70_curation_pipeline",
     # Everything else (r1/r2-attested, unchanged) sorts alphabetically
     # after the window, still exact-value green in the local harness.
 ]
