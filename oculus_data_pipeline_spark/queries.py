@@ -4446,6 +4446,113 @@ def q126_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q127_part_cooccurrence",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q127_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the A-Priori candidate step): part
+    pairs bought in the same order, top-20 by support with a total
+    tie-break. The self-join keys on the ORDER (baskets are small, so
+    per-key fan-out is bounded by basket size² — never corpus-
+    quadratic); top-k compiles to TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q128_gap_sessionization",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+             SUM(CAST(value AS DECIMAL(22,6))) AS v
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM per_session
+    """,
+)
+def q128_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the cumulative-flag pattern:
+    a session starts where the per-user gap exceeds 30 min; session_idx
+    is the running count of starts, so the whole assignment is two
+    window passes on the user key (the batch twin of q16's
+    session_window streaming aggregation, summarized corpus-wide).
+    Decimal-exact value totals."""
+    ev = load_table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("long")).over(wl)
+    is_new = (
+        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts) > 1800)
+    ).cast("long")
+    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    s = ev.select(
+        "user_id", "ts", "value", is_new.alias("is_new")
+    ).withColumn("session_idx", F.sum("is_new").over(ws))
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+        F.sum(F.col("value").cast("decimal(22,6)")).alias("v"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("duration_s").alias("max_duration_s"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4511,9 +4618,11 @@ _ATTESTATION_PRIORITY = [
     "q124_point_in_time_join",
     "q125_interevent_gap_stats",
     "q126_entity_resolution",
-    # --- flagship family anchors filling the 50-query window ---
-    "q61_graph_nodes",
-    "q62_graph_edges",
+    "q127_part_cooccurrence",
+    "q128_gap_sessionization",
+    # q61/q62 and the other family anchors are r1+r2-driver-attested
+    # and unchanged this round; every remaining slot goes to queries
+    # with no driver row yet.
     # Everything else (r1/r2-attested, unchanged) sorts alphabetically
     # after the window, still exact-value green in the local harness.
 ]
