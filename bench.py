@@ -57,6 +57,10 @@ HEADLINE = [
     "q113_int8_quantization",
     "q114_bucketed_range_join",
     "q120_prepare_corpus",
+    "q124_point_in_time_join",
+    "q126_entity_resolution",
+    "q127_part_cooccurrence",
+    "q128_gap_sessionization",
 ]
 
 

@@ -202,3 +202,78 @@ def test_streaming_pii_scrub_equals_batch(spark, sf_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM pii_out").collect()}
     assert got == batch
+
+
+def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
+    """Incremental SCD2 maintenance under streaming: applying two
+    update micro-batches through foreachBatch, each with scd2_apply on
+    the accumulated state, yields exactly the one-shot batch result —
+    the MERGE-INTO-equivalent streaming upsert loop."""
+    import os
+
+    from oculus_data_pipeline_spark.operators.scd import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, 10.0, "1995-01-01", "9999-12-31"),
+         (2, 20.0, "1995-01-01", "9999-12-31"),
+         (3, 30.0, "1995-01-01", "9999-12-31")],
+        "k long, bal double, valid_from string, valid_to string",
+    )
+    u1 = [(1, 11.0, "1997-01-01")]
+    u2 = [(2, 22.0, "1998-06-01"), (1, 12.0, "1999-02-01")]
+    schema = "k long, bal double, change_date string"
+
+    # batch ground truth: apply both update sets in order
+    expected = scd2_apply(
+        scd2_apply(current, spark.createDataFrame(u1, schema), key="k"),
+        spark.createDataFrame(u2, schema),
+        key="k",
+    )
+    expected_rows = {tuple(r) for r in expected.collect()}
+
+    # streaming: updates arrive as two files; foreachBatch folds each
+    # micro-batch into the persisted state with the same operator
+    upd_dir = tmp_path / "updates"
+    state_dir = str(tmp_path / "state")
+    upd_dir.mkdir()
+    spark.createDataFrame(u1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(upd_dir / "b1.parquet")
+    )
+    current.write.mode("overwrite").parquet(state_dir)
+
+    def apply_batch(updates, epoch_id):
+        if not updates.head(1):
+            return
+        state = spark.read.parquet(state_dir)
+        new_state = scd2_apply(state, updates, key="k").collect()
+        spark.createDataFrame(new_state, state.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(upd_dir) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(u2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(upd_dir / "b2.parquet")
+    )
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(upd_dir) + "/*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(state_dir).collect()}
+    assert got == expected_rows
