@@ -61,6 +61,7 @@ HEADLINE = [
     "q126_entity_resolution",
     "q127_part_cooccurrence",
     "q128_gap_sessionization",
+    "q129_gap_fill_forward",
 ]
 
 
