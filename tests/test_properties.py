@@ -82,3 +82,85 @@ def test_convert_name_property(spark):
     for r in rows:
         expected = ref_model.convert_name(r["name"])
         assert r["conv"] == expected, repr(r["name"])
+
+
+def test_bucketed_range_join_equals_naive_theta_join(spark):
+    """For arbitrary points and intervals, the bucket-grid rewrite
+    returns EXACTLY the naive BETWEEN theta join's matches — at every
+    bucket width, including widths misaligned with interval bounds."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    points_samples: list[float] = []
+    bounds_samples: list[tuple[float, float]] = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        st.floats(min_value=0.125, max_value=50, allow_nan=False, width=32),
+    )
+    def collect(p, lo, span):
+        points_samples.append(float(p))
+        bounds_samples.append((float(lo), float(lo + span)))
+
+    collect()
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points_samples)], "pid long, value double"
+    )
+    ranges = spark.createDataFrame(
+        [(f"r{i}", lo, hi) for i, (lo, hi) in enumerate(bounds_samples[:25])],
+        "band string, lo double, hi double",
+    )
+    for width in (1.0, 7.3, 64.0):
+        got = {
+            (r.pid, r.band)
+            for r in bucketed_range_join(
+                pts, ranges, "value", "lo", "hi", width
+            ).collect()
+        }
+        naive = {
+            (r.pid, r.band)
+            for r in pts.join(
+                ranges, (pts.value >= ranges.lo) & (pts.value < ranges.hi)
+            ).collect()
+        }
+        assert got == naive, f"width={width}"
+
+
+def test_int8_quantize_error_bound(spark):
+    """Dequantizing any vector's codes reconstructs each element to
+    within half a quantization step of the true value."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.operators.quantize import dim_stats
+
+    vec_samples: list[list[float]] = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        )
+    )
+    def collect(v):
+        vec_samples.append([float(x) for x in v])
+
+    collect()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vec_samples)],
+        "vec_id long, embedding array<double>",
+    )
+    stats = {r.d: (r.lo, r.hi) for r in dim_stats(emb).collect()}
+    for _, v in enumerate(vec_samples):
+        for d, x in enumerate(v):
+            lo, hi = stats[d]
+            if hi - lo <= 0:
+                continue
+            step = (hi - lo) / 254
+            code = round((x - lo) / (hi - lo) * 254) - 127
+            deq = lo + (code + 127) * step
+            assert abs(deq - x) <= step / 2 + 1e-9
