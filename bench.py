@@ -62,6 +62,7 @@ HEADLINE = [
     "q127_part_cooccurrence",
     "q128_gap_sessionization",
     "q129_gap_fill_forward",
+    "q130_incremental_agg_merge",
 ]
 
 
