@@ -63,6 +63,8 @@ HEADLINE = [
     "q128_gap_sessionization",
     "q129_gap_fill_forward",
     "q130_incremental_agg_merge",
+    "q131_nearest_event_join",
+    "q132_revenue_share",
 ]
 
 
