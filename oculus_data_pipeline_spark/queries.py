@@ -2271,15 +2271,24 @@ def q67_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql('c.c_acctbal', 6)} AS total_bal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_nationkey
     """,
 )
 def q68_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: uncorrelated scalar aggregate subquery
-    (broadcast one-row cross join) + NOT EXISTS anti-join + group."""
+    (broadcast one-row cross join) + NOT EXISTS anti-join + group.
+
+    The anti-join side is restricted to urgent orders (the synthetic
+    generator gives every customer at least one order, so the classic
+    "no orders at all" predicate is structurally empty — a vacuous pass
+    flagged in the round-3 verdict)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = (
         c.where(F.col("c_acctbal") > 0)
         .agg(

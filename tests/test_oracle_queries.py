@@ -31,4 +31,15 @@ def test_oracle_match(name, spark, sf_dir, conn):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name} returned 0 rows — vacuous rows-only pass"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_not_vacuous(name, conn):
+    """Registry-wide guard against vacuous green: a query whose oracle
+    returns 0 rows at sf0.001 'hash-matches' an empty result and proves
+    nothing (this class slipped through in rounds 1 and 3 — q05/q11/q51
+    and then q68).  Uses the DuckDB oracle alone, so the whole sweep is
+    cheap; a hash-matching Spark side necessarily has the same count."""
+    n = len(conn.execute(ORACLE[name]).fetchall())
+    assert n > 0, f"{name} oracle returns 0 rows at sf0.001 — vacuous pass"
