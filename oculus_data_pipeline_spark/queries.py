@@ -1651,7 +1651,19 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency top-20 (explode → count → global top-k
-    with deterministic tie-break)."""
+    with deterministic tie-break).
+
+    The top-k is a distributed ``orderBy().limit()`` (Spark plans
+    TakeOrderedAndProject: per-partition heaps, k rows to the driver
+    stage) — NOT a row_number over an unpartitioned window, which would
+    funnel the whole post-aggregation vocabulary (hundreds of millions
+    of tokens at 100 TB) through one task.  The rank is derived after
+    the limit as a 20x20 broadcast self-join beat-count (rank = 1 +
+    rows that sort ahead) — no window at all, so no unpartitioned
+    WindowExec anywhere in the plan (Spark's EliminateWindowPartitions
+    folds any constant partition key back to the unpartitioned form).
+    The two references to the top-20 subplan share the aggregation
+    shuffle via exchange reuse, so the corpus is still scanned once."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split(normalize_term("text"), " ")).alias("tok"))
@@ -1659,11 +1671,15 @@ def q45_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    a, b = top.alias("a"), top.alias("b")
+    beats = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") < F.col("a.tok"))
+    )
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-        .select("tok", "n", "rnk")
+        a.join(F.broadcast(b), beats, "left")
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.n").alias("n"))
+        .agg((F.count(F.col("b.tok")) + F.lit(1)).cast("int").alias("rnk"))
     )
 
 
@@ -4793,10 +4809,11 @@ def q131_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent analytics: each nation's revenue as a share of
-    its region and of the corpus, via window sums OVER the aggregated
-    rows (25 rows — the global window runs over the aggregate, never
-    the fact table, so the single-partition window is bounded by group
-    cardinality, not data size). Decimal-exact revenue; shares divided
+    its region (partitioned window over the 25-row aggregate) and of
+    the corpus (broadcast one-row scalar aggregate cross join — the
+    repo's standard idiom for global totals, avoiding the unpartitioned
+    window that would otherwise funnel everything through one task and
+    spray WindowExec warnings). Decimal-exact revenue; shares divided
     as identical doubles in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -4811,8 +4828,8 @@ def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev.cast("decimal(22,6)")).alias("rev"))
     )
     wr = W.partitionBy("region")
-    wt = W.partitionBy()
-    return per_nation.select(
+    total = per_nation.agg(F.sum("rev").alias("total_rev"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
         "region",
         "nation",
         F.col("rev").cast("double").alias("revenue"),
@@ -4820,7 +4837,7 @@ def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6
         ).alias("share_of_region"),
         F.round(
-            F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double"), 6
+            F.col("rev").cast("double") / F.col("total_rev").cast("double"), 6
         ).alias("share_of_total"),
     )
 
