@@ -31,7 +31,12 @@ HEADLINE = [
     "q19_asof_join",
     "q21_generate_uri",
     "q30_exact_dedup",
-    "q31_ngram_jaccard_pairs",
+    # q31 (unguarded exact Jaccard) is deliberately NOT headline: it is
+    # the one super-linear tier (Σ df² join work once the shingle vocab
+    # saturates). q133 is the same exact semantics behind the max_df
+    # stop-shingle skew guard — linear join work — and q66 is the
+    # LSH-then-verify scale path.
+    "q133_stop_shingle_jaccard",
     "q32_minhash_lsh_pairs",
     "q33_simhash",
     "q38_lsh_ann_topk",

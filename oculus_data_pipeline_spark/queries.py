@@ -4842,6 +4842,40 @@ def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q133_stop_shingle_jaccard",
+    f"""
+    WITH {_shingle_cte(3)},
+    hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
+    hot AS (SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= 5),
+    kept AS (SELECT h.id, h.sh FROM hashed h JOIN hot USING (sh)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q133_stop_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31's exact n-gram Jaccard with the stop-shingle skew guard
+    (max_df=5): Jaccard over df-filtered shingle sets.  Join work is
+    bounded at O(#shingles · max_df²) — linear in corpus size — where
+    the unguarded tier is Σ df² (quadratic once the shingle vocabulary
+    saturates).  On this testdata the guarded result equals the exact
+    one pair-for-pair; the guard is what makes the exact tier
+    shippable as a default at 100 TB."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=5
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Rounds 1+2 together
 # attested 90 of the registry; round 3's window leads with the 15
