@@ -1686,7 +1686,8 @@ def q45_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q46_approx_distinct")
 def q46_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — engine-specific sketch, so no
-    SQL oracle (rows-only check); pytest bounds the error vs exact."""
+    SQL oracle (rows-only check); pytest bounds the error vs exact and
+    q134_hll_error_report hash-matches the closed-form error bound."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -1791,7 +1792,8 @@ def q85_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates, 2-probe search with exact in-list re-rank. Iterative
     training has no closed-form SQL, so like q46 (HLL) this is the
     rows-only tier — the algorithm is pinned bit-exactly against an
-    independent NumPy replica in tests/test_ivf_kmeans.py."""
+    independent NumPy replica in tests/test_ivf_kmeans.py, and the
+    SQL-expressible assignment step hash-matches in q135_kmeans_assign."""
     from .operators.ivf import ivf_kmeans_ann
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4839,6 +4841,95 @@ def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("rev").cast("double") / F.col("total_rev").cast("double"), 6
         ).alias("share_of_total"),
+    )
+
+
+@query(
+    "q134_hll_error_report",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q134_hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form attestation for the HLL++ sketch (q46's companion):
+    the sketch itself is engine-specific, but its *error bound* is not.
+    Runs approx_count_distinct at rsd=0.02 next to the exact distinct
+    and emits whether the relative error stayed within 5 % (2.5 σ of
+    the requested rsd — HLL++ is deterministic for given data, so this
+    is a stable, oracle-checkable fact, not a flaky probability).  The
+    oracle pins the exact counts and the bound; q46 stays the raw
+    sketch surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+def _kmeans_assign_oracle(k: int = 8, dim: int = EMB_DIM) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
+    scored AS (
+      SELECT e.vec_id, cid, {_cosine_sql('e.v', 'cv', dim)} AS sim
+      FROM e CROSS JOIN cent
+    )
+    SELECT vec_id, cluster, cos_sim FROM (
+      SELECT vec_id, cid AS cluster, ROUND(sim, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@query("q135_kmeans_assign", _kmeans_assign_oracle())
+def q135_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form attestation for the k-means step (q85's companion):
+    one assignment iteration from a fixed, deterministic seed (the k
+    lowest vec_ids' vectors are the initial codebook).  This IS the
+    inner loop of operators/ivf.py's Lloyd training expressed
+    declaratively — broadcast codebook, HOF-fold cosine, argmin via a
+    partitioned window — and it is exactly SQL-expressible, so the
+    one piece of q85 that the rows-only tier couldn't hash-match gets
+    a full cross-engine value check here.  Iterative convergence
+    stays pinned bit-exactly against the NumPy replica in
+    tests/test_ivf_kmeans.py."""
+    from .functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "sim", cosine_similarity(F.col("v"), F.col("cv"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.round("sim", 6).alias("cos_sim"),
+        )
     )
 
 
