@@ -118,3 +118,63 @@ def test_wav_roundtrip_and_chunk_walk():
     wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
     assert parse_wav_header(wrapped) == (16000, 1, 16, 50, 3)
     assert parse_wav_header(b"RIFFxxxxNOPE") is None
+
+
+def test_video_roundtrip_both_containers():
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        encode_video_stub,
+        parse_video_container,
+    )
+
+    for container in ("gif", "avi"):
+        w, h, nf, cs = 320, 240, 7, 12
+        content = encode_video_stub(w, h, nf, cs, container)
+        got = parse_video_container(content)
+        assert got is not None
+        assert got[:5] == (w, h, nf, nf * cs * 10, container)
+        slices = got[5]
+        assert len(slices) == nf
+        # payload spans are real, in-bounds, and distinct per frame
+        payloads = [bytes(content[o : o + ln]) for o, ln in slices]
+        assert all(payloads)
+        assert len(set(payloads)) == nf
+    for bad in (b"", b"GIF89a", b"RIFF\x00\x00\x00\x00AVI ", b"\x00" * 64):
+        assert parse_video_container(bad) is None
+    # truncation (no trailer) must not parse as a valid GIF
+    gif = encode_video_stub(16, 16, 2, 4, "gif")
+    assert parse_video_container(gif[:-2]) is None
+
+
+def test_video_decode_and_real_frame_sampling(spark, sf_dir):
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        decode_videos,
+        frame_sample_video,
+        make_video_table,
+    )
+    from oculus_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = make_video_table(docs)
+    decoded = {r["media_id"]: r for r in decode_videos(media).collect()}
+    assert decoded and all(r["decoded_ok"] for r in decoded.values())
+    assert {r["container"] for r in decoded.values()} <= {"gif", "avi"}
+
+    frames = frame_sample_video(media, every_ms=500).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(decoded)
+    for mid, rows in by_media.items():
+        d = decoded[mid]
+        # one sample per 500 ms of container-declared duration
+        assert len(rows) == (d["duration_ms"] + 499) // 500
+        for r in sorted(rows, key=lambda r: r["ts_ms"]):
+            assert 0 <= r["frame_idx"] < d["n_frames"]
+            assert len(r["frame_sha"]) == 16
+        # frame_idx is non-decreasing in time and the sha is a pure
+        # function of the frame (same frame -> same sha)
+        seq = sorted(rows, key=lambda r: r["ts_ms"])
+        assert [r["frame_idx"] for r in seq] == sorted(r["frame_idx"] for r in seq)
+        sha_by_idx = {}
+        for r in seq:
+            assert sha_by_idx.setdefault(r["frame_idx"], r["frame_sha"]) == r["frame_sha"]
