@@ -45,9 +45,13 @@ def unigram_rarity(
     term frequency); doc score = Σ tf·rarity DIV n_tokens. Rare-token-
     heavy documents score high, boilerplate scores low.
 
-    BIGINT throughout: safe to ~9e12 total tokens at scale=1e6; past
-    that, widen to DECIMAL(38,0) — the plan shape is unchanged.
-    Returns (id, n_tokens, rarity_score).
+    Per-token rarity and the final score are BIGINT (score ≤ max
+    rarity ≤ total·scale: safe to ~9e12 total tokens at scale=1e6).
+    The intermediate Σ tf·rarity is summed in DECIMAL(38,0) — its
+    bound is n_tokens·total·scale, which would wrap BIGINT ~1000×
+    earlier for a 1000-token doc of hapaxes (and DuckDB's HUGEINT
+    oracle sums would diverge from a silently-wrapping non-ANSI
+    Spark).  Returns (id, n_tokens, rarity_score).
     """
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(_toks(text_col)).alias("token")
@@ -64,12 +68,16 @@ def unigram_rarity(
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("rarity")).alias("rarity_mass"),
+            F.sum((F.col("tf") * F.col("rarity")).cast("decimal(38,0)")).alias(
+                "rarity_mass"
+            ),
         )
         .select(
             "id",
             "n_tokens",
-            F.expr("rarity_mass div n_tokens").alias("rarity_score"),
+            F.expr("CAST(rarity_mass div n_tokens AS BIGINT)").alias(
+                "rarity_score"
+            ),
         )
     )
 

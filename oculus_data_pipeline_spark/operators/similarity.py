@@ -386,6 +386,10 @@ def lsh_recall_report(
             "n_exact",
             "n_lsh",
             "n_common",
-            F.expr("n_common * 10000 div n_exact").alias("recall_bp"),
+            # pin NULL on a degenerate empty exact set in BOTH engines
+            # (DuckDB's integer // by zero is engine/version dependent)
+            F.expr(
+                "CASE WHEN n_exact > 0 THEN n_common * 10000 div n_exact END"
+            ).alias("recall_bp"),
         )
     )

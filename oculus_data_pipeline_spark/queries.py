@@ -4108,8 +4108,9 @@ def _lsh_recall_oracle(threshold: float = 0.4) -> str:
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM lshp) AS n_lsh,
            n_common,
-           (n_common * 10000) // (SELECT CAST(COUNT(*) AS BIGINT) FROM ex)
-             AS recall_bp
+           CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+                THEN (n_common * 10000) // (SELECT CAST(COUNT(*) AS BIGINT) FROM ex)
+           END AS recall_bp
     FROM c
     """
 
@@ -5099,8 +5100,9 @@ _ATTESTATION_PRIORITY = [
     "q131_nearest_event_join",
     "q132_revenue_share",
     # q74 steps aside (q124 attests the same scd2_apply code path);
-    # q87/q91/q92 step aside (its explode-symmetrization change is the same
-    # code path q97/q106 re-attest). q61/q62 and the other family anchors are r1+r2-driver-attested
+    # q87/q91 step aside because they are r2-attested and unchanged;
+    # q92 steps aside because its explode-symmetrization path is the
+    # one q97/q106 re-attest. q61/q62 and the other family anchors are r1+r2-driver-attested
     # and unchanged this round; every remaining slot goes to queries
     # with no driver row yet.
     # Everything else (r1/r2-attested, unchanged) sorts alphabetically
