@@ -115,7 +115,9 @@ def ngram_jaccard_pairs(
     what the 8× scaling probe shows for the unguarded exact tier).
     High-similarity pairs share their *rare* shingles, so a df cap
     well above the duplicate-cluster size preserves them; on this
-    testdata max_df=5 reproduces the exact result bit-for-bit.
+    testdata max_df=5 reproduces the exact result pair-for-pair (the
+    jaccard value itself can shift slightly on near-identical pairs
+    whose shared hot shingles were dropped — filtered-set semantics).
     """
     sh = hashed_shingle_table(docs, text_col, id_col, n)
     if max_df is not None:

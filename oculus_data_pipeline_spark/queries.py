@@ -5024,8 +5024,10 @@ def q133_stop_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max_df=5): Jaccard over df-filtered shingle sets.  Join work is
     bounded at O(#shingles · max_df²) — linear in corpus size — where
     the unguarded tier is Σ df² (quadratic once the shingle vocabulary
-    saturates).  On this testdata the guarded result equals the exact
-    one pair-for-pair; the guard is what makes the exact tier
+    saturates).  On this testdata the guarded result finds the exact
+    tier's pairs pair-for-pair (values can shift slightly on
+    near-identical pairs — filtered-set semantics, pinned in
+    tests/test_operators.py); the guard is what makes the exact tier
     shippable as a default at 100 TB."""
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=5

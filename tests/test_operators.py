@@ -605,3 +605,75 @@ def test_triangle_counts_oriented_enumeration(spark):
     # a plain path has no triangles
     path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     assert triangle_counts(path).count() == 0
+
+
+def _zipf_docs(spark, n_docs=120, vocab=400, doc_len=24, exponent=1.1):
+    """Deterministic Zipfian corpus: token ranks drawn with p ∝ 1/rank^s
+    — the skewed-frequency distribution the AllPairs prefix filter is
+    designed for (rare tokens prune most candidate pairs). A handful of
+    near-duplicate pairs are planted by copying a doc and perturbing
+    one token."""
+    import bisect
+    import hashlib
+    import itertools
+
+    weights = [1.0 / (r**exponent) for r in range(1, vocab + 1)]
+    cum = list(itertools.accumulate(weights))
+    total = cum[-1]
+
+    def tok(doc, i):
+        h = int.from_bytes(
+            hashlib.sha256(f"{doc}:{i}".encode()).digest()[:8], "big"
+        )
+        return f"w{bisect.bisect_left(cum, (h / 2**64) * total)}"
+
+    rows = [
+        (d, " ".join(tok(d, i) for i in range(doc_len))) for d in range(n_docs)
+    ]
+    # planted near-dups: copy with one token changed (jaccard well > 0.5)
+    for j, src in enumerate((3, 17, 42)):
+        toks = rows[src][1].split()
+        toks[5] = "perturbed"
+        rows.append((n_docs + j, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_filter_parity_on_zipfian_corpus(spark):
+    """AllPairs prefix pruning (prefix_filter=True) must return exactly
+    the inverted-index join's pairs on its intended input — a Zipfian
+    vocabulary (the uniform-vocab testdata measures it LOSING, see
+    dedup.py docstring; this pins the lossless-ness claim on the
+    distribution where it wins)."""
+    docs = _zipf_docs(spark)
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, prefix_filter=True).collect()
+    }
+    assert base == pref
+    planted = {(3, 120), (17, 121), (42, 122)}
+    assert planted <= {(a, b) for a, b, _ in base}
+
+
+def test_stop_shingle_guard_parity_and_semantics(spark, sf_dir):
+    """max_df well above the duplicate-cluster size reproduces the
+    exact result on the documents table; an aggressive cap changes
+    (documented) semantics but never invents pairs above threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=5).collect()
+    }
+    # same pairs survive; dropping a df>max_df shingle from a
+    # near-identical pair can shift its jaccard by at most a few
+    # shingles' worth (filtered-set semantics, documented)
+    assert set(exact) == set(guarded)
+    for pair, j in exact.items():
+        assert abs(j - guarded[pair]) < 0.05
