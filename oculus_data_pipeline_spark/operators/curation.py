@@ -161,3 +161,53 @@ def source_reputation(
             (mean_q >= F.lit(quality_floor)) & (F.col("n_docs") >= F.lit(min_docs))
         ).alias("keep"),
     )
+
+
+def scrub_duplicate_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+    max_df: int = 2,
+) -> DataFrame:
+    """Sub-document exact dedup (the CCNet/RefinedWeb line-dedup stage,
+    on token windows since this corpus has no line structure): chunk
+    each doc into ``seg_tokens``-token segments, count each segment
+    text's document frequency corpus-wide, drop segments that occur in
+    more than ``max_df`` chunks (boilerplate / template spans), and
+    reassemble the surviving text in original order.
+
+    Returns (id, n_segments, n_kept, kept_tokens, kept_text).
+
+    Scale shape: chunking is a narrow map (textstats.chunk_documents);
+    the corpus-wide segment df is ONE window shuffle keyed on the
+    48-bit segment hash (uniform by construction — hot boilerplate
+    hashes are exactly the rows the filter then drops, and the window
+    only counts, so a hot key costs a count not a blow-up); reassembly
+    is one groupBy on doc id. Segment text never moves twice: the
+    hash rides the df shuffle, the text rides only the per-doc
+    reassembly."""
+    from ..functions.hashing import md5_int
+    from .textstats import chunk_documents
+
+    segs = chunk_documents(
+        docs, text_col=text_col, id_col=id_col, chunk_tokens=seg_tokens
+    ).withColumn("sh", md5_int(F.col("chunk_text")))
+    cnt = F.count("*").over(W.partitionBy("sh"))
+    flagged = segs.withColumn("keep", cnt <= max_df)
+    kept_struct = F.when(
+        F.col("keep"), F.struct("chunk_id", "chunk_text")
+    )  # collect_list drops the nulls for scrubbed segments
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep"), F.col("n_chunk_tokens")).otherwise(0)
+        ).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk_text
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

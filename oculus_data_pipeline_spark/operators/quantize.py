@@ -83,3 +83,83 @@ def int8_quantize(
             F.array_max(codes).alias("q_max"),
         )
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization (PQ) encoding — the second compression tier
+    above :func:`int8_quantize` (FAISS ``PQ`` / the codebook half of
+    IVFPQ, built on the same deterministic-seed convention as
+    operators/ivf.py): split each vector into ``n_subspaces``
+    contiguous sub-vectors, assign each sub-vector to its nearest of
+    ``k`` per-subspace centroids (squared L2, left-fold order,
+    tie-break on centroid id), emit one row per (vector, subspace)
+    with the chosen code and its quantization error.
+
+    The codebook is the ``k`` lowest-``id_col`` vectors (fixed seed —
+    cross-engine checkable like the q135 k-means step; swapping in
+    Lloyd-trained centroids from operators/ivf.py changes only the
+    codebook row, not the plan). Scale shape: the codebook collapses
+    to ONE broadcast row of k full vectors, so encoding is a pure
+    projection on the scan — explode over subspace ids is narrow, the
+    argmin is an ``array_min`` over a k-element struct array computed
+    by HOF folds, and nothing shuffles at any corpus size. PQ codes
+    at M=4, k=8 are 4 × 3 bits per vector vs 64 × 32 bits raw.
+    """
+    sub = dim // n_subspaces
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # one broadcast row: the k centroid vectors sorted by id
+    cb_row = (
+        e.where(F.col("id") < k)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "v"))),
+                lambda s: s.v,
+            ).alias("cvs")
+        )
+    )
+    start = (F.col("m") * sub + 1).cast("int")
+    subv = F.slice(F.col("v"), start, sub)
+
+    def sq_dist(j):
+        subc = F.slice(F.element_at(F.col("cvs"), (j + 1).cast("int")), start, sub)
+        return F.aggregate(
+            F.zip_with(subv, subc, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.struct(sq_dist(j).alias("d"), j.cast("long").alias("cid")),
+    )
+    return (
+        e.crossJoin(F.broadcast(cb_row))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "v",
+            "cvs",
+        )
+        .select(
+            "id",
+            F.col("m").cast("long").alias("m"),
+            F.array_min(cands).alias("best"),
+        )
+        .select(
+            "id",
+            "m",
+            F.col("best.cid").alias("code"),
+            F.round(F.col("best.d"), 6).alias("sq_dist"),
+        )
+    )

@@ -5034,6 +5034,84 @@ def q133_stop_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q139_segment_scrub",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    t AS (SELECT id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+    c AS (SELECT id, toks, UNNEST(range(0, (n + 15) // 16)) AS chunk_id FROM t),
+    segs AS (
+      SELECT id, chunk_id,
+             array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text,
+             len(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16]) AS n_chunk_tokens
+      FROM c
+    ),
+    h AS (SELECT *, {md5_int_sql('chunk_text')} AS sh FROM segs),
+    f AS (SELECT *, COUNT(*) OVER (PARTITION BY sh) <= 2 AS keep FROM h)
+    SELECT id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+           COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                               ORDER BY chunk_id), '') AS kept_text
+    FROM f GROUP BY id
+    """,
+)
+def q139_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (operators/curation.py:
+    scrub_duplicate_segments) — the CCNet/RefinedWeb boilerplate-scrub
+    stage: 16-token segments whose text occurs more than twice
+    corpus-wide are dropped and each doc's surviving text reassembled
+    in order. One hash-keyed window shuffle for the corpus-wide df,
+    one per-doc groupBy; segment text shuffles exactly once."""
+    from .operators.curation import scrub_duplicate_segments
+
+    return scrub_duplicate_segments(
+        load_table(spark, sf_dir, "documents"), seg_tokens=16, max_df=2
+    )
+
+
+def _pq_oracle(n_subspaces: int = 4, k: int = 8, dim: int = EMB_DIM) -> str:
+    sub = dim // n_subspaces
+    expr = "0.0"
+    for i in range(1, sub + 1):
+        t = f"(e.v[m * {sub} + {i}] - cv[m * {sub} + {i}])"
+        expr = f"({expr} + {t} * {t})"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
+    ms AS (SELECT UNNEST(range(0, {n_subspaces})) AS m),
+    scored AS (
+      SELECT e.vec_id AS id, m, cid, {expr} AS d
+      FROM e CROSS JOIN ms CROSS JOIN cent
+    )
+    SELECT id, m, code, sq_dist FROM (
+      SELECT id, m, cid AS code, ROUND(d, 6) AS sq_dist,
+             ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@query("q138_pq_encode", _pq_oracle())
+def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/quantize.py:pq_encode)
+    — 4 subspaces × 8 centroids from the fixed q135-style seed, one
+    row per (vector, subspace) with the argmin code and its squared-L2
+    quantization error. The Spark plan is shuffle-free: broadcast
+    one-row codebook, narrow subspace explode, HOF-fold argmin in the
+    projection; the oracle spells the identical left-fold per
+    subspace, so doubles match bit-for-bit."""
+    from .operators.quantize import pq_encode
+
+    return pq_encode(
+        load_table(spark, sf_dir, "embeddings"), n_subspaces=4, k=8, dim=EMB_DIM
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
