@@ -70,6 +70,11 @@ HEADLINE = [
     "q130_incremental_agg_merge",
     "q131_nearest_event_join",
     "q132_revenue_share",
+    # round-4 second-wave flagships
+    "q138_pq_encode",
+    "q139_segment_scrub",
+    "q140_embedding_gram",
+    "q141_source_mixture",
 ]
 
 

@@ -163,6 +163,73 @@ def source_reputation(
     )
 
 
+def source_mixture_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-mixture planning across sources — the sqrt-temperature
+    reweighting used to flatten source-size imbalance when mixing
+    corpora (α=0.5 sampling à la multilingual/LLM data recipes), plus
+    a deterministic hash sampler that realizes the plan.
+
+    Per source: exact token volume, mixture share ∝ √tokens, and the
+    count of documents the share actually samples (doc kept iff
+    md5(doc_id) % 1e6 < share·1e6 — reproducible across runs/engines,
+    no RNG). Cross-engine exactness: token counts are BIGINT; the
+    share denominator is a DECIMAL sum of per-source √tokens rounded
+    to 6 places (order-independent), so both engines divide identical
+    doubles.
+
+    Scale shape: two scans of the corpus (one aggregation pass, one
+    sampling pass), both reduced per-source map-side; the per-source
+    rate table is tiny and broadcast — no shuffle ever carries doc
+    text."""
+    from ..functions.hashing import md5_int
+    from ..functions.text import normalize_term
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(F.split(normalize_term(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        (md5_int(F.col(id_col).cast("string")) % 1000000).alias("u"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w = per_src.withColumn(
+        "w", F.round(F.sqrt(F.col("total_tokens")), 6).cast("decimal(28,6)")
+    )
+    tot = w.groupBy().agg(F.sum("w").alias("tw"))
+    share = F.round(F.col("w").cast("double") / F.col("tw").cast("double"), 6)
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        share.alias("share"),
+        F.round(share * 1000000).cast("long").alias("thr"),
+    )
+    sampled = (
+        per_doc.join(F.broadcast(rates.select("source", "thr")), "source")
+        .where(F.col("u") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "share",
+            F.coalesce(F.col("n_s"), F.lit(0).cast("long")).alias("n_sampled"),
+        )
+    )
+
+
 def scrub_duplicate_segments(
     docs: DataFrame,
     text_col: str = "text",

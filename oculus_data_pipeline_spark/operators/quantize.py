@@ -85,6 +85,66 @@ def int8_quantize(
     )
 
 
+def gram_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus Gram matrix (uncentred second moment) of the embedding
+    column — the calibration statistic behind PCA whitening and OPQ
+    rotation (the preprocessing stage ahead of :func:`pq_encode`).
+
+    Returns the upper triangle as (i, j, n_vecs, gram) with
+    gram = Σ_rows v_i·v_j / n-th — exact: components are quantized to
+    integers (round(x·scale)) so every product and the corpus-wide sum
+    are integer arithmetic (DECIMAL(38,0) accumulator — no float
+    summation order to drift cross-engine); only the final readout
+    rescales to double.
+
+    Scale shape: each row expands to its d(d+1)/2 index-pair products
+    inside one narrow codegen stage feeding a hash aggregate — map-side
+    partials mean every task emits at most d(d+1)/2 rows regardless of
+    row count, so the shuffle is O(partitions · d²), not O(N). This is
+    the declarative form of the classic per-partition outer-product
+    accumulation; vectors themselves never shuffle."""
+    e = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    qd = e.select(
+        F.transform("v", lambda x: F.round(x * scale).cast("long")).alias("q")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("q") - 1),
+            lambda i: F.transform(
+                F.sequence(i, F.size("q") - 1),
+                lambda j: F.struct(
+                    i.cast("long").alias("i"),
+                    j.cast("long").alias("j"),
+                    (
+                        F.element_at(F.col("q"), (i + 1).cast("int"))
+                        * F.element_at(F.col("q"), (j + 1).cast("int"))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        qd.select(F.explode(pairs).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("t.p").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "i",
+            "j",
+            "n_vecs",
+            F.round(
+                F.col("s").cast("double") / F.lit(float(scale) * float(scale)), 6
+            ).alias("gram"),
+        )
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -5096,6 +5096,79 @@ def _pq_oracle(n_subspaces: int = 4, k: int = 8, dim: int = EMB_DIM) -> str:
     """
 
 
+@query(
+    "q141_source_mixture",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(string_split({normalize_term_oracle_sql('text')}, ' ')) AS BIGINT) AS n_tokens,
+             {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM per_doc GROUP BY source
+    ),
+    w AS (SELECT *, CAST(ROUND(sqrt(total_tokens), 6) AS DECIMAL(28,6)) AS w
+          FROM per_src),
+    tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw FROM w),
+    rates AS (
+      SELECT source, n_docs, total_tokens,
+             ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share,
+             CAST(ROUND(ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                        * 1000000) AS BIGINT) AS thr
+      FROM w, tot
+    ),
+    sampled AS (
+      SELECT d.source, COUNT(*) AS n_s
+      FROM per_doc d JOIN rates r ON d.source = r.source
+      WHERE d.u < r.thr GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.total_tokens, r.share,
+           COALESCE(n_s, 0) AS n_sampled
+    FROM rates r LEFT JOIN sampled s ON r.source = s.source
+    """,
+)
+def q141_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature source-mixture plan + deterministic hash
+    sampler (operators/curation.py:source_mixture_plan): per-source
+    token volume, mixture share ∝ √tokens with a decimal-exact
+    denominator, and the realized sample count under the md5 uniform.
+    Two map-reduced corpus passes, broadcast rate table."""
+    from .operators.curation import source_mixture_plan
+
+    return source_mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q140_embedding_gram",
+    f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q FROM e),
+    idx AS (SELECT UNNEST(range(0, {EMB_DIM})) AS i),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j, q.q[a.i + 1] * q.q[b.i + 1] AS p
+      FROM q, idx a, idx b WHERE b.i >= a.i
+    )
+    SELECT i, j, COUNT(*) AS n_vecs,
+           ROUND(CAST(CAST(SUM(p) AS DECIMAL(38,0)) AS DOUBLE)
+                 / 1000000000000.0, 6) AS gram
+    FROM pairs GROUP BY i, j
+    """,
+)
+def q140_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Gram matrix over the embedding column (operators/
+    quantize.py:gram_matrix) — the PCA-whitening/OPQ calibration pass.
+    Integer-exact: components quantize to round(x·1e6) so products and
+    the corpus sum are integer arithmetic in both engines; map-side
+    partial aggregation bounds the shuffle at d(d+1)/2 rows per task
+    independent of corpus size."""
+    from .operators.quantize import gram_matrix
+
+    return gram_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("q138_pq_encode", _pq_oracle())
 def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (operators/quantize.py:pq_encode)
@@ -5124,6 +5197,10 @@ def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q138_pq_encode",
+    "q139_segment_scrub",
+    "q140_embedding_gram",
+    "q141_source_mixture",
     "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",
@@ -5174,11 +5251,11 @@ _ATTESTATION_PRIORITY = [
     "q37_window_frames",
     "q40_token_stats",
     "q41_quality_score",
-    "q42_lang_id",
-    "q43_fingerprint",
-    "q46_approx_distinct",
-    "q50_cosine_topk",
-    # (q45 already re-attests above with the r4 rewrites.)
+    # (q45 already re-attests above with the r4 rewrites. q42/q43/q46/
+    # q50 rotated out to make room for the second wave of round-4
+    # additions q138–q141 — new-query evidence outranks re-attestation;
+    # they lead the r5 stale list. q46's error bound is attested via
+    # its closed-form companion q134 in this window regardless.)
     # Everything else is r2/r3-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
