@@ -75,6 +75,7 @@ HEADLINE = [
     "q139_segment_scrub",
     "q140_embedding_gram",
     "q141_source_mixture",
+    "q142_pq_adc_topk",
 ]
 
 

@@ -5169,6 +5169,72 @@ def q140_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(load_table(spark, sf_dir, "embeddings"))
 
 
+def _pq_adc_oracle(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_subspaces: int = 4,
+    k: int = 8,
+    dim: int = EMB_DIM,
+) -> str:
+    sub = dim // n_subspaces
+    expr = "0.0"
+    for i in range(1, sub + 1):
+        t = f"(e.v[m * {sub} + {i}] - cv[m * {sub} + {i}])"
+        expr = f"({expr} + {t} * {t})"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
+    ms AS (SELECT UNNEST(range(0, {n_subspaces})) AS m),
+    scored AS (
+      SELECT e.vec_id AS id, m, cid, {expr} AS d
+      FROM e CROSS JOIN ms CROSS JOIN cent
+    ),
+    codes AS (
+      SELECT id, m, cid AS code FROM (
+        SELECT id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT id AS query_id, m, cid AS code,
+             CAST(ROUND(d, 9) AS DECIMAL(28,9)) AS pd
+      FROM scored WHERE id < {n_queries}
+    ),
+    agg AS (
+      SELECT q.query_id, c.id AS neighbor_id,
+             CAST(SUM(q.pd) AS DECIMAL(38,9)) AS adc_dec
+      FROM codes c JOIN qd q ON c.m = q.m AND c.code = q.code
+      WHERE c.id <> q.query_id
+      GROUP BY q.query_id, c.id
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(CAST(adc_dec AS DOUBLE), 6) AS adc_dist, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dec, neighbor_id) AS rank
+      FROM agg
+    ) WHERE rank <= {topk}
+    """
+
+
+@query("q142_pq_adc_topk", _pq_adc_oracle())
+def q142_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (operators/quantize.py:
+    pq_adc_topk) — the query half of IVFPQ: nearest neighbors computed
+    from PQ codes + a broadcast per-query distance table; the raw
+    embedding column is never scanned on the corpus side of the
+    search. Per-subspace partials round to DECIMAL(28,9) so the Σ_m
+    addition is order-independent and the ranking cross-engine
+    exact."""
+    from .operators.quantize import pq_adc_topk
+
+    return pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=10, topk=5, n_subspaces=4, k=8, dim=EMB_DIM,
+    )
+
+
 @query("q138_pq_encode", _pq_oracle())
 def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (operators/quantize.py:pq_encode)
@@ -5201,6 +5267,7 @@ _ATTESTATION_PRIORITY = [
     "q139_segment_scrub",
     "q140_embedding_gram",
     "q141_source_mixture",
+    "q142_pq_adc_topk",
     "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",
@@ -5250,10 +5317,9 @@ _ATTESTATION_PRIORITY = [
     "q36_rank_with_ties",
     "q37_window_frames",
     "q40_token_stats",
-    "q41_quality_score",
-    # (q45 already re-attests above with the r4 rewrites. q42/q43/q46/
-    # q50 rotated out to make room for the second wave of round-4
-    # additions q138–q141 — new-query evidence outranks re-attestation;
+    # (q45 already re-attests above with the r4 rewrites. q41/q42/q43/
+    # q46/q50 rotated out to make room for the second wave of round-4
+    # additions q138–q142 — new-query evidence outranks re-attestation;
     # they lead the r5 stale list. q46's error bound is attested via
     # its closed-form companion q134 in this window regardless.)
     # Everything else is r2/r3-driver-attested and unchanged this
