@@ -66,3 +66,44 @@ def test_bigram_topk_is_take_ordered(spark, sf_dir):
     plan = physical_plan(bigram_merge_candidates(docs))
     # top-k must compile to TakeOrderedAndProject, not a global Sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.quantize import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(pq_encode(emb))
+    # the codebook meets the vectors as ONE broadcast row; encoding is
+    # a pure projection + narrow explode — no hash exchange may touch
+    # the vector stream at any corpus size
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            raise AssertionError(f"pq_encode shuffled: {line}")
+
+
+def test_pq_adc_search_never_joins_raw_vectors(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.quantize import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(pq_adc_topk(emb))
+    # the corpus side of the ADC join carries (m, code, id) only; the
+    # embedding column may appear under broadcast exchanges (codebook,
+    # query distance table) but never in a hash-partitioned shuffle
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and ", v#" not in line, line
+
+
+def test_gram_matrix_shuffle_is_dim_pairs_only(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.quantize import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(gram_matrix(emb))
+    # partial aggregation must sit below the exchange so each task
+    # emits at most d(d+1)/2 rows: the only hash exchange keys on the
+    # (i, j) dimension-pair, never on vectors or row ids
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert ("i#" in line and "j#" in line), line
