@@ -76,6 +76,8 @@ HEADLINE = [
     "q140_embedding_gram",
     "q141_source_mixture",
     "q142_pq_adc_topk",
+    "q143_snapshot_diff",
+    "q144_stratified_split",
 ]
 
 

@@ -114,3 +114,65 @@ def point_in_time_join(
         & (facts[ts_col] < dim_history["valid_to"])
     )
     return facts.join(dim_history, cond, how).drop(dim_history[key])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Table-version diff — which rows were added, removed, or changed
+    between two snapshots of the same keyed table (the audit/validation
+    pass behind lakehouse time travel, incremental backfills, and
+    regenerated-dataset QA; complements cdc_apply, which goes the other
+    direction changelog → snapshot).
+
+    Returns one row per differing key: (*keys, status ∈
+    {added, removed, changed}, old_<c>, new_<c> for each compare col).
+    Unchanged rows are filtered before anything leaves the join — at
+    100 TB the diff output is the (small) change set, never the table.
+
+    Scale shape: ONE full-outer equi-join, hash-partitioned on the key
+    in both inputs (co-partitioned: AQE plans a shuffle on each side
+    keyed identically; bucketed snapshots make it exchange-free). The
+    per-column compare is a narrow null-safe projection. Keys must be
+    non-null."""
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status") != "unchanged")
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "status",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

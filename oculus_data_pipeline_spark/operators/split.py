@@ -16,7 +16,7 @@ reference has no dataset-splitting surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, md5_int_sql
@@ -64,3 +64,39 @@ def hash_split(
 ) -> DataFrame:
     """Attach the deterministic split label as ``out_col``."""
     return df.withColumn(out_col, split_col(key, weights))
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    key: Column | str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Exact-quota stratified split: within each stratum, rows are
+    ordered by their md5 key hash (deterministic, content-addressed —
+    no RNG) and the first ⌊n·train%⌋ become train, the next ⌊n·val%⌋
+    val, the rest test. Unlike :func:`hash_split` (expected fractions,
+    zero shuffle), this guarantees the per-stratum proportions exactly
+    — the standard requirement when strata are small (per-language or
+    per-source eval sets).
+
+    One shuffle keyed on the stratum; the per-stratum window ranks by
+    the 48-bit hash with the key itself as tie-break, so the
+    assignment is a pure function of (stratum, key) at any
+    parallelism. Strata are assumed corpus-fraction-sized (sources,
+    languages) — a single stratum is one window partition, so this is
+    the wrong tool for a million-row stratum (use hash_split there)."""
+    k = F.col(key) if isinstance(key, str) else key
+    w = W.partitionBy(stratum_col).orderBy(md5_int(k.cast("string")), k)
+    n = F.count("*").over(W.partitionBy(stratum_col))
+    rn = F.row_number().over(w)
+    n_train = F.floor(n * train_pct / 100)
+    n_val = F.floor(n * val_pct / 100)
+    return df.withColumn(
+        out_col,
+        F.when(rn <= n_train, "train")
+        .when(rn <= n_train + n_val, "val")
+        .otherwise("test"),
+    )

@@ -5169,6 +5169,87 @@ def q140_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(load_table(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "q143_snapshot_diff",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+      WHERE {md5_int_sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 95
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN {md5_int_sql("CAST(o_orderkey AS VARCHAR)")} % 7 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE {md5_int_sql("CAST(o_orderkey AS VARCHAR)")} % 100 >= 5
+    )
+    SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+           CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           v1.price AS old_price, v2.price AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL
+          OR v1.price IS DISTINCT FROM v2.price
+    """,
+)
+def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/scd.py:snapshot_diff): added / removed
+    / changed rows between two deterministic synthetic versions of
+    ``orders`` (5 % dropped, 5 % new, every 7th overlapping key's
+    price doubled — ×2 is exact in binary, so the compare is
+    bit-stable). One co-partitioned full-outer equi-join; unchanged
+    rows never leave the join."""
+    from .operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = md5_int(F.col("o_orderkey").cast("string")) % 100
+    v1 = orders.where(h < 95).select("o_orderkey", F.col("o_totalprice").alias("price"))
+    v2 = orders.where(h >= 5).select(
+        "o_orderkey",
+        F.when(
+            md5_int(F.col("o_orderkey").cast("string")) % 7 == 0,
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return snapshot_diff(v1, v2, ["o_orderkey"], ["price"])
+
+
+@query(
+    "q144_stratified_split",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn <= n * 80 // 100 THEN 'train'
+                WHEN rn <= n * 80 // 100 + n * 10 // 100 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def q144_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified split (operators/split.py:
+    stratified_split): within each source, rows ranked by content hash
+    take exactly ⌊80 %⌋ train / ⌊10 %⌋ val / rest test — the
+    small-stratum complement to q95's expected-fraction hash split.
+    One shuffle on the stratum key."""
+    from .operators.split import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split(docs, "source", "doc_id").select(
+        "doc_id", "source", "split"
+    )
+
+
 def _pq_adc_oracle(
     n_queries: int = 10,
     topk: int = 5,
@@ -5268,6 +5349,8 @@ _ATTESTATION_PRIORITY = [
     "q140_embedding_gram",
     "q141_source_mixture",
     "q142_pq_adc_topk",
+    "q143_snapshot_diff",
+    "q144_stratified_split",
     "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",
@@ -5315,13 +5398,12 @@ _ATTESTATION_PRIORITY = [
     "q34_grouping_sets",
     "q35_percentiles",
     "q36_rank_with_ties",
-    "q37_window_frames",
-    "q40_token_stats",
-    # (q45 already re-attests above with the r4 rewrites. q41/q42/q43/
-    # q46/q50 rotated out to make room for the second wave of round-4
-    # additions q138–q142 — new-query evidence outranks re-attestation;
-    # they lead the r5 stale list. q46's error bound is attested via
-    # its closed-form companion q134 in this window regardless.)
+    # (q45 already re-attests above with the r4 rewrites. q37/q40/q41/
+    # q42/q43/q46/q50 rotated out to make room for the second wave of
+    # round-4 additions q138–q144 — new-query evidence outranks
+    # re-attestation; they lead the r5 stale list. q46's error bound is
+    # attested via its closed-form companion q134 in this window
+    # regardless.)
     # Everything else is r2/r3-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
