@@ -78,6 +78,7 @@ HEADLINE = [
     "q142_pq_adc_topk",
     "q143_snapshot_diff",
     "q144_stratified_split",
+    "q145_table_fingerprint",
 ]
 
 

@@ -5250,6 +5250,55 @@ def q144_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q145_table_fingerprint",
+    f"""
+    WITH r AS (
+      SELECT {md5_int_sql("CAST(l_orderkey AS VARCHAR)")} % 256 AS bucket,
+             {md5_int_sql(
+                 "concat_ws('|',"
+                 " COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>'),"
+                 " COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>'),"
+                 " COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>'),"
+                 " COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>'),"
+                 " COALESCE(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR), '<NULL>'),"
+                 " COALESCE(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '<NULL>'),"
+                 " COALESCE(l_returnflag, '<NULL>'),"
+                 " COALESCE(l_linestatus, '<NULL>'))"
+             )} AS h
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS DECIMAL(38,0)) AS digest
+    FROM r GROUP BY bucket
+    """,
+)
+def q145_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table fingerprint (operators/scd.py:
+    table_fingerprint) over lineitem's deterministic columns (doubles
+    pre-scaled to integers — raw float text formatting is not
+    cross-engine stable): 256 (bucket, n_rows, digest) checksums that
+    locate replica/backfill divergence before q143's snapshot_diff
+    pinpoints it. One map-side-partial aggregation; shuffle size is
+    256 rows per task at any table size."""
+    from .operators.scd import table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_fingerprint(
+        li,
+        "l_orderkey",
+        [
+            F.col("l_orderkey"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_linenumber"),
+            F.round(F.col("l_quantity") * 100).cast("long"),
+            F.round(F.col("l_extendedprice") * 100).cast("long"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        ],
+    )
+
+
 def _pq_adc_oracle(
     n_queries: int = 10,
     topk: int = 5,
@@ -5351,6 +5400,7 @@ _ATTESTATION_PRIORITY = [
     "q142_pq_adc_topk",
     "q143_snapshot_diff",
     "q144_stratified_split",
+    "q145_table_fingerprint",
     "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",
@@ -5397,10 +5447,9 @@ _ATTESTATION_PRIORITY = [
     "q33_simhash",
     "q34_grouping_sets",
     "q35_percentiles",
-    "q36_rank_with_ties",
-    # (q45 already re-attests above with the r4 rewrites. q37/q40/q41/
-    # q42/q43/q46/q50 rotated out to make room for the second wave of
-    # round-4 additions q138–q144 — new-query evidence outranks
+    # (q45 already re-attests above with the r4 rewrites. q36/q37/q40/
+    # q41/q42/q43/q46/q50 rotated out to make room for the second wave
+    # of round-4 additions q138–q145 — new-query evidence outranks
     # re-attestation; they lead the r5 stale list. q46's error bound is
     # attested via its closed-form companion q134 in this window
     # regardless.)
