@@ -79,6 +79,7 @@ HEADLINE = [
     "q143_snapshot_diff",
     "q144_stratified_split",
     "q145_table_fingerprint",
+    "q146_variant_extract",
 ]
 
 

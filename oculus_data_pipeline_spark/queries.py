@@ -5299,6 +5299,108 @@ def q145_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q146_variant_extract",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"user":{"id":' || CAST(user_id AS VARCHAR) || '},"type":"'
+             || event_type || '","tags":['
+             || CAST(CAST(props->>'$.k' AS BIGINT) % 3 AS VARCHAR) || ','
+             || CAST(CAST(props->>'$.k' AS BIGINT) % 7 AS VARCHAR) || ']}'
+             AS js
+      FROM events
+    )
+    SELECT event_id,
+           CAST(js->>'$.user.id' AS BIGINT) AS uid,
+           js->>'$.type' AS etype,
+           CAST(js->>'$.tags[1]' AS BIGINT) AS second_tag
+    FROM j
+    """,
+)
+def q146_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): a nested JSON payload
+    is parsed ONCE into the binary VARIANT encoding and fields are
+    extracted with typed ``try_variant_get`` paths (object, nested
+    object, array index). At scale this is the schema-on-read path for
+    ragged event payloads — parse_json runs in codegen on the scan and
+    VARIANT columns store/shred columnar instead of re-parsing JSON
+    text per access. The oracle extracts the same paths with DuckDB's
+    JSON operators from the identically-constructed string."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    js = F.concat(
+        F.lit('{"user":{"id":'), F.col("user_id").cast("string"),
+        F.lit('},"type":"'), F.col("event_type"),
+        F.lit('","tags":['), (k % 3).cast("string"),
+        F.lit(","), (k % 7).cast("string"), F.lit("]}"),
+    )
+    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.user.id", "long").alias("uid"),
+        F.try_variant_get("v", "$.type", "string").alias("etype"),
+        F.try_variant_get("v", "$.tags[1]", "long").alias("second_tag"),
+    )
+
+
+@query(
+    "q147_approx_percentile_bound",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, n, value AS exact_p50, TRUE AS within_bound
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def q147_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form attestation for the Greenwald-Khanna quantile
+    sketch (the q134-for-percentiles): per event type, run
+    percentile_approx(value, 0.5, accuracy=1000) next to the exact
+    rank-based median and emit whether the approx answer's TRUE RANK
+    sits within the sketch's guaranteed ±n/accuracy rank error
+    (checked at a generous 2 % of n). The bound — unlike the sketch
+    value itself, whose partial-merge order Spark does not fix — holds
+    under any merge order, so the row is deterministic; the oracle
+    pins n, the exact median, and the bound."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("event_type"))
+    )
+    exact = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", "n", F.col("value").alias("exact_p50"))
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50")
+    )
+    rank_of_approx = (
+        ev.join(F.broadcast(approx), "event_type")
+        .where(F.col("value") <= F.col("approx_p50"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("rank_approx"))
+    )
+    return (
+        exact.join(F.broadcast(rank_of_approx), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_p50",
+            (
+                F.abs(F.col("rank_approx") - (F.col("n") + 1) / 2)
+                <= F.col("n") * 0.02
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _pq_adc_oracle(
     n_queries: int = 10,
     topk: int = 5,
@@ -5401,6 +5503,8 @@ _ATTESTATION_PRIORITY = [
     "q143_snapshot_diff",
     "q144_stratified_split",
     "q145_table_fingerprint",
+    "q146_variant_extract",
+    "q147_approx_percentile_bound",
     "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",
@@ -5445,14 +5549,12 @@ _ATTESTATION_PRIORITY = [
     "q29_subqueries",
     "q30_exact_dedup",
     "q33_simhash",
-    "q34_grouping_sets",
-    "q35_percentiles",
-    # (q45 already re-attests above with the r4 rewrites. q36/q37/q40/
-    # q41/q42/q43/q46/q50 rotated out to make room for the second wave
-    # of round-4 additions q138–q145 — new-query evidence outranks
-    # re-attestation; they lead the r5 stale list. q46's error bound is
-    # attested via its closed-form companion q134 in this window
-    # regardless.)
+    # (q45 already re-attests above with the r4 rewrites. q34/q35/q36/
+    # q37/q40/q41/q42/q43/q46/q50 rotated out to make room for the
+    # second wave of round-4 additions q138–q147 — new-query evidence
+    # outranks re-attestation; they lead the r5 stale list. q46's error
+    # bound is attested via its closed-form companion q134 in this
+    # window regardless, and q35's exact side re-attests inside q147.)
     # Everything else is r2/r3-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
