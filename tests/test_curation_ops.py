@@ -140,3 +140,89 @@ def test_salted_join_left_keeps_unmatched(spark):
     small = spark.createDataFrame([(1, "dim1")], "k long, d string")
     got = {(r.k, r.d) for r in salted_join(big, small, on="k", how="left").collect()}
     assert got == {(1, "dim1"), (2, None)}
+
+
+def test_snapshot_diff_roundtrip_reconstructs_new(spark, sf_dir):
+    """Applying the diff to the old snapshot must reproduce the new one
+    exactly: new == (old minus removed, with changed rows updated, plus
+    added rows) — the semantic contract that makes the diff usable for
+    incremental backfill."""
+    from oculus_data_pipeline_spark.operators.scd import snapshot_diff
+    from oculus_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    h = F.abs(F.hash("o_orderkey"))
+    v1 = orders.where(h % 100 < 90)
+    v2 = orders.where(h % 100 >= 10).withColumn(
+        "price",
+        F.when(h % 3 == 0, F.col("price") * 2).otherwise(F.col("price")),
+    )
+    diff = snapshot_diff(v1, v2, ["o_orderkey"], ["price"]).cache()
+    added = diff.where("status = 'added'").select(
+        "o_orderkey", F.col("new_price").alias("price")
+    )
+    changed = diff.where("status = 'changed'").select(
+        "o_orderkey", F.col("new_price").alias("price")
+    )
+    dirty_keys = diff.select("o_orderkey")
+    reconstructed = (
+        v1.join(dirty_keys, "o_orderkey", "left_anti")
+        .unionByName(added)
+        .unionByName(changed)
+    )
+    assert reconstructed.exceptAll(v2).count() == 0
+    assert v2.exceptAll(reconstructed).count() == 0
+    diff.unpersist()
+
+
+def test_table_fingerprint_is_mergeable(spark, sf_dir):
+    """Fingerprints of disjoint halves must merge (sum counts and
+    digests per bucket) into the fingerprint of the whole — the
+    property that lets incremental loads update checksums without
+    rescanning history."""
+    from oculus_data_pipeline_spark.operators.scd import table_fingerprint
+    from oculus_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"]
+    whole = table_fingerprint(li, "l_orderkey", cols)
+    h1 = table_fingerprint(li.where("l_partkey % 2 = 0"), "l_orderkey", cols)
+    h2 = table_fingerprint(li.where("l_partkey % 2 = 1"), "l_orderkey", cols)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("bucket")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("digest").alias("digest"))
+    )
+    w = {(r.bucket, r.n_rows, int(r.digest)) for r in whole.collect()}
+    m = {(r.bucket, r.n_rows, int(r.digest)) for r in merged.collect()}
+    assert w == m
+
+
+def test_stratified_split_exact_quotas(spark, sf_dir):
+    """Every stratum must land exactly floor(80%) train / floor(10%)
+    val / remainder test, and assignment must be deterministic."""
+    from oculus_data_pipeline_spark.operators.split import stratified_split
+    from oculus_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_split(docs, "source", "doc_id")
+    counts = {
+        (r.source, r.split): r.n
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in totals.items():
+        n_train = n * 80 // 100
+        n_val = n * 10 // 100
+        assert counts.get((src, "train"), 0) == n_train, src
+        assert counts.get((src, "val"), 0) == n_val, src
+        assert counts.get((src, "test"), 0) == n - n_train - n_val, src
+    # determinism: a second evaluation assigns identically
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in stratified_split(docs, "source", "doc_id").collect()}
+    assert a == b
