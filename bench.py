@@ -80,6 +80,14 @@ HEADLINE = [
     "q144_stratified_split",
     "q145_table_fingerprint",
     "q146_variant_extract",
+    # round-4 third-wave flagships
+    "q148_power_iteration",
+    "q149_ivf_pq_topk",
+    "q150_cms_heavy_hitters",
+    "q151_winsorized_stats",
+    "q152_count_sketch",
+    "q153_bloom_membership",
+    "q154_hard_negatives",
 ]
 
 

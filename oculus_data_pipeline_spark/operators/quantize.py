@@ -107,14 +107,34 @@ def gram_matrix(
     row count, so the shuffle is O(partitions · d²), not O(N). This is
     the declarative form of the classic per-partition outer-product
     accumulation; vectors themselves never shuffle."""
+    return _gram_int(emb, vec_col, scale).select(
+        "i",
+        "j",
+        "n_vecs",
+        F.round(
+            F.col("s").cast("double") / F.lit(float(scale) * float(scale)), 6
+        ).alias("gram"),
+    )
+
+
+def _gram_int(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Upper-triangle integer Gram: (i, j, n_vecs, s) with
+    s = Σ_rows q_i·q_j over q = round(x·scale) — exact DECIMAL(38,0)
+    accumulation, shared by :func:`gram_matrix` (rescaled readout) and
+    :func:`power_iteration` (mean-normalized matvec input).
+
+    Two chained generators instead of one nested-HOF struct array:
+    posexplode the quantized vector, then explode the j >= i tail and
+    multiply directly — stays in codegen (measured ~8× faster than
+    building d(d+1)/2 structs per row through interpreted lambdas)."""
     e = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
     qd = e.select(
         F.transform("v", lambda x: F.round(x * scale).cast("long")).alias("q")
     )
-    # two chained generators instead of one nested-HOF struct array:
-    # posexplode the quantized vector, then explode the j >= i tail and
-    # multiply directly — stays in codegen (measured ~8× faster than
-    # building d(d+1)/2 structs per row through interpreted lambdas)
     return (
         qd.select(F.posexplode("q").alias("i", "xi"), "q")
         .select(
@@ -133,14 +153,78 @@ def gram_matrix(
             F.count("*").alias("n_vecs"),
             F.sum(F.col("p").cast("decimal(38,0)")).alias("s"),
         )
-        .select(
-            "i",
-            "j",
-            "n_vecs",
-            F.round(
-                F.col("s").cast("double") / F.lit(float(scale) * float(scale)), 6
-            ).alias("gram"),
+    )
+
+
+def power_iteration(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    iters: int = 2,
+) -> DataFrame:
+    """Integer-exact power-iteration readout of the dominant
+    eigenvector direction of the corpus Gram matrix — the top
+    principal axis used for PCA whitening / the first OPQ rotation
+    (the calibration consumer of :func:`gram_matrix`).
+
+    Every step is integer arithmetic so the result is cross-engine
+    bit-exact (the float path with per-step normalization is pinned
+    against NumPy in tests instead):
+
+    1. ĝ[i][j] = (Σ q_i·q_j) div n_vecs — the MEAN-normalized integer
+       Gram via truncating integral division (Spark ``div`` and DuckDB
+       ``//`` both truncate toward zero). Mean-normalizing bounds every
+       entry by (scale·max|x|)² **independent of corpus size**, which
+       is what keeps the exact matvecs inside DECIMAL(38,0) at 100 TB.
+    2. v₁ = ĝ·1, v₂ = ĝ·v₁ — exact decimal matvecs. With d ≤ 128 and
+       |ĝ| ≤ ~4e11 (unit-ish embeddings at scale=1e6), |v₂| ≤
+       d²·ĝ² ≈ 3e27 ≪ 10³⁸; a third exact iteration would overflow,
+       hence ``iters ≤ 2`` (more iterations belong to the float path).
+    3. direction = round(v_t / max|v_t|, 6) — readout only.
+
+    Scale shape: the corpus-sized work is the one _gram_int pass
+    (shuffle bounded at d(d+1)/2 rows/task); the iterations run on the
+    d×d matrix with a broadcast d-row vector — negligible at any N."""
+    if not 1 <= iters <= 2:
+        raise ValueError("exact tier supports iters in {1, 2}")
+    up = _gram_int(emb, vec_col, scale).select(
+        "i", "j", F.expr("s div n_vecs").alias("g")
+    )
+    # symmetrize via explode, NOT self-union: a union would evaluate
+    # the corpus-sized _gram_int aggregation twice (the q97 lesson)
+    mirrored = F.when(
+        F.col("j") > F.col("i"),
+        F.array(
+            F.struct(F.col("i").alias("a"), F.col("j").alias("b"), F.col("g")),
+            F.struct(F.col("j").alias("a"), F.col("i").alias("b"), F.col("g")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("i").alias("a"), F.col("j").alias("b"), F.col("g")))
+    )
+    g = up.select(F.explode(mirrored).alias("e")).select(
+        F.col("e.a").alias("i"), F.col("e.b").alias("j"), F.col("e.g").alias("g")
+    )
+    # ĝ is d² ≤ ~16k rows but is referenced by BOTH matvecs, the max
+    # readout, and the final select — without cutting lineage the
+    # corpus-sized gram pass re-executes once per reference (measured
+    # 4 scans). Lazy localCheckpoint materializes it once.
+    g = g.localCheckpoint(eager=False)
+    v = g.groupBy(F.col("i").alias("vi")).agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("vv")
+    )
+    for _ in range(iters - 1):
+        v = (
+            g.join(F.broadcast(v), g["j"] == v["vi"])
+            .groupBy(F.col("i").alias("vi"))
+            .agg(F.sum(F.col("g").cast("decimal(38,0)") * F.col("vv")).alias("vv"))
         )
+    mx = v.groupBy().agg(F.max(F.abs(F.col("vv"))).alias("mx"))
+    return v.crossJoin(F.broadcast(mx)).select(
+        F.col("vi").alias("i"),
+        F.col("vv").cast("decimal(38,0)").alias("iterate"),
+        F.round(
+            F.col("vv").cast("double") / F.col("mx").cast("double"), 6
+        ).alias("direction"),
     )
 
 
@@ -214,15 +298,15 @@ def _codebook_row(e: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _subspace_candidates(sub: int, k: int):
+def _subspace_candidates(sub: int, k: int, vec: str = "v", book: str = "cvs"):
     """array<struct(d, cid)> of squared-L2 distances from this row's
-    subspace ``m`` slice of ``v`` to every codebook centroid's same
+    subspace ``m`` slice of ``vec`` to every codebook centroid's same
     slice — left-fold order so the oracle can replay it bit-for-bit."""
     start = (F.col("m") * sub + 1).cast("int")
-    subv = F.slice(F.col("v"), start, sub)
+    subv = F.slice(F.col(vec), start, sub)
 
     def sq_dist(j):
-        subc = F.slice(F.element_at(F.col("cvs"), (j + 1).cast("int")), start, sub)
+        subc = F.slice(F.element_at(F.col(book), (j + 1).cast("int")), start, sub)
         return F.aggregate(
             F.zip_with(subv, subc, lambda x, c: (x - c) * (x - c)),
             F.lit(0.0),
@@ -232,6 +316,189 @@ def _subspace_candidates(sub: int, k: int):
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.struct(sq_dist(j).alias("d"), j.cast("long").alias("cid")),
+    )
+
+
+def _full_sqdist(vcol, ccol):
+    """Whole-vector squared L2 as the same left fold the oracle
+    unrolls term-by-term."""
+    return F.aggregate(
+        F.zip_with(vcol, ccol, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    topk: int = 5,
+    n_subspaces: int = 4,
+    k: int = 8,
+    k_coarse: int = 4,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ composed ANN search — the full FAISS ``IVFx,PQy`` shape:
+    a coarse quantizer routes each vector to an inverted list, PQ
+    encodes the RESIDUAL (v − coarse centroid), and queries scan only
+    the codes of their ``nprobe`` nearest lists with an
+    asymmetric-distance table built from the query's own residual per
+    probed list.
+
+    Deterministic-seed convention as q135/q138: coarse centroids are
+    the ``k_coarse`` lowest-id vectors, the PQ codebook the residuals
+    of the ``k`` lowest-id vectors — every argmin is a left-fold with
+    (distance, id) tie-break, so a DuckDB oracle replays the search
+    bit-for-bit.
+
+    Scale shape (the reason IVFPQ wins at 100 TB): the corpus-side
+    search input is the codes table — (id, list, M small ints) per
+    vector; raw embeddings are scanned once at encode time and never
+    again. Both codebooks collapse to ONE broadcast row each; the
+    per-query distance table is n_queries·nprobe·M·k rows, broadcast.
+    Probing = the broadcast equi-join on (list, m, code) — vectors in
+    unprobed lists never leave the scan, and the only shuffle carries
+    (query, id, partial-distance) triples. Per-subspace partials round
+    to DECIMAL(28,9) so the Σ_m sum is order-independent."""
+    sub = dim // n_subspaces
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    coarse = (
+        e.where(F.col("id") < k_coarse)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "v"))), lambda s: s.v
+            ).alias("ccs")
+        )
+    )
+    # one projection: nearest coarse list (left-fold argmin, tie on cid)
+    coarse_cands = F.transform(
+        F.sequence(F.lit(0), F.lit(k_coarse - 1)),
+        lambda c: F.struct(
+            _full_sqdist(
+                F.col("v"), F.element_at(F.col("ccs"), (c + 1).cast("int"))
+            ).alias("d"),
+            c.cast("long").alias("cid"),
+        ),
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(coarse))
+        .withColumn("list_id", F.array_min(coarse_cands).cid)
+        .select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "v",
+                F.element_at(F.col("ccs"), (F.col("list_id") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("r"),
+            "v",
+        )
+    )
+    codebook = (
+        # ids [k_coarse, k_coarse+k): the k_coarse lowest ids ARE the
+        # coarse centroids, so their residuals are zero vectors — a
+        # degenerate codebook (k_coarse identical entries that argmin
+        # ties collapse onto). Start above them.
+        assigned.where(
+            (F.col("id") >= k_coarse) & (F.col("id") < k_coarse + k)
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "r"))), lambda s: s.r
+            ).alias("cvs")
+        )
+    )
+    codes = (
+        assigned.crossJoin(F.broadcast(codebook))
+        .select(
+            "id",
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "r",
+            "cvs",
+        )
+        .select(
+            "id",
+            "list_id",
+            F.col("m").cast("long").alias("m"),
+            F.array_min(_subspace_candidates(sub, k, vec="r")).cid.alias("code"),
+        )
+    )
+    # query side: nprobe nearest lists, then a per-(query, probed list)
+    # residual distance table to the shared residual codebook
+    probes = (
+        e.where(F.col("id") < n_queries)
+        .withColumnRenamed("id", "query_id")
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "v",
+            "ccs",
+            F.explode(
+                F.slice(F.array_sort(coarse_cands), 1, nprobe)
+            ).alias("probe"),
+        )
+        .select(
+            "query_id",
+            F.col("probe.cid").alias("list_id"),
+            F.zip_with(
+                "v",
+                F.element_at(F.col("ccs"), (F.col("probe.cid") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("rq"),
+        )
+    )
+    dtable = (
+        probes.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "rq",
+            "cvs",
+        )
+        .select(
+            "query_id", "list_id", F.col("m").cast("long").alias("m"), "rq", "cvs"
+        )
+        .select(
+            "query_id",
+            "list_id",
+            "m",
+            F.explode(_subspace_candidates(sub, k, vec="rq")).alias("c"),
+        )
+        .select(
+            "query_id",
+            "list_id",
+            "m",
+            F.col("c.cid").alias("code"),
+            F.round(F.col("c.d"), 9).cast("decimal(28,9)").alias("pd"),
+        )
+    )
+    agg = (
+        codes.join(F.broadcast(dtable), ["list_id", "m", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.min("list_id").alias("list_id"), F.sum("pd").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "list_id",
+            F.round(F.col("adc_dec").cast("double"), 6).alias("adc_dist"),
+            "rank",
+        )
     )
 
 

@@ -393,3 +393,67 @@ def lsh_recall_report(
             ).alias("recall_bp"),
         )
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training data: per
+    query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the pairs that carry the most gradient signal in
+    a triplet/InfoNCE objective and the standard companion to positive
+    pair mining in embedding-model data pipelines.
+
+    Exact tier (broadcast queries, corpus streams through codegen —
+    same shape as brute_force_topk with the label-inequality predicate
+    fused into the join). The 100 TB path swaps the cross join for
+    lsh_ann_candidates and keeps the same label filter + re-rank;
+    labels ride the (id, bucket) shuffle, vectors never leave the
+    scan."""
+    from pyspark.sql import Window as W
+
+    q = _as_double(
+        emb.where(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("qv"),
+        ),
+        "qv",
+    )
+    c = _as_double(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("cv"),
+        ),
+        "cv",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            "rank",
+        )
+    )

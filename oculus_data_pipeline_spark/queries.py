@@ -5483,6 +5483,420 @@ def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q148_power_iteration",
+    f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q FROM e),
+    idx AS (SELECT UNNEST(range(0, {EMB_DIM})) AS i),
+    up AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(q.q[a.i + 1] * q.q[b.i + 1]) AS s, COUNT(*) AS n
+      FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY a.i, b.i
+    ),
+    g AS (
+      SELECT i, j, CAST(s AS HUGEINT) // n AS g FROM up
+      UNION ALL
+      SELECT j AS i, i AS j, CAST(s AS HUGEINT) // n AS g FROM up WHERE j > i
+    ),
+    v1 AS (SELECT i, SUM(g) AS v FROM g GROUP BY i),
+    v2 AS (
+      SELECT g.i AS i, SUM(CAST(g.g AS HUGEINT) * v1.v) AS v
+      FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+    ),
+    m AS (SELECT MAX(ABS(v)) AS mx FROM v2)
+    SELECT i, CAST(v AS DECIMAL(38,0)) AS iterate,
+           ROUND(CAST(v AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS direction
+    FROM v2, m
+    """,
+)
+def q148_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact power iteration on the corpus Gram matrix
+    (operators/quantize.py:power_iteration) — the top-principal-axis
+    step of PCA whitening / OPQ rotation, the calibration consumer of
+    q140's Gram. Mean-normalizing the integer Gram by truncating
+    division (Spark ``div`` == DuckDB ``//`` toward zero) bounds every
+    entry independent of corpus size, so two exact DECIMAL(38,0)
+    matvecs fit at any N; the corpus-sized work is the one bounded-
+    shuffle _gram_int pass. The float path with per-step normalization
+    is pinned against NumPy's eigendecomposition in tests."""
+    from .operators.quantize import power_iteration
+
+    return power_iteration(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivf_pq_oracle(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_subspaces: int = 4,
+    k: int = 8,
+    k_coarse: int = 4,
+    nprobe: int = 2,
+    dim: int = EMB_DIM,
+) -> str:
+    sub = dim // n_subspaces
+    full = "0.0"
+    for t in range(1, dim + 1):
+        term = f"(e.v[{t}] - cc.cv[{t}])"
+        full = f"({full} + {term} * {term})"
+
+    def sub_fold(rcol: str, cvcol: str) -> str:
+        expr = "0.0"
+        for i in range(1, sub + 1):
+            idx = f"m * {sub} + {i}"
+            term = f"({rcol}[{idx}] - {cvcol}[{idx}])"
+            expr = f"({expr} + {term} * {term})"
+        return expr
+
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cc AS (SELECT id AS ccid, v AS cv FROM e WHERE id < {k_coarse}),
+    ca AS (SELECT e.id, cc.ccid, {full} AS d FROM e CROSS JOIN cc),
+    best AS (
+      SELECT id, ccid AS list_id FROM (
+        SELECT id, ccid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ccid) AS rn
+        FROM ca
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.id, b.list_id,
+             list_transform(range(1, {dim + 1}), t -> e.v[t] - cc.cv[t]) AS r
+      FROM e JOIN best b ON e.id = b.id JOIN cc ON cc.ccid = b.list_id
+    ),
+    cb AS (
+      SELECT id - {k_coarse} AS cid, r AS rv FROM resid
+      WHERE id >= {k_coarse} AND id < {k_coarse + k}
+    ),
+    ms AS (SELECT UNNEST(range(0, {n_subspaces})) AS m),
+    scored AS (
+      SELECT resid.id, resid.list_id, m, cb.cid,
+             {sub_fold("resid.r", "cb.rv")} AS d
+      FROM resid CROSS JOIN ms CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT id, list_id, m, cid AS code FROM (
+        SELECT id, list_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, ccid AS list_id FROM (
+        SELECT id, ccid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ccid) AS rn
+        FROM ca WHERE id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    ),
+    qresid AS (
+      SELECT p.query_id, p.list_id,
+             list_transform(range(1, {dim + 1}), t -> e.v[t] - cc.cv[t]) AS rq
+      FROM probes p JOIN e ON e.id = p.query_id JOIN cc ON cc.ccid = p.list_id
+    ),
+    qd AS (
+      SELECT query_id, q.list_id, m, cb.cid AS code,
+             CAST(ROUND({sub_fold("q.rq", "cb.rv")}, 9) AS DECIMAL(28,9)) AS pd
+      FROM qresid q CROSS JOIN ms CROSS JOIN cb
+    ),
+    agg AS (
+      SELECT q.query_id, c.id AS neighbor_id, MIN(c.list_id) AS list_id,
+             CAST(SUM(q.pd) AS DECIMAL(38,9)) AS adc_dec
+      FROM codes c
+      JOIN qd q ON c.list_id = q.list_id AND c.m = q.m AND c.code = q.code
+      WHERE c.id <> q.query_id
+      GROUP BY q.query_id, c.id
+    )
+    SELECT query_id, neighbor_id, list_id,
+           ROUND(CAST(adc_dec AS DOUBLE), 6) AS adc_dist, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dec, neighbor_id) AS rank
+      FROM agg
+    ) WHERE rank <= {topk}
+    """
+
+
+@query("q149_ivf_pq_topk", _ivf_pq_oracle())
+def q149_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN search (operators/quantize.py:ivf_pq_topk)
+    — FAISS ``IVF4,PQ4`` end to end: coarse quantizer routes vectors
+    to inverted lists, PQ encodes RESIDUALS, queries scan only the
+    codes of their nprobe nearest lists via a broadcast
+    asymmetric-distance table. Fixed-seed codebooks (q135/q138
+    convention) make the whole search cross-engine replayable;
+    Lloyd-trained centroids from operators/ivf.py slot in without
+    changing the plan. Raw embeddings are scanned once at encode time
+    and never again; on this deliberately isotropic synthetic corpus
+    absolute recall is floor-level by construction — q119 is the
+    recall QA instrument for real clustered data."""
+    from .operators.quantize import ivf_pq_topk
+
+    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q150_cms_heavy_hitters",
+    f"""
+    WITH keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+    ds AS (SELECT UNNEST(range(0, 3)) AS d),
+    hashed AS (
+      SELECT d,
+             {md5_int_sql("CAST(d AS VARCHAR) || ':' || key")} % 1024 AS bucket
+      FROM keyed CROSS JOIN ds
+    ),
+    grid AS (SELECT d, bucket, COUNT(*) AS cnt FROM hashed GROUP BY d, bucket),
+    exact AS (SELECT key, COUNT(*) AS exact_n FROM keyed GROUP BY key),
+    probe AS (
+      SELECT key, exact_n, d,
+             {md5_int_sql("CAST(d AS VARCHAR) || ':' || key")} % 1024 AS bucket
+      FROM exact CROSS JOIN ds
+    ),
+    est AS (
+      SELECT key, exact_n, MIN(cnt) AS est_n
+      FROM probe JOIN grid USING (d, bucket) GROUP BY key, exact_n
+    )
+    SELECT key, exact_n, est_n, est_n - exact_n AS overcount,
+           est_n >= exact_n AS sound
+    FROM est ORDER BY est_n DESC, key LIMIT 20
+    """,
+)
+def q150_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py) over
+    lineitem part keys, attested against exact counts: est ≥ exact for
+    every key (the sketch's deterministic one-sided guarantee), with
+    the measured overcount per key. The depth×width grid is a
+    bounded-shuffle aggregation (depth·width rows per task at any
+    input size) and merges entrywise across partitions/micro-batches —
+    the incremental frequency structure; md5-derived bucket hashes
+    replay identically in the oracle."""
+    from .operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey",
+        depth=3, width=1024, topk=20,
+    )
+
+
+@query(
+    "q151_winsorized_stats",
+    f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = GREATEST(1, (n * 5) // 100)
+                      THEN l_extendedprice END) AS p05,
+             MIN(CASE WHEN rn = GREATEST(1, (n * 95) // 100)
+                      THEN l_extendedprice END) AS p95
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag, MAX(r.n) AS n, MIN(b.p05) AS p05,
+           MIN(b.p95) AS p95,
+           ROUND({dsum_sql("GREATEST(b.p05, LEAST(b.p95, r.l_extendedprice))", 6)}
+                 / MAX(r.n), 4) AS win_mean
+    FROM ranked r JOIN bounds b USING (l_returnflag)
+    GROUP BY r.l_returnflag
+    """,
+)
+def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics — clamp a value column to its
+    exact per-group [p05, p95] before averaging, the standard
+    outlier-robust scoring step ahead of quality-weighted sampling
+    (q141's mixture weights assume score distributions without
+    heavy-tail capture). Exact rank-based percentiles with full
+    tie-break; the clamped mean sums in DECIMAL(22,6) so it is
+    order-independent and cross-engine exact. One window shuffle on
+    the group key + a broadcast bounds join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("l_returnflag"))
+    )
+    lo_rank = F.greatest(F.lit(1).cast("long"), F.expr("(n * 5) div 100"))
+    hi_rank = F.greatest(F.lit(1).cast("long"), F.expr("(n * 95) div 100"))
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("l_extendedprice"))).alias("p05"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("l_extendedprice"))).alias("p95"),
+    )
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("l_extendedprice")))
+    return (
+        ranked.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.round(dsum(clamped, 6) / F.max("n"), 4).alias("win_mean"),
+        )
+    )
+
+
+@query(
+    "q152_count_sketch",
+    f"""
+    WITH keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+    ds AS (SELECT UNNEST(range(0, 3)) AS d),
+    hashed AS (
+      SELECT key, d,
+             {md5_int_sql("CAST(d AS VARCHAR) || ':' || key")} % 256 AS bucket,
+             ({md5_int_sql("'s' || CAST(d AS VARCHAR) || ':' || key")} % 2) * 2 - 1 AS sg
+      FROM keyed CROSS JOIN ds
+    ),
+    grid AS (
+      SELECT d, bucket, CAST(SUM(sg) AS BIGINT) AS cnt
+      FROM hashed GROUP BY d, bucket
+    ),
+    exact AS (SELECT key, COUNT(*) AS exact_n FROM keyed GROUP BY key),
+    probe AS (
+      SELECT e.key, e.exact_n, d,
+             {md5_int_sql("CAST(d AS VARCHAR) || ':' || e.key")} % 256 AS bucket,
+             ({md5_int_sql("'s' || CAST(d AS VARCHAR) || ':' || e.key")} % 2) * 2 - 1 AS sg
+      FROM exact e CROSS JOIN ds
+    ),
+    reads AS (
+      SELECT key, exact_n, sg * cnt AS r
+      FROM probe JOIN grid USING (d, bucket)
+    ),
+    est AS (
+      SELECT key, exact_n,
+             CAST(SUM(r) - MIN(r) - MAX(r) AS BIGINT) AS est_n
+      FROM reads GROUP BY key, exact_n
+    )
+    SELECT key, exact_n, est_n, est_n - exact_n AS err
+    FROM est ORDER BY exact_n DESC, key LIMIT 20
+    """,
+)
+def q152_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch (signed) frequency estimates (operators/sketch.py:
+    count_sketch_estimates) — the unbiased companion to q150's
+    one-sided count-min: ±1 signs make collisions cancel in
+    expectation, and the depth-3 median is the closed-form
+    sum−min−max, so the whole estimator replays exactly in the
+    oracle. Same bounded depth×width grid shuffle, same entrywise
+    mergeability."""
+    from .operators.sketch import count_sketch_estimates
+
+    return count_sketch_estimates(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey",
+        depth=3, width=256, topk=20,
+    )
+
+
+@query(
+    "q153_bloom_membership",
+    f"""
+    WITH bkeys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+    pkeys AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer
+      UNION
+      SELECT DISTINCT CAST(c_custkey + 10000000 AS VARCHAR) AS key FROM customer
+    ),
+    hs AS (SELECT UNNEST(range(0, 3)) AS h),
+    filt AS (
+      SELECT DISTINCT {md5_int_sql("CAST(h AS VARCHAR) || ':' || key")} % 8192 AS pos
+      FROM (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders) CROSS JOIN hs
+    ),
+    probed AS (
+      SELECT p.key, COUNT(f.pos) = 3 AS passes
+      FROM (
+        SELECT key, {md5_int_sql("CAST(h AS VARCHAR) || ':' || key")} % 8192 AS pos
+        FROM pkeys CROSS JOIN hs
+      ) p
+      LEFT JOIN filt f ON p.pos = f.pos
+      GROUP BY p.key
+    ),
+    marked AS (
+      SELECT pr.key, pr.passes, b.key IS NOT NULL AS present
+      FROM probed pr LEFT JOIN bkeys b ON pr.key = b.key
+    )
+    SELECT COUNT(*) AS n_probed,
+           CAST(SUM(CAST(present AS BIGINT)) AS BIGINT) AS n_present,
+           CAST(SUM(CAST(passes AS BIGINT)) AS BIGINT) AS n_pass,
+           CAST(SUM(CAST((present AND NOT passes) AS BIGINT)) AS BIGINT)
+             AS false_negatives,
+           CAST(SUM(CAST((NOT present AND passes) AS BIGINT)) AS BIGINT)
+             AS false_positives,
+           CAST(SUM(CAST((NOT present AND passes) AS BIGINT)) * 10000
+                // GREATEST(SUM(CAST((NOT present) AS BIGINT)), 1) AS BIGINT)
+             AS fp_rate_bp
+    FROM marked
+    """,
+)
+def q153_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership attestation (operators/sketch.py:
+    bloom_membership_report): real customer keys PLUS planted
+    guaranteed-absent keys (shifted ids — at small SF every customer
+    has orders, which would leave nothing to measure FP on) probed
+    against a filter built from ordering customers. Attests the
+    deterministic contract — zero false negatives — and measures the
+    false-positive rate of the absent keys (the quantity the width/k
+    trade-off controls). The filter is the ≤ width_bits-row
+    distinct-positions relation: mergeable by union, broadcast to the
+    probe — the explicit, attestable form of the runtime bloom-join
+    pruning sinks/layout.py gets from Spark."""
+    from .operators.sketch import bloom_membership_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    probe = cust.select(F.col("c_custkey")).unionByName(
+        cust.select((F.col("c_custkey") + 10000000).alias("c_custkey"))
+    )
+    return bloom_membership_report(
+        load_table(spark, sf_dir, "orders"),
+        probe,
+        "o_custkey",
+        "c_custkey",
+        width_bits=8192,
+        k_hashes=3,
+    )
+
+
+@query(
+    "q154_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             ROUND({_cosine_sql('q.qv', 'c.v', EMB_DIM)}, 6) AS cos_sim
+      FROM q JOIN e c ON c.vec_id <> q.query_id
+                     AND c.label <> q.query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:
+    hard_negative_mining) — per query vector, the top-5 most-similar
+    vectors with a DIFFERENT label: the contrastive-training
+    counterpart to near-dup positives, and the pair-mining op an
+    embedding-model data pipeline runs next to dedup. Exact tier with
+    the label-inequality predicate fused into the broadcast join; the
+    scale path reuses q38's LSH candidate generation with the same
+    filter."""
+    from .operators.similarity import hard_negative_mining
+
+    return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -5495,6 +5909,13 @@ def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q154_hard_negatives",
+    "q152_count_sketch",
+    "q153_bloom_membership",
+    "q148_power_iteration",
+    "q149_ivf_pq_topk",
+    "q150_cms_heavy_hitters",
+    "q151_winsorized_stats",
     "q138_pq_encode",
     "q139_segment_scrub",
     "q140_embedding_gram",
@@ -5542,19 +5963,13 @@ _ATTESTATION_PRIORITY = [
     "q22_convert_name",
     "q23_range_join",
     "q24_theta_join",
-    "q25_unpivot",
-    "q26_array_ops",
-    "q27_string_funcs",
-    "q28_exact_stats",
-    "q29_subqueries",
-    "q30_exact_dedup",
-    "q33_simhash",
-    # (q45 already re-attests above with the r4 rewrites. q34/q35/q36/
-    # q37/q40/q41/q42/q43/q46/q50 rotated out to make room for the
-    # second wave of round-4 additions q138–q147 — new-query evidence
-    # outranks re-attestation; they lead the r5 stale list. q46's error
-    # bound is attested via its closed-form companion q134 in this
-    # window regardless, and q35's exact side re-attests inside q147.)
+    # (q45 already re-attests above with the r4 rewrites. r1-stale
+    # q25–q30, q33–q37, q40–q43, q46 and q50 rotated out to make room
+    # for the round-4 second and third waves q138–q154 — new-query
+    # evidence outranks re-attestation; they lead the r5 stale list.
+    # q46's error bound is attested via its closed-form companion q134
+    # in this window regardless, and q35's exact side re-attests
+    # inside q147.)
     # Everything else is r2/r3-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.

@@ -95,6 +95,51 @@ def test_pq_adc_search_never_joins_raw_vectors(spark, sf_dir):
             assert "embedding" not in line and ", v#" not in line, line
 
 
+def test_power_iteration_corpus_shuffle_is_dim_pairs_only(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.quantize import power_iteration
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(power_iteration(emb))
+    # the only corpus-sized stage is the _gram_int pass; every hash
+    # exchange must key on dimension indices (i/j/vi), never vectors
+    # or row ids — the iteration itself runs on the d×d matrix with
+    # broadcast d-row vectors
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert (
+                "i#" in line or "j#" in line or "vi#" in line
+            ) and "embedding" not in line, line
+
+
+def test_ivf_pq_search_never_shuffles_vectors(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.quantize import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(ivf_pq_topk(emb))
+    # coarse codebook, residual codebook, and the per-query distance
+    # table all arrive via broadcast; hash exchanges may carry code /
+    # aggregation keys but never an embedding or residual array column
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and ", v#" not in line, line
+            assert ", r#" not in line and ", rq#" not in line, line
+
+
+def test_cms_grid_aggregates_map_side(spark, sf_dir):
+    from oculus_data_pipeline_spark.operators.sketch import cms_counters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = physical_plan(cms_counters(li, "l_partkey"))
+    # partial aggregation below the exchange bounds the shuffle at
+    # depth·width rows per task; the exchange keys on (d, bucket)
+    assert "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "d#" in line and "bucket#" in line, line
+
+
 def test_gram_matrix_shuffle_is_dim_pairs_only(spark, sf_dir):
     from oculus_data_pipeline_spark.operators.quantize import gram_matrix
 

@@ -277,3 +277,75 @@ def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
     q2.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(state_dir).collect()}
     assert got == expected_rows
+
+
+def test_streaming_incremental_fingerprint_equals_batch(spark, tmp_path):
+    """Incremental table fingerprinting under streaming: each
+    micro-batch's 256-bucket (n_rows, digest) partial folds into the
+    persisted grid by entrywise addition (the mergeability that
+    test_properties pins algebraically), and after all batches the
+    accumulated grid equals the one-shot batch fingerprint — replica
+    validation that never rescans history."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.operators.scd import table_fingerprint
+
+    schema = "k long, val string"
+    b1 = [(i, f"v{i}") for i in range(40)]
+    b2 = [(i, f"w{i}") for i in range(40, 90)]
+    cols = [F.col("k"), F.col("val")]
+
+    whole = spark.createDataFrame(b1 + b2, schema)
+    expected = {
+        r.bucket: (r.n_rows, int(r.digest))
+        for r in table_fingerprint(whole, "k", cols, n_buckets=16).collect()
+    }
+
+    src_dir = tmp_path / "rows"
+    state_dir = str(tmp_path / "fp_state")
+    src_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src_dir / "b1.parquet")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src_dir / "b2.parquet")
+    )
+
+    def fold_batch(batch, epoch_id):
+        if not batch.head(1):
+            return
+        import os
+
+        part = table_fingerprint(batch, "k", cols, n_buckets=16)
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = (
+                state.unionByName(part)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("digest").alias("digest"),
+                )
+                .collect()
+            )
+            spark.createDataFrame(merged, part.schema).write.mode(
+                "overwrite"
+            ).parquet(state_dir)
+        else:
+            part.write.parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.bucket: (r.n_rows, int(r.digest))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    assert got == expected
