@@ -88,6 +88,8 @@ HEADLINE = [
     "q152_count_sketch",
     "q153_bloom_membership",
     "q154_hard_negatives",
+    "q155_ewma_smoothing",
+    "q156_ab_test_stats",
 ]
 
 

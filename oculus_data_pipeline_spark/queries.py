@@ -5897,6 +5897,124 @@ def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "q155_ewma_smoothing",
+    """
+    WITH cents AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ordered AS (
+      SELECT event_id, user_id, v,
+             LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+             LAG(v, 3) OVER w AS l3, LAG(v, 4) OVER w AS l4,
+             LAG(v, 5) OVER w AS l5, LAG(v, 6) OVER w AS l6,
+             LAG(v, 7) OVER w AS l7
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(v * 128 + COALESCE(l1, 0) * 64 + COALESCE(l2, 0) * 32
+                + COALESCE(l3, 0) * 16 + COALESCE(l4, 0) * 8
+                + COALESCE(l5, 0) * 4 + COALESCE(l6, 0) * 2
+                + COALESCE(l7, 0) AS DOUBLE) / 25600.0 AS smoothed
+    FROM ordered
+    """,
+)
+def q155_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponential smoothing per user event stream — the
+    α = 1/2 EWMA kernel cut at 8 lags. Integer-exact: values become
+    cents, the kernel weights are the integers 128…1, and the single
+    final division by 25600 (= 2⁸·100) is an exact power-of-two-scaled
+    operation — no double summation and NO final round() (a first cut
+    rounded a float sum and diverged at half-boundaries, the known
+    cross-engine trap; general-α EWMA recursions can't replay exactly,
+    the binary kernel does). One window shuffle on the user key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("v")] + [
+        F.coalesce(F.lag("v", k).over(w), F.lit(0)) for k in range(1, 8)
+    ]
+    expr = None
+    for k, c in enumerate(lags):
+        term = c * F.lit(1 << (7 - k))
+        expr = term if expr is None else expr + term
+    return ev.select(
+        "event_id", "user_id", (expr.cast("double") / F.lit(25600.0)).alias("smoothed")
+    )
+
+
+@query(
+    "q156_ab_test_stats",
+    f"""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             {dsum_sql('value', 6)} AS s,
+             {dsum_sql('value * value', 6)} AS q
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, ROUND(s / n, 6) AS mean,
+             (q - s * s / n) / (n - 1) AS var
+      FROM g
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           ROUND((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t
+    FROM m a, m b
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q156_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t statistic (click vs purchase event values) —
+    the A/B-test readout over exact decimal moments: sums and
+    sums-of-squares accumulate in DECIMAL(22,6) (order-independent),
+    and the final mean/variance/sqrt arithmetic is identical IEEE
+    double math in both engines (sqrt and divide are correctly-rounded
+    operations, so the statistic replays bit-for-bit). One aggregation
+    pass; the two group rows join by broadcast."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value", 6).alias("s"),
+        dsum(F.col("value") * F.col("value"), 6).alias("q"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        ((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            6,
+        ).alias("welch_t"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -5909,6 +6027,8 @@ def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q155_ewma_smoothing",
+    "q156_ab_test_stats",
     "q154_hard_negatives",
     "q152_count_sketch",
     "q153_bloom_membership",
@@ -5961,11 +6081,9 @@ _ATTESTATION_PRIORITY = [
     "q20_normalize_terms",
     "q21_generate_uri",
     "q22_convert_name",
-    "q23_range_join",
-    "q24_theta_join",
     # (q45 already re-attests above with the r4 rewrites. r1-stale
-    # q25–q30, q33–q37, q40–q43, q46 and q50 rotated out to make room
-    # for the round-4 second and third waves q138–q154 — new-query
+    # q23–q30, q33–q37, q40–q43, q46 and q50 rotated out to make room
+    # for the round-4 second and third waves q138–q156 — new-query
     # evidence outranks re-attestation; they lead the r5 stale list.
     # q46's error bound is attested via its closed-form companion q134
     # in this window regardless, and q35's exact side re-attests
