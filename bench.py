@@ -90,6 +90,16 @@ HEADLINE = [
     "q154_hard_negatives",
     "q155_ewma_smoothing",
     "q156_ab_test_stats",
+    "q157_pq_lloyd_update",
+    "q158_pareto_frontier",
+    "q159_pps_sample",
+    "q160_label_gini",
+    "q161_chi_square",
+    "q162_k_anonymity",
+    "q163_column_profile",
+    "q164_referential_integrity",
+    "q165_group_mode",
+    "q39_lsh_bucket_stats",
 ]
 
 

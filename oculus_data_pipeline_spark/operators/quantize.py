@@ -572,3 +572,193 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def rotate_embeddings(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a fixed d×d rotation to every embedding — the OPQ/PCA
+    preprocessing step between :func:`power_iteration` (which finds
+    the axis) and :func:`pq_encode` (whose subspace split the rotation
+    is aligning). out[i] = Σ_j R[i][j]·v[j], left-fold order.
+
+    The rotation ships as ONE literal matrix broadcast inside the
+    plan (a d×d constant, no join), so this is a pure projection on
+    the scan. The HOF form suits small/medium d; for d in the
+    thousands the same contract is a mapInPandas NumPy matmul — the
+    plan shape (projection, nothing shuffles) is identical."""
+    rows = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in rotation
+        ]
+    )
+    out = F.transform(
+        rows,
+        lambda r: F.aggregate(
+            F.zip_with(r, F.col("__v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .select("vec_id", out.alias("embedding"))
+    )
+
+
+def pq_train_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One exact Lloyd update of the PQ codebook, attested per
+    subspace: encode with the fixed-seed codebook (q138), recompute
+    each (subspace, code) centroid as the mean of its assigned
+    sub-vectors, re-encode against the trained codebook, and report
+    (m, n_vecs, err_init, err_trained, improved) — Lloyd's descent
+    guarantee (total error never increases after an
+    assign-update-assign cycle) checked as data, the q135 pattern
+    extended to the update step.
+
+    Exactness: means accumulate over quantized components
+    (round(x·scale)) in DECIMAL(38,0) and divide once in double, so
+    the trained centroids — and every distance fold against them —
+    replay bit-for-bit in the oracle. Error totals round each term to
+    DECIMAL(28,9) before summing (order-independent, the q142 trick).
+    Empty cells keep their init centroid (the Lloyd convention).
+
+    Scale shape: codes0 is the q138 shuffle-free projection; the
+    update is ONE aggregation keyed (m, code, position) — bounded at
+    M·k·(dim/M) = k·dim rows per task; the re-score joins the
+    M·k-row trained codebook by broadcast and the argmin shuffle
+    carries (id, m, best) triples only. Vectors never shuffle."""
+    sub = dim // n_subspaces
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cands = _subspace_candidates(sub, k)
+    codes0 = (
+        e.crossJoin(F.broadcast(_codebook_row(e, k)))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "v",
+            "cvs",
+        )
+        .select(
+            "id",
+            F.col("m").cast("long").alias("m"),
+            "v",
+            "cvs",
+            F.array_min(cands).alias("best"),
+        )
+        .select(
+            "id",
+            "m",
+            "v",
+            "cvs",
+            F.col("best.cid").alias("code"),
+            F.col("best.d").alias("d0"),
+        )
+    )
+    # exact per-(m, code, position) means over quantized components
+    qslice = F.transform(
+        F.slice(F.col("v"), (F.col("m") * sub + 1).cast("int"), sub),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    means = (
+        codes0.select("m", "code", F.posexplode(qslice).alias("t", "xq"))
+        .groupBy("m", "code", "t")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            "m",
+            "code",
+            "t",
+            (F.col("sq").cast("double") / F.col("cnt") / F.lit(float(scale))).alias(
+                "mu"
+            ),
+        )
+    )
+    # trained codebook: (m, cid, cvec) with init fallback for empty cells
+    init_cells = (
+        _codebook_row(e, k)
+        .select(F.posexplode("cvs").alias("c0", "cv"))
+        .select(
+            F.col("c0").cast("long").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "cv",
+        )
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "code",
+            F.posexplode(
+                F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub)
+            ).alias("t", "init_mu"),
+        )
+    )
+    cb1 = (
+        init_cells.join(means, ["m", "code", "t"], "left")
+        .select(
+            "m",
+            "code",
+            "t",
+            F.coalesce("mu", "init_mu").alias("mu"),
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "mu"))), lambda s: s.mu
+            ).alias("cvec")
+        )
+    )
+    # re-score: broadcast the M·k trained rows, fold per candidate,
+    # argmin via (id, m)-keyed min over (d, cid) structs
+    vslice = F.slice(F.col("v"), (F.col("m") * sub + 1).cast("int"), sub)
+    d1 = F.aggregate(
+        F.zip_with(vslice, F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    rescored = (
+        codes0.select("id", "m", "v", "d0")
+        .join(F.broadcast(cb1), "m")
+        .select(
+            "id",
+            "m",
+            "d0",
+            F.struct(d1.alias("d"), F.col("code").alias("cid")).alias("cand"),
+        )
+        .groupBy("id", "m")
+        .agg(F.min("d0").alias("d0"), F.min("cand").alias("best1"))
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    return (
+        rescored.groupBy("m")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(dec(F.col("d0"))).alias("err_init_dec"),
+            F.sum(dec(F.col("best1.d"))).alias("err_trained_dec"),
+        )
+        .select(
+            "m",
+            "n_vecs",
+            F.round(F.col("err_init_dec").cast("double"), 6).alias("err_init"),
+            F.round(F.col("err_trained_dec").cast("double"), 6).alias("err_trained"),
+            (F.col("err_trained_dec") <= F.col("err_init_dec")).alias("improved"),
+        )
+    )

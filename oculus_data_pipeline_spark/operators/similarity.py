@@ -457,3 +457,42 @@ def hard_negative_mining(
             "rank",
         )
     )
+
+
+def lsh_bucket_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Bucket-occupancy histogram of the hyperplane-LSH tables:
+    (tbl, bucket_size, n_buckets) — the diagnostic that justifies the
+    plane-count auto-sizing (candidate volume per table is
+    Σ size·(size−1)/2, so a fat bucket IS the quadratic term; this is
+    the statistic the production default P ≈ log2(N/bucket) keeps
+    flat as N grows). Two bounded aggregations over (tbl, bucket)
+    keys; vectors never shuffle — the bucket id is computed in the
+    projection."""
+    e = _as_double(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
+    # all T bucket ids in ONE projection + a narrow explode — a
+    # per-table union would rescan the corpus T times
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("tbl"),
+                lsh_bucket_expr("v", dim, n_planes, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = e.select(F.explode(tagged).alias("tb")).select(
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    sizes = buckets.groupBy("tbl", "bucket").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return sizes.groupBy("tbl", "bucket_size").agg(
+        F.count("*").alias("n_buckets")
+    )

@@ -6015,6 +6015,545 @@ def q156_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_train_oracle(
+    n_subspaces: int = 4, k: int = 8, dim: int = EMB_DIM, scale: int = 1_000_000
+) -> str:
+    sub = dim // n_subspaces
+    init_fold = "0.0"
+    for i in range(1, sub + 1):
+        t = f"(e.v[m * {sub} + {i}] - cv[m * {sub} + {i}])"
+        init_fold = f"({init_fold} + {t} * {t})"
+    re_fold = "0.0"
+    for i in range(1, sub + 1):
+        t = f"(e.v[m * {sub} + {i}] - cvec[{i}])"
+        re_fold = f"({re_fold} + {t} * {t})"
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < {k}),
+    ms AS (SELECT UNNEST(range(0, {n_subspaces})) AS m),
+    pos AS (SELECT UNNEST(range(0, {sub})) AS t),
+    scored0 AS (
+      SELECT e.id, m, cid, {init_fold} AS d
+      FROM e CROSS JOIN ms CROSS JOIN cent
+    ),
+    codes0 AS (
+      SELECT id, m, cid AS code, d AS d0 FROM (
+        SELECT id, m, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        FROM scored0
+      ) WHERE rn = 1
+    ),
+    mexp AS (
+      SELECT c.m, c.code, t,
+             CAST(ROUND(e.v[c.m * {sub} + t + 1] * {scale}) AS BIGINT) AS xq
+      FROM codes0 c JOIN e ON e.id = c.id CROSS JOIN pos
+    ),
+    means AS (
+      SELECT m, code, t, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / {scale}.0 AS mu
+      FROM mexp GROUP BY m, code, t
+    ),
+    init_cells AS (
+      SELECT m, cent.cid AS code, t,
+             cent.cv[m * {sub} + t + 1] AS init_mu
+      FROM cent CROSS JOIN ms CROSS JOIN pos
+    ),
+    cb1 AS (
+      SELECT i.m, i.code, list(COALESCE(mu.mu, i.init_mu) ORDER BY i.t) AS cvec
+      FROM init_cells i LEFT JOIN means mu
+        ON mu.m = i.m AND mu.code = i.code AND mu.t = i.t
+      GROUP BY i.m, i.code
+    ),
+    rescored AS (
+      SELECT id, m, d0, cid, {re_fold} AS d FROM (
+        SELECT c0.id AS id, c0.m AS m, c0.d0 AS d0, cb1.code AS cid,
+               e.v AS v, cb1.cvec AS cvec
+        FROM codes0 c0
+        JOIN e ON e.id = c0.id
+        JOIN cb1 ON cb1.m = c0.m
+      ) e
+    ),
+    best1 AS (
+      SELECT id, m, d0, d AS d1 FROM (
+        SELECT id, m, d0, d,
+               ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        FROM rescored
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT m, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(ROUND(d0, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+               AS err_init_dec,
+             CAST(SUM(CAST(ROUND(d1, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+               AS err_trained_dec
+      FROM best1 GROUP BY m
+    )
+    SELECT m, n_vecs,
+           ROUND(CAST(err_init_dec AS DOUBLE), 6) AS err_init,
+           ROUND(CAST(err_trained_dec AS DOUBLE), 6) AS err_trained,
+           err_trained_dec <= err_init_dec AS improved
+    FROM agg
+    """
+
+
+@query("q157_pq_lloyd_update", _pq_train_oracle())
+def q157_pq_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebook — one exact Lloyd update per subspace
+    (operators/quantize.py:pq_train_report): encode with the
+    fixed-seed codebook, recompute centroids as exact means of their
+    assigned sub-vectors (decimal sums over quantized components, one
+    double division), re-encode, and attest Lloyd's descent guarantee
+    per subspace (err_trained ≤ err_init, ~30 % drop on this corpus).
+    Extends q135's assignment-step attestation to the UPDATE step —
+    the full k-means training loop is now cross-engine replayable.
+    Bounded shuffles only: the update aggregation caps at k·dim rows
+    per task; the re-score broadcasts the M·k-row codebook."""
+    from .operators.quantize import pq_train_report
+
+    return pq_train_report(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q158_pareto_frontier",
+    """
+    WITH ranked AS (
+      SELECT p_partkey, p_size, p_retailprice,
+             MIN(p_retailprice) OVER (PARTITION BY p_size) AS best_at_size,
+             MIN(p_retailprice) OVER (
+               ORDER BY p_size DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_larger
+      FROM part
+    )
+    SELECT p_partkey, p_size, p_retailprice
+    FROM ranked
+    WHERE p_retailprice = best_at_size
+      AND (best_larger IS NULL OR p_retailprice < best_larger)
+    """,
+)
+def q158_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) over parts — maximize size,
+    minimize price: a part survives iff nothing is bigger-or-equal AND
+    cheaper-or-equal with one strict. The naive skyline is an O(n²)
+    dominance self-join; the sorted form is ONE pass — a running min
+    over strictly-larger sizes (RANGE frame with a 1-preceding offset
+    on the integer sort key gives exact 'strictly larger' semantics)
+    plus a per-size min. The oracle states it as the global-window
+    form; the Spark plan instead aggregates per-size minima (one
+    distributed hash agg) and derives each size's strictly-larger
+    running min with a theta self-join on the ~|distinct sizes|² ≤ a
+    few thousand size-level rows — no unpartitioned window anywhere
+    (the q45/q132 lesson), and the frontier filter rides a broadcast
+    join back onto the scan. Ties on (size, price) are mutually
+    non-dominating and all survive."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    mins = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_at_size")
+    )
+    b = mins.select(
+        F.col("p_size").alias("b_size"), F.col("best_at_size").alias("b_best")
+    )
+    larger = (
+        mins.join(F.broadcast(b), F.col("b_size") > F.col("p_size"), "left")
+        .groupBy("p_size", "best_at_size")
+        .agg(F.min("b_best").alias("best_larger"))
+    )
+    return (
+        p.join(F.broadcast(larger), "p_size")
+        .where(
+            (F.col("p_retailprice") == F.col("best_at_size"))
+            & (
+                F.col("best_larger").isNull()
+                | (F.col("p_retailprice") < F.col("best_larger"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@query(
+    "q159_pps_sample",
+    f"""
+    WITH ordered AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS cum,
+             CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM documents
+    ),
+    stepped AS (
+      SELECT *, GREATEST(total // 40, 1) AS step FROM ordered
+    )
+    SELECT doc_id, source, n_chars
+    FROM stepped
+    WHERE cum // step > (cum - n_chars) // step
+    """,
+)
+def q159_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (PPS — probability proportional to size)
+    sampling per source stratum: docs ordered by a deterministic md5
+    permutation, selected wherever the cumulative character count
+    crosses a step boundary (step = stratum total ÷ 40) — long docs
+    are proportionally more likely to be drawn, every ~step-th
+    character of the stream is covered, and the whole draw is
+    integer-exact (cumulative BIGINT sums, truncating division). This
+    is the per-document companion to q141's source-level mixture: the
+    op that actually picks which docs realize a token budget. One
+    window shuffle keyed on the stratum; at extreme per-stratum sizes
+    the same selection runs as the classic two-phase partial-sum +
+    broadcast-offset scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = W.partitionBy("source").orderBy(
+        md5_int(F.col("doc_id").cast("string")), "doc_id"
+    )
+    tot = W.partitionBy("source")
+    stepped = (
+        docs.withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn("total", F.sum("n_chars").over(tot).cast("long"))
+        .withColumn("step", F.greatest(F.expr("total div 40"), F.lit(1)))
+    )
+    return stepped.where(
+        F.expr("cum div step") > F.expr("(cum - n_chars) div step")
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q160_label_gini",
+    """
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS n_sl FROM documents
+      GROUP BY source, lang
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(n_sl) AS BIGINT) AS n,
+             CAST(SUM(n_sl * n_sl) AS BIGINT) AS sq
+      FROM cells GROUP BY source
+    )
+    SELECT source, n,
+           ROUND(CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             AS gini
+    FROM agg
+    """,
+)
+def q160_label_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini impurity of the language distribution —
+    1 − Σ pᵢ² computed as the integer ratio (n² − Σ nᵢ²)/n², so the
+    statistic is exact until one final IEEE division (no float
+    probabilities, no float summation — the diversity/homogeneity
+    screen a corpus-mixture plan reads next to q141). Two bounded
+    hash aggregations; shuffle is |source × lang| then |source|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    agg = cells.groupBy("source").agg(
+        F.sum("n_sl").cast("long").alias("n"),
+        F.sum(F.col("n_sl") * F.col("n_sl")).cast("long").alias("sq"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sq")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q161_chi_square",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(extract(dow FROM ts) AS BIGINT) + 1 AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY event_type, extract(dow FROM ts)
+    ),
+    margins AS (
+      SELECT o.event_type, o.dow, o.o,
+             SUM(o.o) OVER (PARTITION BY o.event_type) AS row_n,
+             SUM(o.o) OVER (PARTITION BY o.dow) AS col_n,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    ),
+    cells AS (
+      SELECT CAST(ROUND(
+               (o - CAST(row_n AS DOUBLE) * col_n / n)
+               * (o - CAST(row_n AS DOUBLE) * col_n / n)
+               / (CAST(row_n AS DOUBLE) * col_n / n), 9)
+             AS DECIMAL(28,9)) AS term,
+             n
+      FROM margins
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events, COUNT(*) AS n_cells,
+           ROUND(CAST(CAST(SUM(term) AS DECIMAL(38,9)) AS DOUBLE), 6)
+             AS chi_square
+    FROM cells
+    """,
+)
+def q161_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event type × day-of-week
+    — the drift/association screen over two categoricals. Observed and
+    marginal counts are exact integers; each cell's (O−E)²/E is
+    identical IEEE arithmetic in both engines and rounds to
+    DECIMAL(28,9) before the cross-cell sum, so the Σ is
+    order-independent (the q142 trick — a raw float SUM over cells
+    would be merge-order-dependent). The contingency table is ≤
+    |types|·7 rows; everything after the first count is negligible.
+    The oracle's SUM() OVER () global-window marginals are stated on
+    that tiny table only; Spark derives them with broadcast scalar
+    joins instead (no unpartitioned window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    row_n = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    col_n = obs.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = obs.groupBy().agg(F.sum("o").alias("n"))
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(row_n), "event_type")
+        .join(F.broadcast(col_n), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 9)
+            .cast("decimal(28,9)")
+            .alias("term"),
+        )
+    )
+    return cells.groupBy().agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_cells"),
+        F.round(F.sum("term").cast("double"), 6).alias("chi_square"),
+    )
+
+
+@query(
+    "q162_k_anonymity",
+    """
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           group_size < 5 AS violates_k5
+    FROM groups WHERE group_size < 10
+    """,
+)
+def q162_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: equivalence classes smaller than 10, flagged
+    when below k = 5 — the re-identification screen run before a
+    dataset ships (the aggregate-level companion to q107's span-level
+    PII scrub). One hash aggregation; the report is only the small
+    classes, never the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size")
+    )
+    return g.where(F.col("group_size") < 10).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") < 5).alias("violates_k5"),
+    )
+
+
+@query(
+    "q163_column_profile",
+    """
+    WITH u AS (
+      SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT col, COUNT(*) AS n, COUNT(v) AS n_nonnull,
+           COUNT(DISTINCT v) AS n_distinct,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(22,6))) AS DOUBLE)
+                 / COUNT(v), 6) AS mean_v
+    FROM u GROUP BY col
+    """,
+)
+def q163_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling ("describe at scale") over lineitem's numeric
+    columns via unpivot → one grouped aggregation: count, null count,
+    exact distinct, min/max, decimal-exact mean per column. The
+    profiling pass every ingestion pipeline runs before schema
+    contracts are signed; unpivot keeps it ONE scan and one shuffle of
+    |cols| × partial rows instead of |cols| separate jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "col",
+        "v",
+    )
+    return u.groupBy("col").agg(
+        F.count("*").alias("n"),
+        F.count("v").alias("n_nonnull"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(dsum("v", 6) / F.count("v"), 6).alias("mean_v"),
+    )
+
+
+@query(
+    "q164_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    """,
+)
+def q164_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for three FK edges (lineitem→orders, orders→customer,
+    customer→nation) — the constraint check a lakehouse runs because
+    parquet enforces nothing. Each edge is one left join + counting
+    aggregate; parent sides that fit broadcast do, and only (fk, 2
+    counters) rows leave each join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child, parent, ck, pk, name):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left")
+            .agg(
+                F.count("*").alias("n_child"),
+                F.sum(
+                    F.when(parent[pk].isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        audit(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+              "lineitem->orders")
+        .unionByName(
+            audit(o, c.select("c_custkey"), "o_custkey", "c_custkey",
+                  "orders->customer")
+        )
+        .unionByName(
+            audit(c, n, "c_nationkey", "n_nationkey", "customer->nation")
+        )
+    )
+
+
+@query(
+    "q165_group_mode",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY n DESC, o_orderstatus
+             ) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def q165_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent order status per
+    priority, deterministic tie-break) — the categorical companion to
+    q99's exact median: count-then-rank, so the heavy shuffle is the
+    count aggregation and the ranking window runs on the tiny
+    (group × value) table."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+def _lsh_bucket_stats_oracle(
+    dim: int = EMB_DIM, n_planes: int = 6, n_tables: int = 4
+) -> str:
+    from .operators.similarity import hyperplane
+
+    def bucket_sql(vec: str, table: int) -> str:
+        parts = []
+        for j in range(n_planes):
+            plane = hyperplane(dim, table * n_planes + j)
+            dot = "0.0"
+            for d, wgt in enumerate(plane):
+                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
+            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT {t} AS tbl, {bucket_sql('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({per_table}),
+    sizes AS (
+      SELECT tbl, bucket, COUNT(*) AS bucket_size FROM b GROUP BY tbl, bucket
+    )
+    SELECT tbl, bucket_size, COUNT(*) AS n_buckets
+    FROM sizes GROUP BY tbl, bucket_size
+    """
+
+
+@query("q39_lsh_bucket_stats", _lsh_bucket_stats_oracle())
+def q39_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram (operators/similarity.py:
+    lsh_bucket_stats) — the diagnostic behind the q51/q38 plane-count
+    auto-sizing: per-table candidate volume is Σ size·(size−1)/2 over
+    these buckets, so a fat bucket IS the quadratic term the
+    P ≈ log2(N/bucket) rule keeps flat as N grows. All T bucket ids
+    compute in ONE scan-speed projection (per-table union would
+    rescan the corpus); two bounded aggregations follow. Fills the
+    formerly unallocated q39 slot in the similarity block."""
+    from .operators.similarity import lsh_bucket_stats
+
+    return lsh_bucket_stats(
+        load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM,
+        n_planes=6, n_tables=4,
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -6027,6 +6566,16 @@ def q156_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q39_lsh_bucket_stats",
+    "q163_column_profile",
+    "q164_referential_integrity",
+    "q165_group_mode",
+    "q160_label_gini",
+    "q161_chi_square",
+    "q162_k_anonymity",
+    "q158_pareto_frontier",
+    "q159_pps_sample",
+    "q157_pq_lloyd_update",
     "q155_ewma_smoothing",
     "q156_ab_test_stats",
     "q154_hard_negatives",
@@ -6071,19 +6620,11 @@ _ATTESTATION_PRIORITY = [
     "q06_top_customers_per_nation",
     "q07_running_order_totals",
     "q08_rollup_order_stats",
-    "q09_cube_event_stats",
-    "q10_distinct_aggregates",
-    "q12_json_extraction",
-    "q13_daily_event_rollup",
-    "q15_sliding_windows",
-    "q17_pivot_order_status",
-    "q18_date_arithmetic",
-    "q20_normalize_terms",
-    "q21_generate_uri",
-    "q22_convert_name",
     # (q45 already re-attests above with the r4 rewrites. r1-stale
-    # q23–q30, q33–q37, q40–q43, q46 and q50 rotated out to make room
-    # for the round-4 second and third waves q138–q156 — new-query
+    # q09–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37, q40–q43, q46 and
+    # q50 rotated out
+    # to make room
+    # for the round-4 additions q39 and q138–q165 — new-query
     # evidence outranks re-attestation; they lead the r5 stale list.
     # q46's error bound is attested via its closed-form companion q134
     # in this window regardless, and q35's exact side re-attests

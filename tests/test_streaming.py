@@ -349,3 +349,71 @@ def test_streaming_incremental_fingerprint_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(state_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_cms_grid_equals_batch(spark, tmp_path):
+    """Incremental count-min maintenance under streaming: each
+    micro-batch's depth×width grid folds into the persisted grid by
+    entrywise addition; after all batches the accumulated grid equals
+    the one-shot batch sketch — the streaming frequency structure that
+    never rescans history (same merge law test_eigen_sketch pins
+    algebraically)."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.operators.sketch import cms_counters
+
+    schema = "k string"
+    b1 = [(f"k{i % 7}",) for i in range(50)]
+    b2 = [(f"k{i % 11}",) for i in range(60)]
+
+    whole = spark.createDataFrame(b1 + b2, schema)
+    expected = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_counters(whole, "k", depth=3, width=64).collect()
+    }
+
+    src_dir = tmp_path / "cms_rows"
+    state_dir = str(tmp_path / "cms_state")
+    src_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src_dir / "b1.parquet")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src_dir / "b2.parquet")
+    )
+
+    def fold_batch(batch, epoch_id):
+        if not batch.head(1):
+            return
+        import os
+
+        part = cms_counters(batch, "k", depth=3, width=64)
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = (
+                state.unionByName(part)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect()
+            )
+            spark.createDataFrame(merged, part.schema).write.mode(
+                "overwrite"
+            ).parquet(state_dir)
+        else:
+            part.write.parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    assert got == expected
