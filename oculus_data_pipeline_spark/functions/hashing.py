@@ -69,3 +69,25 @@ def minhash_params(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
         b = state % MERSENNE31
         params.append((a, b))
     return params
+
+
+def hex_span(digest: Column | str, start: int, hex_chars: int) -> Column:
+    """Independent hash values carved from ONE already-computed hex
+    digest column: the ``hex_chars``-wide span starting at 1-based hex
+    position ``start`` parsed as a non-negative long. Lets a depth-d
+    sketch charge one md5 per row instead of d (md5's 32 hex chars
+    give e.g. 3 disjoint 5-char buckets + 3 sign bits to spare)."""
+    if start + hex_chars - 1 > 32:
+        raise ValueError("span exceeds the 32-char md5 digest")
+    if hex_chars > 15:
+        raise ValueError("hex_chars > 15 can overflow a signed long")
+    return F.conv(F.substring(_c(digest), start, hex_chars), 16, 10).cast("long")
+
+
+def hex_span_sql(digest_col: str, start: int, hex_chars: int) -> str:
+    """DuckDB equivalent of :func:`hex_span` over a digest column."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({digest_col}, {start + i}, 1)) - 1)::BIGINT * {16 ** (hex_chars - 1 - i)}"
+        for i in range(hex_chars)
+    )
+    return f"({terms})"

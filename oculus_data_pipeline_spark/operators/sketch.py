@@ -12,7 +12,10 @@ subtract): est ≥ exact always, and est ≤ exact + εN with probability
 
 Everything here is deterministic given the md5-derived hash rows, so
 a DuckDB oracle replays the sketch bit-for-bit — same counters, same
-estimates, same one-sided error attestation.
+estimates, same one-sided error attestation. Each row is hashed ONCE:
+the depth-d buckets (and count-sketch signs) are disjoint spans of a
+single md5 digest, not d separate salted hashes — at 100 TB the hash
+is the sketch pass's dominant cost.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_int
+from ..functions.hashing import hex_span
 
 
 def cms_counters(
@@ -37,18 +40,22 @@ def cms_counters(
     bounded-shuffle pattern as scd.table_fingerprint. The grid from
     two inputs merges by summing cnt entrywise, which is what makes
     this the incremental/streaming frequency structure."""
-    keyed = df.select(F.col(key_col).cast("string").alias("key"))
-    rows = keyed.select(
-        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"), "key"
+    dg = df.select(F.md5(F.col(key_col).cast("string")).alias("dg"))
+    # ONE md5 per row; each depth's bucket is a disjoint 5-hex-char
+    # span of the digest (20 bits >= any practical width), exploded as
+    # already-computed values — row count triples, hash count doesn't
+    spans = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (hex_span("dg", 1 + 5 * d, 5) % width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
     )
     return (
-        rows.select(
-            "d",
-            (
-                md5_int(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("key")))
-                % width
-            ).alias("bucket"),
-        )
+        dg.select(F.explode(spans).alias("x"))
+        .select(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -81,29 +88,46 @@ def count_sketch_estimates(
             "the closed-form median (sum − min − max) is depth-3-specific"
         )
     keyed = df.select(F.col(key_col).cast("string").alias("key"))
-    bucket = (
-        md5_int(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("key")))
-        % width
-    )
-    sign = (
-        md5_int(F.concat(F.lit("s"), F.col("d").cast("string"), F.lit(":"), F.col("key")))
-        % 2
-    ) * 2 - 1
-    rows = keyed.select(
-        "key",
-        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
-    )
+
+    def spans():
+        # ONE md5 per row: bucket_d = 5-hex span at 1+5d, sign_d = the
+        # parity of the single hex char at 16+d
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        (hex_span("dg", 1 + 5 * d, 5) % width).alias("bucket"),
+                        (hex_span("dg", 16 + d, 1) % 2 * 2 - 1).alias("sg"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        )
+
     grid = (
-        rows.select("d", bucket.alias("bucket"), sign.alias("sg"))
+        keyed.withColumn("dg", F.md5("key"))
+        .select(spans().alias("x"))
+        .select(
+            F.col("x.d").alias("d"),
+            F.col("x.bucket").alias("bucket"),
+            F.col("x.sg").alias("sg"),
+        )
         .groupBy("d", "bucket")
         .agg(F.sum("sg").alias("cnt"))
     )
     exact = keyed.groupBy("key").agg(F.count("*").alias("exact_n"))
-    probe = exact.select(
-        "key",
-        "exact_n",
-        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
-    ).select("key", "exact_n", "d", bucket.alias("bucket"), sign.alias("sg"))
+    probe = (
+        exact.withColumn("dg", F.md5("key"))
+        .select("key", "exact_n", spans().alias("x"))
+        .select(
+            "key",
+            "exact_n",
+            F.col("x.d").alias("d"),
+            F.col("x.bucket").alias("bucket"),
+            F.col("x.sg").alias("sg"),
+        )
+    )
     reads = probe.join(F.broadcast(grid), ["d", "bucket"]).select(
         "key", "exact_n", (F.col("sg") * F.col("cnt")).alias("read")
     )
@@ -149,19 +173,21 @@ def cms_heavy_hitters(
         .groupBy("key")
         .agg(F.count("*").alias("exact_n"))
     )
-    probe = exact.select(
+    probe = exact.withColumn("dg", F.md5("key")).select(
         "key",
         "exact_n",
-        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
-    ).select(
-        "key",
-        "exact_n",
-        "d",
-        (
-            md5_int(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("key")))
-            % width
-        ).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        (hex_span("dg", 1 + 5 * d, 5) % width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select("key", "exact_n", F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
     est = (
         probe.join(F.broadcast(grid), ["d", "bucket"])
         .groupBy("key", "exact_n")
@@ -192,17 +218,18 @@ def bloom_filter_positions(
     any probe side, and cross-engine deterministic via the md5 hash
     family. One bounded aggregation: map-side distinct caps each
     task's output at width_bits rows regardless of build size."""
-    keyed = df.select(F.col(key_col).cast("string").alias("key"))
-    pos = (
-        md5_int(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("key")))
-        % width_bits
-    )
     return (
-        keyed.select(
-            "key",
-            F.explode(F.array(*[F.lit(h) for h in range(k_hashes)])).alias("h"),
+        df.select(F.md5(F.col(key_col).cast("string")).alias("dg"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        (hex_span("dg", 1 + 5 * h, 5) % width_bits).alias("p")
+                        for h in range(k_hashes)
+                    ]
+                )
+            ).alias("pos")
         )
-        .select(pos.alias("pos"))
         .distinct()
     )
 
@@ -232,16 +259,19 @@ def bloom_membership_report(
     filt = bloom_filter_positions(build, build_key, width_bits, k_hashes)
     pkeys = probe.select(F.col(probe_key).cast("string").alias("key")).distinct()
     bkeys = build.select(F.col(build_key).cast("string").alias("key")).distinct()
-    pos = (
-        md5_int(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("key")))
-        % width_bits
-    )
     probed = (
-        pkeys.select(
+        pkeys.withColumn("dg", F.md5("key"))
+        .select(
             "key",
-            F.explode(F.array(*[F.lit(h) for h in range(k_hashes)])).alias("h"),
+            F.explode(
+                F.array(
+                    *[
+                        (hex_span("dg", 1 + 5 * h, 5) % width_bits).alias("p")
+                        for h in range(k_hashes)
+                    ]
+                )
+            ).alias("pos"),
         )
-        .select("key", pos.alias("pos"))
         .join(F.broadcast(filt.withColumn("set_", F.lit(1))), "pos", "left")
         .groupBy("key")
         .agg((F.count("set_") == k_hashes).alias("passes"))
