@@ -100,6 +100,7 @@ HEADLINE = [
     "q164_referential_integrity",
     "q165_group_mode",
     "q39_lsh_bucket_stats",
+    "q166_dedup_weights",
 ]
 
 

@@ -762,3 +762,53 @@ def pq_train_report(
             (F.col("err_trained_dec") <= F.col("err_init_dec")).alias("improved"),
         )
     )
+
+
+def opq_rotation(
+    emb: DataFrame,
+    n_subspaces: int = 4,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[list[float]]:
+    """OPQ eigenvalue-allocation rotation from the exact corpus Gram:
+    decorrelate with the full eigenbasis, then assign principal
+    components to PQ subspaces by GREEDY VARIANCE BALANCING (each
+    eigenvector, in descending-eigenvalue order, goes to the
+    least-loaded non-full subspace by log-eigenvalue product — the
+    parametric allocation from the OPQ paper). Balancing matters:
+    naively sorting ALL top components into subspace 0 concentrates
+    the signal a single 2^b-entry codebook must cover and measurably
+    WORSENS PQ error (tried; the multi-component test caught it) —
+    each subspace's independent codebook should carry an equal share
+    of the variance.
+
+    Scale shape: the ONLY corpus-sized work is the bounded-shuffle
+    _gram_int pass; the d×d matrix (≤ a few thousand rows) is then a
+    bounded driver pull — same convention as ivf.py's centroid pulls
+    — and the dense eigendecomposition runs on the driver in O(d³),
+    microseconds for embedding-sized d. The returned matrix feeds
+    :func:`rotate_embeddings` as a broadcast literal."""
+    import math
+
+    import numpy as np
+
+    rows = _gram_int(emb, vec_col, scale).collect()  # ≤ d(d+1)/2 rows
+    d = max(int(r.j) for r in rows) + 1
+    G = np.zeros((d, d))
+    for r in rows:
+        v = float(r.s) / (float(scale) * float(scale)) / float(r.n_vecs)
+        G[int(r.i)][int(r.j)] = v
+        G[int(r.j)][int(r.i)] = v
+    vals, vecs = np.linalg.eigh(G)  # ascending
+    order = list(np.argsort(vals)[::-1])
+    cap = d // n_subspaces
+    buckets: list[list[int]] = [[] for _ in range(n_subspaces)]
+    load = [0.0] * n_subspaces
+    for i in order:
+        open_ = [m for m in range(n_subspaces) if len(buckets[m]) < cap]
+        m = min(open_, key=lambda j: (load[j], j))
+        buckets[m].append(i)
+        load[m] += math.log(max(float(vals[i]), 1e-12))
+    return [
+        list(map(float, vecs[:, i])) for m in range(n_subspaces) for i in buckets[m]
+    ]

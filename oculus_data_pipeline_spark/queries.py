@@ -6575,6 +6575,125 @@ def q39_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q166_dedup_weights",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_oracle()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    ),
+    cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)
+    SELECT d.doc_id, COALESCE(s.csize, 1) AS cluster_size,
+           10000 // COALESCE(s.csize, 1) AS weight_bp
+    FROM documents d
+    LEFT JOIN cc ON cc.id = d.doc_id
+    LEFT JOIN sizes s ON s.comp = cc.comp
+    """,
+)
+def q166_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware training weights: every document weighted
+    1/cluster_size over its transitive near-dup cluster (10000 ÷ size
+    in basis points, truncating division — integer-exact), singletons
+    at weight 1.0 — the soft alternative to q112's hard canonical
+    selection: keep every copy but make each duplicated work item
+    count once in the loss, the standard dedup-aware sampling scheme.
+    Composes the q76 cluster machinery; the weight join-back is one
+    broadcast of the (small) cluster-size table onto the corpus
+    scan."""
+    from .operators.graph_algo import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_near_dups(docs)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("comp").agg(F.count("*").alias("csize"))
+    withc = cc.join(F.broadcast(sizes), "comp").select("id", "csize")
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(withc), docs["doc_id"] == withc["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("csize", F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("10000 div COALESCE(csize, 1)").alias("weight_bp"),
+        )
+    )
+
+
+@query(
+    "q167_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_oracle()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    ),
+    cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp),
+    hist AS (
+      SELECT cluster_size, COUNT(*) AS n_clusters,
+             CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size
+    ),
+    singles AS (
+      SELECT 1 AS cluster_size,
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cc)
+               AS n_clusters,
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cc)
+               AS n_docs
+    )
+    SELECT * FROM hist
+    UNION ALL
+    SELECT cluster_size, CAST(n_clusters AS BIGINT), CAST(n_docs AS BIGINT)
+    FROM singles WHERE n_clusters > 0
+    """,
+)
+def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — (cluster_size, n_clusters,
+    n_docs) including the singleton mass: THE one-glance dedup health
+    report (how much of the corpus is duplicated, and whether the
+    distribution is many pairs or a few giant clusters — giant
+    clusters usually mean boilerplate, the q100/q139 path). Histogram
+    rows are |distinct sizes|; the only corpus-sized work is the q76
+    cluster pass it composes."""
+    from .operators.graph_algo import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_near_dups(docs)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    n_docs_total = docs.count()
+    n_clustered = cc.count()
+    n_single = n_docs_total - n_clustered
+    if n_single > 0:
+        single_row = docs.sparkSession.createDataFrame(
+            [(1, n_single, n_single)],
+            "cluster_size long, n_clusters long, n_docs long",
+        )
+        hist = hist.select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+            "n_docs",
+        ).unionByName(single_row)
+    return hist
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -6587,6 +6706,8 @@ def q39_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q166_dedup_weights",
+    "q167_cluster_size_histogram",
     "q39_lsh_bucket_stats",
     "q163_column_profile",
     "q164_referential_integrity",
@@ -6639,13 +6760,11 @@ _ATTESTATION_PRIORITY = [
     "q03_region_revenue",
     "q04_order_priority",
     "q06_top_customers_per_nation",
-    "q07_running_order_totals",
-    "q08_rollup_order_stats",
     # (q45 already re-attests above with the r4 rewrites. r1-stale
-    # q09–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37, q40–q43, q46 and
+    # q07–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37, q40–q43, q46 and
     # q50 rotated out
     # to make room
-    # for the round-4 additions q39 and q138–q165 — new-query
+    # for the round-4 additions q39 and q138–q167 — new-query
     # evidence outranks re-attestation; they lead the r5 stale list.
     # q46's error bound is attested via its closed-form companion q134
     # in this window regardless, and q35's exact side re-attests

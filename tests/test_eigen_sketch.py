@@ -296,3 +296,43 @@ def test_pq_lloyd_update_descends(spark, sf_dir):
     for r in rows:
         assert r.improved
         assert r.err_trained < r.err_init  # strict on this corpus
+
+
+def test_full_eigenbasis_opq_rotation_wins_on_multicomponent_data(spark):
+    """The case the Householder test cannot show: a MULTI-component
+    spectrum whose independent signal directions straddle the PQ
+    subspace boundaries. opq_rotation decorrelates with the full
+    eigenbasis and BALANCES the components across subspaces (greedy
+    log-eigenvalue allocation), so the fixed-seed PQ error drops
+    decisively — and the rotation matrix comes from the exact
+    distributed Gram with only a bounded d×d driver pull."""
+    from oculus_data_pipeline_spark.operators.quantize import (
+        opq_rotation,
+        pq_encode,
+        rotate_embeddings,
+    )
+
+    rng = np.random.RandomState(17)
+    d, n, n_comp = 16, 400, 4
+    basis, _ = np.linalg.qr(rng.randn(d, d))
+    comps = basis[:, :n_comp]  # orthogonal signal directions
+    weights = rng.randn(n, n_comp) * np.array([3.0, 2.0, 1.5, 1.0])
+    X = weights @ comps.T + 0.02 * rng.randn(n, d)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    R = opq_rotation(df, n_subspaces=4)
+    assert len(R) == d and len(R[0]) == d
+    Rm = np.array(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(d), atol=1e-8)  # orthogonal
+
+    def total_err(frame):
+        return sum(
+            r.sq_dist
+            for r in pq_encode(frame, n_subspaces=4, k=8, dim=d).collect()
+        )
+
+    raw = total_err(df)
+    rot = total_err(rotate_embeddings(df, R))
+    assert rot < raw * 0.7  # a decisive, not marginal, improvement

@@ -89,6 +89,8 @@ PROBES = [
     "q164_referential_integrity",
     "q165_group_mode",
     "q39_lsh_bucket_stats",
+    "q166_dedup_weights",
+    "q167_cluster_size_histogram",
 ]
 
 KEY_SHIFTS = {
