@@ -101,6 +101,7 @@ HEADLINE = [
     "q165_group_mode",
     "q39_lsh_bucket_stats",
     "q166_dedup_weights",
+    "q168_ivf_pq_trained",
 ]
 
 

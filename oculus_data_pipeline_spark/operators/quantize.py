@@ -812,3 +812,272 @@ def opq_rotation(
     return [
         list(map(float, vecs[:, i])) for m in range(n_subspaces) for i in buckets[m]
     ]
+
+
+def ivf_pq_trained_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    topk: int = 5,
+    n_subspaces: int = 4,
+    k: int = 8,
+    k_coarse: int = 4,
+    nprobe: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF+PQ with BOTH codebooks Lloyd-trained one exact step — the
+    capstone composition: q135's assignment step + q157's exact-mean
+    update applied to the coarse quantizer (full-dim) AND the residual
+    PQ codebook (per subspace), then q149's probed ADC search runs
+    against the trained index. Every stage stays cross-engine
+    bit-exact: assignments are left-fold argmins with id tie-breaks,
+    centroid updates are decimal sums over quantized components with
+    one double division, distances fold in fixed order, and ADC
+    partials round to DECIMAL(28,9) before the order-free Σ.
+
+    Scale shape — identical to the fixed-seed pieces it composes: the
+    corpus is scanned for (a) coarse assignment + residual encoding
+    (projection against TWO broadcast one-row codebooks) and (b) the
+    two bounded centroid-update aggregations (≤ k_coarse·dim and
+    k·dim rows per task); the search side touches codes only, with
+    the n_queries·nprobe·M·k distance table broadcast."""
+    sub = dim // n_subspaces
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # ---- coarse: init = lowest ids, one exact Lloyd update ----
+    coarse0 = (
+        e.where(F.col("id") < k_coarse)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "v"))), lambda s: s.v
+            ).alias("ccs")
+        )
+    )
+
+    def coarse_cands():
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k_coarse - 1)),
+            lambda c: F.struct(
+                _full_sqdist(
+                    F.col("v"), F.element_at(F.col("ccs"), (c + 1).cast("int"))
+                ).alias("d"),
+                c.cast("long").alias("cid"),
+            ),
+        )
+
+    assigned0 = (
+        e.crossJoin(F.broadcast(coarse0))
+        .withColumn("c0", F.array_min(coarse_cands()).cid)
+        .select("id", "v", "c0")
+    )
+    qv = F.transform("v", lambda x: F.round(x * scale).cast("long"))
+    cmeans = (
+        assigned0.select("c0", F.posexplode(qv).alias("t", "xq"))
+        .groupBy("c0", "t")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            "c0",
+            "t",
+            (F.col("sq").cast("double") / F.col("cnt") / F.lit(float(scale))).alias(
+                "mu"
+            ),
+        )
+    )
+    init_c = (
+        coarse0.select(F.posexplode("ccs").alias("cpos", "cv"))
+        .select(
+            F.col("cpos").cast("long").alias("c0"),
+            F.posexplode("cv").alias("t", "init_mu"),
+        )
+    )
+    cent1row = (
+        init_c.join(cmeans, ["c0", "t"], "left")
+        .select("c0", "t", F.coalesce("mu", "init_mu").alias("mu"))
+        .groupBy("c0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "mu"))), lambda s: s.mu
+            ).alias("cvec")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c0", "cvec"))),
+                lambda s: s.cvec,
+            ).alias("ccs")
+        )
+    )
+    # ---- re-assign against trained coarse; residuals ----
+    assigned1 = (
+        e.crossJoin(F.broadcast(cent1row))
+        .withColumn("list_id", F.array_min(coarse_cands()).cid)
+        .select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "v",
+                F.element_at(F.col("ccs"), (F.col("list_id") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("r"),
+            "v",
+        )
+    )
+    # ---- residual codebook: init = residuals of next-k ids, one update ----
+    cb0 = (
+        assigned1.where(
+            (F.col("id") >= k_coarse) & (F.col("id") < k_coarse + k)
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "r"))), lambda s: s.r
+            ).alias("cvs")
+        )
+    )
+    codes0 = (
+        assigned1.crossJoin(F.broadcast(cb0))
+        .select(
+            "id",
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "r",
+            "cvs",
+        )
+        .select(
+            "id",
+            "list_id",
+            F.col("m").cast("long").alias("m"),
+            "r",
+            F.array_min(_subspace_candidates(sub, k, vec="r")).cid.alias("code"),
+        )
+    )
+    qslice = F.transform(
+        F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    rmeans = (
+        codes0.select("m", "code", F.posexplode(qslice).alias("t", "xq"))
+        .groupBy("m", "code", "t")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            "m",
+            "code",
+            "t",
+            (F.col("sq").cast("double") / F.col("cnt") / F.lit(float(scale))).alias(
+                "mu"
+            ),
+        )
+    )
+    init_r = (
+        cb0.select(F.posexplode("cvs").alias("cpos", "cv"))
+        .select(
+            F.col("cpos").cast("long").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+            "cv",
+        )
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "code",
+            F.posexplode(
+                F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub)
+            ).alias("t", "init_mu"),
+        )
+    )
+    cb1 = (
+        init_r.join(rmeans, ["m", "code", "t"], "left")
+        .select("m", "code", F.col("t"), F.coalesce("mu", "init_mu").alias("mu"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "mu"))), lambda s: s.mu
+            ).alias("cvec")
+        )
+    )
+    # ---- final codes vs trained residual codebook ----
+    vslice = F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub)
+    d_final = F.aggregate(
+        F.zip_with(vslice, F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    codes = (
+        codes0.select("id", "list_id", "m", "r")
+        .join(F.broadcast(cb1.withColumnRenamed("code", "cid")), "m")
+        .select(
+            "id",
+            "list_id",
+            "m",
+            F.struct(d_final.alias("d"), F.col("cid").alias("cid")).alias("cand"),
+        )
+        .groupBy("id", "list_id", "m")
+        .agg(F.min("cand").alias("best"))
+        .select("id", "list_id", "m", F.col("best.cid").alias("code"))
+    )
+    # ---- query side: probe trained lists, dtable vs trained codebook ----
+    probes = (
+        e.where(F.col("id") < n_queries)
+        .withColumnRenamed("id", "query_id")
+        .crossJoin(F.broadcast(cent1row))
+        .select(
+            "query_id",
+            "v",
+            "ccs",
+            F.explode(F.slice(F.array_sort(coarse_cands()), 1, nprobe)).alias(
+                "probe"
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("probe.cid").alias("list_id"),
+            F.zip_with(
+                "v",
+                F.element_at(F.col("ccs"), (F.col("probe.cid") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("rq"),
+        )
+    )
+    rq_slice = F.slice(F.col("rq"), (F.col("m") * sub + 1).cast("int"), sub)
+    d_q = F.aggregate(
+        F.zip_with(rq_slice, F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dtable = (
+        probes.crossJoin(F.broadcast(cb1))
+        .select(
+            "query_id",
+            "list_id",
+            F.col("m").cast("long").alias("m"),
+            "code",
+            F.round(d_q, 9).cast("decimal(28,9)").alias("pd"),
+        )
+    )
+    agg = (
+        codes.join(F.broadcast(dtable), ["list_id", "m", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.min("list_id").alias("list_id"), F.sum("pd").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "list_id",
+            F.round(F.col("adc_dec").cast("double"), 6).alias("adc_dist"),
+            "rank",
+        )
+    )

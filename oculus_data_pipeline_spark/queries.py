@@ -6694,6 +6694,189 @@ def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist
 
 
+def _ivf_pq_trained_oracle(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_subspaces: int = 4,
+    k: int = 8,
+    k_coarse: int = 4,
+    nprobe: int = 2,
+    dim: int = EMB_DIM,
+    scale: int = 1_000_000,
+) -> str:
+    sub = dim // n_subspaces
+
+    def full_fold(vec: str, cent: str) -> str:
+        expr = "0.0"
+        for t in range(1, dim + 1):
+            term = f"({vec}[{t}] - {cent}[{t}])"
+            expr = f"({expr} + {term} * {term})"
+        return expr
+
+    def sub_fold(rcol: str, cvcol: str) -> str:
+        expr = "0.0"
+        for i in range(1, sub + 1):
+            idx = f"m * {sub} + {i}"
+            term = f"({rcol}[{idx}] - {cvcol}[{i}])"
+            expr = f"({expr} + {term} * {term})"
+        return expr
+
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (SELECT id AS c0, v AS cv FROM e WHERE id < {k_coarse}),
+    ca0 AS (SELECT e.id, cent0.c0, {full_fold("e.v", "cent0.cv")} AS d
+            FROM e CROSS JOIN cent0),
+    best0 AS (
+      SELECT id, c0 FROM (
+        SELECT id, c0, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, c0) AS rn
+        FROM ca0
+      ) WHERE rn = 1
+    ),
+    cm AS (
+      SELECT b.c0, t.t,
+             CAST(SUM(CAST(ROUND(e.v[t.t + 1] * {scale}) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / {scale}.0 AS mu
+      FROM best0 b JOIN e ON e.id = b.id
+      CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS t) t
+      GROUP BY b.c0, t.t
+    ),
+    initc AS (
+      SELECT c0, t.t, cv[t.t + 1] AS init_mu
+      FROM cent0 CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS t) t
+    ),
+    cent1 AS (
+      SELECT i.c0, list(COALESCE(cm.mu, i.init_mu) ORDER BY i.t) AS cvec
+      FROM initc i LEFT JOIN cm ON cm.c0 = i.c0 AND cm.t = i.t
+      GROUP BY i.c0
+    ),
+    ca1 AS (SELECT e.id, cc.c0, {full_fold("e.v", "cc.cvec")} AS d
+            FROM e CROSS JOIN cent1 cc),
+    best1 AS (
+      SELECT id, c0 AS list_id FROM (
+        SELECT id, c0, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, c0) AS rn
+        FROM ca1
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.id, b.list_id,
+             list_transform(range(1, {dim + 1}), t -> e.v[t] - cc.cvec[t]) AS r
+      FROM e JOIN best1 b ON e.id = b.id JOIN cent1 cc ON cc.c0 = b.list_id
+    ),
+    cb0 AS (
+      SELECT id - {k_coarse} AS cid, r AS rv FROM resid
+      WHERE id >= {k_coarse} AND id < {k_coarse + k}
+    ),
+    ms AS (SELECT UNNEST(range(0, {n_subspaces})) AS m),
+    scored0 AS (
+      SELECT resid.id, resid.list_id, m, cb0.cid,
+             {_sub_fold_raw(sub)} AS d
+      FROM resid CROSS JOIN ms CROSS JOIN cb0
+    ),
+    codes0 AS (
+      SELECT id, list_id, m, cid AS code FROM (
+        SELECT id, list_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        FROM scored0
+      ) WHERE rn = 1
+    ),
+    rm AS (
+      SELECT c.m, c.code, t.t,
+             CAST(SUM(CAST(ROUND(r.r[c.m * {sub} + t.t + 1] * {scale}) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / {scale}.0 AS mu
+      FROM codes0 c JOIN resid r ON r.id = c.id
+      CROSS JOIN (SELECT UNNEST(range(0, {sub})) AS t) t
+      GROUP BY c.m, c.code, t.t
+    ),
+    initr AS (
+      SELECT m, cb0.cid AS code, t.t, cb0.rv[m * {sub} + t.t + 1] AS init_mu
+      FROM cb0 CROSS JOIN ms
+      CROSS JOIN (SELECT UNNEST(range(0, {sub})) AS t) t
+    ),
+    cb1 AS (
+      SELECT i.m, i.code, list(COALESCE(rm.mu, i.init_mu) ORDER BY i.t) AS cvec
+      FROM initr i LEFT JOIN rm
+        ON rm.m = i.m AND rm.code = i.code AND rm.t = i.t
+      GROUP BY i.m, i.code
+    ),
+    rescored AS (
+      SELECT x.id, x.list_id, x.m, x.cid, {sub_fold("x.r", "x.cvec")} AS d
+      FROM (
+        SELECT r.id, r.list_id, cb1.m AS m, cb1.code AS cid, r.r AS r,
+               cb1.cvec AS cvec
+        FROM resid r CROSS JOIN cb1
+      ) x
+    ),
+    codes AS (
+      SELECT id, list_id, m, cid AS code FROM (
+        SELECT id, list_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        FROM rescored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, c0 AS list_id FROM (
+        SELECT id, c0, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, c0) AS rn
+        FROM ca1 WHERE id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    ),
+    qresid AS (
+      SELECT p.query_id, p.list_id,
+             list_transform(range(1, {dim + 1}), t -> e.v[t] - cc.cvec[t]) AS rq
+      FROM probes p JOIN e ON e.id = p.query_id
+      JOIN cent1 cc ON cc.c0 = p.list_id
+    ),
+    qd AS (
+      SELECT x.query_id, x.list_id, x.m, x.cid AS code,
+             CAST(ROUND({sub_fold("x.rq", "x.cvec")}, 9) AS DECIMAL(28,9)) AS pd
+      FROM (
+        SELECT q.query_id, q.list_id, cb1.m AS m, cb1.code AS cid, q.rq AS rq,
+               cb1.cvec AS cvec
+        FROM qresid q CROSS JOIN cb1
+      ) x
+    ),
+    agg AS (
+      SELECT q.query_id, c.id AS neighbor_id, MIN(c.list_id) AS list_id,
+             CAST(SUM(q.pd) AS DECIMAL(38,9)) AS adc_dec
+      FROM codes c
+      JOIN qd q ON c.list_id = q.list_id AND c.m = q.m AND c.code = q.code
+      WHERE c.id <> q.query_id
+      GROUP BY q.query_id, c.id
+    )
+    SELECT query_id, neighbor_id, list_id,
+           ROUND(CAST(adc_dec AS DOUBLE), 6) AS adc_dist, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dec, neighbor_id) AS rank
+      FROM agg
+    ) WHERE rank <= {topk}
+    """
+
+
+def _sub_fold_raw(sub: int) -> str:
+    """Fold of (resid.r slice − cb0.rv slice)² — both full-dim arrays
+    indexed at m·sub+i (q149's convention)."""
+    expr = "0.0"
+    for i in range(1, sub + 1):
+        idx = f"m * {sub} + {i}"
+        term = f"(resid.r[{idx}] - cb0.rv[{idx}])"
+        expr = f"({expr} + {term} * {term})"
+    return expr
+
+
+@query("q168_ivf_pq_trained", _ivf_pq_trained_oracle())
+def q168_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with Lloyd-trained coarse AND residual codebooks
+    (operators/quantize.py:ivf_pq_trained_topk) — the capstone ANN
+    composition: q135's assignment + q157's exact-mean update train
+    both quantizer levels one step, then q149's probed ADC search runs
+    against the trained index, all cross-engine bit-exact. The trained
+    codebook also removes q149's zero-distance degeneracies (every
+    centroid is a data mean, not a raw data point)."""
+    from .operators.quantize import ivf_pq_trained_topk
+
+    return ivf_pq_trained_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -6706,6 +6889,7 @@ def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q168_ivf_pq_trained",
     "q166_dedup_weights",
     "q167_cluster_size_histogram",
     "q39_lsh_bucket_stats",
@@ -6759,12 +6943,11 @@ _ATTESTATION_PRIORITY = [
     "q02_shipping_priority",
     "q03_region_revenue",
     "q04_order_priority",
-    "q06_top_customers_per_nation",
     # (q45 already re-attests above with the r4 rewrites. r1-stale
-    # q07–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37, q40–q43, q46 and
+    # q06–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37, q40–q43, q46 and
     # q50 rotated out
     # to make room
-    # for the round-4 additions q39 and q138–q167 — new-query
+    # for the round-4 additions q39 and q138–q168 — new-query
     # evidence outranks re-attestation; they lead the r5 stale list.
     # q46's error bound is attested via its closed-form companion q134
     # in this window regardless, and q35's exact side re-attests

@@ -336,3 +336,18 @@ def test_full_eigenbasis_opq_rotation_wins_on_multicomponent_data(spark):
     raw = total_err(df)
     rot = total_err(rotate_embeddings(df, R))
     assert rot < raw * 0.7  # a decisive, not marginal, improvement
+
+
+def test_trained_ivf_pq_has_no_degenerate_zero_distances(spark, sf_dir):
+    """q149's fixed-seed index ranks code-colliding vectors at ADC 0
+    because raw data points ARE codebook entries; after one Lloyd step
+    every centroid is a mean, so top-ranked ADC distances are strictly
+    positive and the ranking discriminates."""
+    from oculus_data_pipeline_spark.operators.quantize import (
+        ivf_pq_trained_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivf_pq_trained_topk(emb).collect()
+    assert len(rows) == 50
+    assert all(r.adc_dist > 0 for r in rows)

@@ -43,3 +43,16 @@ def test_oracle_not_vacuous(name, conn):
     cheap; a hash-matching Spark side necessarily has the same count."""
     n = len(conn.execute(ORACLE[name]).fetchall())
     assert n > 0, f"{name} oracle returns 0 rows at sf0.001 — vacuous pass"
+
+
+def test_registry_names_are_well_formed():
+    """Every registry key is a qNNN_* name and every oracle key has a
+    query — guards the editing failure mode where a list edit clobbers
+    a nearby @query decorator's name argument and silently registers
+    the ORACLE SQL STRING as the query name (happened twice in round
+    4; both caught by ad-hoc checks, now pinned)."""
+    import re
+
+    for name in QUERIES:
+        assert re.fullmatch(r"q\d+_[a-z0-9_]+", name), f"malformed: {name!r}"
+    assert set(ORACLE) <= set(QUERIES)

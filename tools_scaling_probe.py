@@ -91,6 +91,7 @@ PROBES = [
     "q39_lsh_bucket_stats",
     "q166_dedup_weights",
     "q167_cluster_size_histogram",
+    "q168_ivf_pq_trained",
 ]
 
 KEY_SHIFTS = {
