@@ -102,6 +102,7 @@ HEADLINE = [
     "q39_lsh_bucket_stats",
     "q166_dedup_weights",
     "q168_ivf_pq_trained",
+    "q169_label_propagation",
 ]
 
 

@@ -150,3 +150,57 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionByName(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection with a
+    fully deterministic update: every node adopts the most frequent
+    label among its neighbors, ties broken by smallest label — so a
+    fixed iteration count is cross-engine replayable (unlike classic
+    randomized LPA). Communities differ from connected components:
+    CC merges everything reachable; LPA splits a component along
+    dense cores, which on a near-dup graph separates distinct
+    duplicate groups that share a single borderline bridge pair.
+
+    Each iteration is one join + one count aggregate + one ranked
+    pick, all keyed on node ids — the same bounded shapes as
+    connected_components, O(E) shuffle per round, no driver-side
+    anything. Isolated endpoints cannot occur (every node comes from
+    an edge)."""
+    from pyspark.sql import Window as W
+
+    s, d = F.col(src), F.col(dst)
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("a"), d.alias("b")),
+                    F.struct(d.alias("a"), s.alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    w = W.partitionBy("a").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iterations):
+        labels = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("id"), "lbl")
+            .localCheckpoint(eager=False)
+        )
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("community"))

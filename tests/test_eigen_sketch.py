@@ -351,3 +351,25 @@ def test_trained_ivf_pq_has_no_degenerate_zero_distances(spark, sf_dir):
     rows = ivf_pq_trained_topk(emb).collect()
     assert len(rows) == 50
     assert all(r.adc_dist > 0 for r in rows)
+
+
+def test_lpa_splits_bridged_cliques_that_cc_merges(spark):
+    """Two 5-cliques joined by ONE bridge edge: connected components
+    returns a single component (everything reachable), while
+    deterministic LPA resolves two dense-core communities — the
+    behavioral difference that makes q169 the near-dup bridge-pair
+    splitter rather than a second q76."""
+    from oculus_data_pipeline_spark.operators.graph_algo import (
+        connected_components,
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    cc = connected_components(edges)
+    assert len({r.comp for r in cc.collect()}) == 1
+    lpa = {r.id: r.community for r in label_propagation(edges).collect()}
+    com1 = {lpa[i] for i in range(5)}
+    com2 = {lpa[i] for i in range(10, 15)}
+    assert len(com1) == 1 and len(com2) == 1 and com1 != com2

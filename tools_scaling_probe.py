@@ -92,6 +92,7 @@ PROBES = [
     "q166_dedup_weights",
     "q167_cluster_size_histogram",
     "q168_ivf_pq_trained",
+    "q169_label_propagation",
 ]
 
 KEY_SHIFTS = {
