@@ -103,6 +103,8 @@ HEADLINE = [
     "q166_dedup_weights",
     "q168_ivf_pq_trained",
     "q169_label_propagation",
+    "q170_markov_transitions",
+    "q171_minhash_accuracy",
 ]
 
 

@@ -93,6 +93,8 @@ PROBES = [
     "q167_cluster_size_histogram",
     "q168_ivf_pq_trained",
     "q169_label_propagation",
+    "q170_markov_transitions",
+    "q171_minhash_accuracy",
 ]
 
 KEY_SHIFTS = {
