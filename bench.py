@@ -105,6 +105,7 @@ HEADLINE = [
     "q169_label_propagation",
     "q170_markov_transitions",
     "q171_minhash_accuracy",
+    "q172_weighted_median",
 ]
 
 

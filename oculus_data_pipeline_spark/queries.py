@@ -7101,6 +7101,64 @@ def q171_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q172_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_extendedprice, wt,
+             SUM(wt) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS cum,
+             CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS total_wt
+      FROM (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS wt
+        FROM lineitem
+      )
+    )
+    SELECT l_returnflag, MIN(total_wt) AS total_wt,
+           MIN(CASE WHEN cum * 2 >= total_wt
+                    THEN l_extendedprice END) AS weighted_median
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q172_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median — price weighted by quantity per return
+    flag: the robust aggregation behind cost-weighted curation cuts
+    (q99's median treats every row equally; training-data curation
+    weighs rows by token mass). Integer-exact: weights scale to
+    centiquantities, the cumulative crossing (2·cum ≥ total) is pure
+    BIGINT comparison with a full deterministic sort tie-break. One
+    group-keyed window pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("wt"),
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.withColumn("cum", F.sum("wt").over(w)).withColumn(
+        "total_wt",
+        F.sum("wt").over(W.partitionBy("l_returnflag")).cast("long"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.min("total_wt").alias("total_wt"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total_wt"), F.col("l_extendedprice"))
+        ).alias("weighted_median"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -7113,6 +7171,7 @@ def q171_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q172_weighted_median",
     "q170_markov_transitions",
     "q171_minhash_accuracy",
     "q169_label_propagation",
@@ -7166,11 +7225,10 @@ _ATTESTATION_PRIORITY = [
     "q47_ivf_ann",
     # --- evidence stale since round 1: every query whose only driver
     # --- row is r1 re-attests before it goes three rounds stale
-    "q01_pricing_summary",
     # (q45 already re-attests above with the r4 rewrites. r1-stale
-    # q02–q04, q06–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37,
+    # q01, q02–q04, q06–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37,
     # q40–q43, q46 and q50 rotated out to make room
-    # for the round-4 additions q39 and q138–q171 — new-query
+    # for the round-4 additions q39 and q138–q172 — new-query
     # evidence outranks re-attestation; they lead the r5 stale list.
     # q46's error bound is attested via its closed-form companion q134
     # in this window regardless, and q35's exact side re-attests

@@ -95,6 +95,7 @@ PROBES = [
     "q169_label_propagation",
     "q170_markov_transitions",
     "q171_minhash_accuracy",
+    "q172_weighted_median",
 ]
 
 KEY_SHIFTS = {
