@@ -106,6 +106,8 @@ HEADLINE = [
     "q170_markov_transitions",
     "q171_minhash_accuracy",
     "q172_weighted_median",
+    "q173_event_debounce",
+    "q174_expectations_report",
 ]
 
 

@@ -7159,6 +7159,126 @@ def q172_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q173_event_debounce",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             LAG(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM seq
+    WHERE prev_ts IS NULL
+       OR date_diff('second', prev_ts, ts) > 3600
+    """,
+)
+def q173_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing — drop an event when the previous RAW event of
+    the same (user, type) is under an hour old (single-pass lag
+    semantics; collapsing whole bursts to their first event instead
+    is q128's cumulative-flag pattern — the two differ on chains and
+    both are standard). The telemetry-cleaning step ahead of
+    sessionization and funnel counting: double-fires and retry storms
+    otherwise inflate every downstream count. One keyed window pass;
+    the comparison is an integer second diff, timestamps never leave
+    as raw values."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    return seq.where(
+        F.col("prev_ts").isNull()
+        | (F.expr("timestampdiff(SECOND, prev_ts, ts)") > 3600)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q174_expectations_report",
+    f"""
+    WITH checks AS (
+      SELECT 'quantity_in_range' AS rule, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_in_range', COUNT(*),
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_positive', COUNT(*),
+             CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_present', COUNT(*),
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain', COUNT(*),
+             CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT rule, n_rows, n_violations,
+           n_violations * 10000 // n_rows AS violation_bp,
+           n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def q174_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations report — five declarative rules
+    (range, domain, positivity, presence) evaluated in
+    ONE scan as conditional-sum aggregates: (rule, n_rows,
+    n_violations, violation rate in bp, passed). The
+    Great-Expectations-style validation gate an ingest pipeline runs
+    before promoting a batch; at 100 TB the whole report is one
+    map-side-partial aggregation pass, never one job per rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("quantity_in_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("discount_in_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ("price_positive", F.col("l_extendedprice") <= 0),
+        ("shipdate_present", F.col("l_shipdate").isNull()),
+        ("returnflag_domain", ~F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"v{i}")
+            for i, (_, cond) in enumerate(rules)
+        ],
+    )
+    per_rule = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"), F.col(f"v{i}").alias("n_violations")
+                )
+                for i, (name, _) in enumerate(rules)
+            ]
+        )
+    )
+    return (
+        agg.select("n_rows", per_rule.alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            "n_rows",
+            F.col("r.n_violations").alias("n_violations"),
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.expr("n_violations * 10000 div n_rows").alias("violation_bp"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -7171,6 +7291,8 @@ def q172_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q173_event_debounce",
+    "q174_expectations_report",
     "q172_weighted_median",
     "q170_markov_transitions",
     "q171_minhash_accuracy",
@@ -7220,9 +7342,10 @@ _ATTESTATION_PRIORITY = [
     "q109_unigram_rarity",           # rarity_mass now DECIMAL(38,0)
     "q119_lsh_recall_report",        # recall_bp zero-guard
     "q120_prepare_corpus",           # composes the rarity change
-    # --- rows-only entries + their closed-form companions' math ---
-    "q85_ivf_kmeans_ann",
-    "q47_ivf_ann",
+    # (q85/q47 rotated out late in round 4 to keep every NEVER-attested
+    # new query inside the 50-slot window: both carry r1–r3 driver
+    # rows, and their closed-form companions q134/q135 — the rows that
+    # actually hash-match the centroid math — are in this window.)
     # --- evidence stale since round 1: every query whose only driver
     # --- row is r1 re-attests before it goes three rounds stale
     # (q45 already re-attests above with the r4 rewrites. r1-stale

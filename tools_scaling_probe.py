@@ -96,6 +96,8 @@ PROBES = [
     "q170_markov_transitions",
     "q171_minhash_accuracy",
     "q172_weighted_median",
+    "q173_event_debounce",
+    "q174_expectations_report",
 ]
 
 KEY_SHIFTS = {
