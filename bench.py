@@ -108,6 +108,13 @@ HEADLINE = [
     "q172_weighted_median",
     "q173_event_debounce",
     "q174_expectations_report",
+    # round-4 fourth-wave flagships (corpus audits + safe splitting)
+    "q175_oov_rate",
+    "q176_source_overlap_matrix",
+    "q177_token_diversity",
+    "q178_quality_calibration",
+    "q179_group_aware_split",
+    "q180_key_skew_profile",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, md5_int_sql
+from ..functions.text import normalize_term
 
 
 def split_col(
@@ -99,4 +100,39 @@ def stratified_split(
         F.when(rn <= n_train, "train")
         .when(rn <= n_train + n_val, "val")
         .otherwise("test"),
+    )
+
+
+def group_aware_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Contamination-safe split: every exact-duplicate group lands in
+    ONE split. Splitting by row key (:func:`hash_split`) leaks a
+    duplicated document across the train/test boundary — the eval set
+    then contains verbatim training text and benchmark numbers inflate.
+    Here the split key is the group's canonical id (min id per
+    normalized-content hash), so duplicates inherit one assignment.
+
+    Shape at 100 TB: one shuffle to build the (hash → canonical) map
+    (same partial-agg pass as dedup.exact_dedup) and one hash-keyed
+    join back — both on the compact content-hash key; AQE picks the
+    join strategy, and near-unique corpora degrade gracefully to a
+    plain equi-join. Returns (doc_id, canonical_id, split).
+    """
+    from .dedup import exact_dedup
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_term(text_col)).alias("content_hash"),
+    )
+    groups = exact_dedup(docs, text_col, id_col).select(
+        "content_hash", "canonical_id"
+    )
+    return hashed.join(groups, "content_hash").select(
+        "doc_id",
+        "canonical_id",
+        split_col(F.col("canonical_id").cast("string"), weights).alias("split"),
     )
