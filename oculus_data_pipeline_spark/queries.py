@@ -7187,10 +7187,16 @@ def q173_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     as raw values."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    # lag the epoch-second floor, not the raw timestamp: the floored
+    # difference equals DuckDB date_diff('second', …) boundary counts
+    # on sub-second timestamps where timestampdiff(SECOND, …)
+    # (interval truncation) can disagree right at the 3600 s edge.
+    seq = ev.withColumn(
+        "prev_ts_s", F.lag(F.col("ts").cast("long")).over(w)
+    )
     return seq.where(
-        F.col("prev_ts").isNull()
-        | (F.expr("timestampdiff(SECOND, prev_ts, ts)") > 3600)
+        F.col("prev_ts_s").isNull()
+        | (F.col("ts").cast("long") - F.col("prev_ts_s") > 3600)
     ).select("event_id", "user_id", "event_type", "value")
 
 
@@ -7680,6 +7686,174 @@ def q180_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q181_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v_cents, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, v_cents,
+             CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dt
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS total_secs,
+           CAST(SUM(v_cents * dt) // SUM(dt) AS BIGINT) AS twap_cents
+    FROM iv
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    """,
+)
+def q181_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — each reading weighted by
+    how long it was the CURRENT reading (seconds until the next
+    event). The standard gauge-aggregation semantics for irregular
+    telemetry: a plain AVG over-weights chatty periods, EWMA (q155)
+    decays by count not by time. Integer-exact: values scale to
+    cents, durations are integer seconds, and the weighted mean is
+    BIGINT floor division. One keyed window pass for the lead, one
+    group aggregation; both shuffle on user_id only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts.cast(long) floors to epoch seconds — the lead-difference of the
+    # floored values matches DuckDB date_diff('second', …) boundary
+    # crossings exactly (timestampdiff(SECOND, …) truncates the raw
+    # interval instead and disagrees on sub-second timestamps).
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        "ts",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+    ).withColumn("next_ts_s", F.lead("ts_s").over(w))
+    iv = seq.where(F.col("next_ts_s").isNotNull()).select(
+        "user_id",
+        "v_cents",
+        (F.col("next_ts_s") - F.col("ts_s")).alias("dt"),
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dt").cast("long").alias("total_secs"),
+            F.sum(F.col("v_cents") * F.col("dt")).cast("long").alias("vw"),
+        )
+        .where(F.col("total_secs") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_secs",
+            F.expr("vw div total_secs").alias("twap_cents"),
+        )
+    )
+
+
+@query(
+    "q182_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM v
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS median_cents
+      FROM r1 GROUP BY 1
+    ),
+    d AS (
+      SELECT v.event_type, v.event_id, v.cents, med.median_cents,
+             ABS(v.cents - med.median_cents) AS adev
+      FROM v JOIN med ON v.event_type = med.event_type
+    ),
+    r2 AS (
+      SELECT event_type, median_cents, adev, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, MAX(median_cents) AS median_cents,
+             MAX(CASE WHEN rn = (cnt + 1) // 2 THEN adev END) AS mad_cents
+      FROM r2 GROUP BY 1
+    )
+    SELECT d.event_type, mad.median_cents, mad.mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.adev > 3 * mad.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def q182_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event type — median absolute deviation
+    (MAD) instead of q98's parametric mean/stddev z-score, which an
+    outlier itself corrupts (one corrupt 1e9 reading inflates stddev
+    until nothing else flags; the median and MAD don't move). Exact
+    integer medians via the rank-crossing trick on cent-scaled values;
+    two keyed window passes (value median, then deviation median) and
+    a broadcast join of the per-type MAD table back over the scan for
+    the outlier count. Everything shuffles on event_type only."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w1 = W.partitionBy("event_type").orderBy("cents", "event_id")
+    med = (
+        v.withColumn("rn", F.row_number().over(w1))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("cents"))
+            ).alias("median_cents")
+        )
+    )
+    d = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    w2 = W.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        d.withColumn("rn", F.row_number().over(w2))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+            F.max("median_cents").alias("median_cents"),
+            F.max(
+                F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("adev"))
+            ).alias("mad_cents"),
+        )
+    )
+    return (
+        d.select("event_type", "adev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_cents", "mad_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -7692,6 +7866,8 @@ def q180_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q181_time_weighted_avg",
+    "q182_mad_outliers",
     "q178_quality_calibration",
     "q179_group_aware_split",
     "q180_key_skew_profile",
@@ -7710,9 +7886,9 @@ _ATTESTATION_PRIORITY = [
     "q39_lsh_bucket_stats",
     "q163_column_profile",
     "q164_referential_integrity",
-    "q160_label_gini",
-    "q161_chi_square",
     "q162_k_anonymity",
+    # (q160/q161 likewise rotated to r5 when q181/q182 landed — both
+    # exact-value green locally at both SFs.)
     "q158_pareto_frontier",
     "q159_pps_sample",
     "q157_pq_lloyd_update",

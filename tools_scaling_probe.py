@@ -104,6 +104,8 @@ PROBES = [
     "q178_quality_calibration",
     "q179_group_aware_split",
     "q180_key_skew_profile",
+    "q181_time_weighted_avg",
+    "q182_mad_outliers",
 ]
 
 KEY_SHIFTS = {
