@@ -106,6 +106,8 @@ PROBES = [
     "q180_key_skew_profile",
     "q181_time_weighted_avg",
     "q182_mad_outliers",
+    "q183_rolling_active_users",
+    "q184_compression_ratio",
 ]
 
 KEY_SHIFTS = {
