@@ -152,3 +152,41 @@ def test_gram_matrix_shuffle_is_dim_pairs_only(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert ("i#" in line and "j#" in line), line
+
+
+def test_key_skew_profile_has_no_window(spark, sf_dir):
+    from oculus_data_pipeline_spark.queries import get_queries
+
+    plan = physical_plan(get_queries()["q180_key_skew_profile"](spark, sf_dir))
+    # the cumulative distribution comes from a broadcast theta
+    # self-join over the tiny count-of-counts histogram — the profile
+    # must compile with NO window operator (a global running-sum
+    # window would be one task over every distinct key at 100 TB)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rolling_active_users_has_no_range_join(spark, sf_dir):
+    from oculus_data_pipeline_spark.queries import get_queries
+
+    plan = physical_plan(get_queries()["q183_rolling_active_users"](spark, sf_dir))
+    # the 7-day sliding distinct is an explode onto window anchors +
+    # one hash aggregate — never a range/theta join of the activity
+    # table against the day spine, and never a window operator
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the only BroadcastNestedLoopJoin permitted would be the observed-
+    # days semi-join, but that is an equi-join on wday — broadcast hash
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_rate_vocab_joins_broadcast(spark, sf_dir):
+    from oculus_data_pipeline_spark.queries import get_queries
+
+    plan = physical_plan(get_queries()["q175_oov_rate"](spark, sf_dir))
+    # the top-K vocab must reach the per-source term frequencies as a
+    # broadcast (map-side) join, and the top-K itself must compile to
+    # TakeOrderedAndProject, not a global sort
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
