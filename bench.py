@@ -119,6 +119,7 @@ HEADLINE = [
     "q182_mad_outliers",
     "q183_rolling_active_users",
     "q184_compression_ratio",
+    "q185_collocations",
 ]
 
 

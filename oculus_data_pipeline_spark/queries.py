@@ -7956,6 +7956,95 @@ def q184_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q185_collocations",
+    f"""
+    WITH tok AS (
+      SELECT string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT UNNEST(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ),
+    co AS (
+      SELECT split_part(bg, ' ', 1) AS t1, split_part(bg, ' ', 2) AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM big GROUP BY 1, 2
+    ),
+    lm AS (SELECT t1, CAST(SUM(n_pair) AS BIGINT) AS cl FROM co GROUP BY 1),
+    rm AS (SELECT t2, CAST(SUM(n_pair) AS BIGINT) AS cr FROM co GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b FROM co)
+    SELECT co.t1, co.t2, co.n_pair,
+           CAST(co.n_pair::HUGEINT * tot.b * 10000
+                // (lm.cl::HUGEINT * rm.cr) AS BIGINT) AS lift_bp
+    FROM co
+    JOIN lm ON co.t1 = lm.t1
+    JOIN rm ON co.t2 = rm.t2
+    CROSS JOIN tot
+    WHERE co.n_pair >= 5
+    ORDER BY lift_bp DESC, co.t1, co.t2
+    LIMIT 20
+    """,
+)
+def q185_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — top bigrams by contingency-table lift:
+    observed pair count over the product of the pair table's own
+    positional marginals, in basis points (10000 = independence). The
+    phrase/template discovery pass that seeds multi-word tokenizer
+    entries and boilerplate patterns; raw pair frequency (q116's BPE
+    merge view) just re-finds the commonest words — lift normalizes
+    them away. Integer-exact at any corpus size: n·B·10⁴ ≤ ~1e28 and
+    the marginal product ≤ ~1e24 both sit inside DECIMAL(38,0)
+    (Spark's div computes the decimal quotient exactly; DuckDB uses
+    HUGEINT), and the quotient itself always fits BIGINT. One shuffle
+    for pair counts; marginals are vocab-sized broadcast joins; B is a
+    broadcast scalar; top-20 compiles to TakeOrdered, not a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dedup.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    big = (
+        docs.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+    )
+    co = (
+        big.select(
+            F.split("bg", " ").getItem(0).alias("t1"),
+            F.split("bg", " ").getItem(1).alias("t2"),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    lm = co.groupBy("t1").agg(F.sum("n_pair").cast("long").alias("cl"))
+    rm = co.groupBy("t2").agg(F.sum("n_pair").cast("long").alias("cr"))
+    tot = co.agg(F.sum("n_pair").cast("long").alias("b"))
+    return (
+        co.where(F.col("n_pair") >= 5)
+        .join(F.broadcast(lm), "t1")
+        .join(F.broadcast(rm), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            F.expr(
+                "CAST(CAST(n_pair AS DECIMAL(38,0)) * b * 10000"
+                " div (CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+        .orderBy(F.desc("lift_bp"), "t1", "t2")
+        .limit(20)
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -7968,6 +8057,7 @@ def q184_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q185_collocations",
     "q183_rolling_active_users",
     "q184_compression_ratio",
     "q181_time_weighted_avg",
@@ -7988,9 +8078,9 @@ _ATTESTATION_PRIORITY = [
     "q166_dedup_weights",
     "q167_cluster_size_histogram",
     "q39_lsh_bucket_stats",
-    "q163_column_profile",
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when
-    # q183/q184 landed — all exact-value green locally at both SFs.)
+    # q183/q184 landed, q163 when q185 landed — all exact-value green
+    # locally at both SFs.)
     "q158_pareto_frontier",
     "q159_pps_sample",
     "q157_pq_lloyd_update",

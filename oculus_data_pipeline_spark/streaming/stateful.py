@@ -83,3 +83,72 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEBOUNCE_STATE_SCHEMA = StructType([StructField("prev_sec", LongType())])
+
+DEBOUNCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _debounce(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_s: int,
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    prev_sec = state.get[0] if state.exists else None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    # epoch-second floors, matching the batch query's ts.cast(long)
+    secs = (batch["ts"].astype("int64") // 1_000_000_000).tolist()
+    keep = []
+    for i, sec in enumerate(secs):
+        if prev_sec is None or sec - prev_sec > gap_s:
+            keep.append(i)
+        prev_sec = sec
+    state.update((prev_sec,))
+    if keep:
+        out = batch.iloc[keep]
+        yield pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "event_type": out["event_type"],
+                "value": out["value"].astype("float64"),
+            }
+        )
+
+
+def debounce_stream(events: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Streaming event debounce — the stateful twin of the batch q173:
+    drop an event when the previous RAW event of the same
+    (user, event_type) is at most ``gap_s`` seconds older. State per
+    key is ONE long (the last raw epoch-second) — bounded regardless
+    of stream length; rows within a micro-batch apply the same
+    sequential lag semantics in (ts, event_id) order, so a stream
+    replayed through any batch slicing emits exactly the batch
+    query's survivors as long as files arrive time-ordered."""
+    import functools
+
+    fn = functools.partial(_debounce, gap_s=gap_s)
+    return (
+        events.select("event_id", "user_id", "event_type", "ts", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -417,3 +417,31 @@ def test_streaming_cms_grid_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(state_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_debounce_equals_batch(spark, sf_dir):
+    """The stateful streaming debounce must emit exactly the batch
+    q173 survivors when the whole table is replayed as a stream."""
+    from oculus_data_pipeline_spark.queries import get_queries
+    from oculus_data_pipeline_spark.streaming.stateful import debounce_stream
+
+    out = debounce_stream(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"), gap_s=3600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounce_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, user_id, event_type, value FROM debounce_out"
+        ).collect()
+    }
+    batch = get_queries()["q173_event_debounce"](spark, sf_dir)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0

@@ -108,6 +108,7 @@ PROBES = [
     "q182_mad_outliers",
     "q183_rolling_active_users",
     "q184_compression_ratio",
+    "q185_collocations",
 ]
 
 KEY_SHIFTS = {
