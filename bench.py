@@ -120,6 +120,7 @@ HEADLINE = [
     "q183_rolling_active_users",
     "q184_compression_ratio",
     "q185_collocations",
+    "q186_near_dup_provenance",
 ]
 
 

@@ -8045,6 +8045,56 @@ def q185_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_provenance_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({_lsh_verified_oracle()}) v
+    ),
+    lab AS (
+      SELECT da.source AS sa, db.source AS sb
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+           sa = sb AS same_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2, 3
+    """
+
+
+@query("q186_near_dup_provenance", _near_dup_provenance_oracle())
+def q186_near_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup provenance matrix — q66's verified near-dup pairs
+    labeled by the source of each side and counted per (unordered)
+    source pair with a same-source flag. The triage that directs the
+    fix: intra-source duplication means template reuse inside one
+    crawl (tune that source's extraction), cross-source means
+    syndication the mixture weights double-count (q176 sees the same
+    signal at shingle granularity without pair evidence). Rides the
+    sub-quadratic LSH+verify path; the pair table is tiny relative to
+    the corpus, so the two source-lookup joins broadcast the pairs
+    side and the final aggregate is at most |sources|² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_near_dups(docs).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs.id_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("id_b") == F.col("doc_id_b"),
+        )
+    )
+    return lab.groupBy(
+        F.least("sa", "sb").alias("src_a"),
+        F.greatest("sa", "sb").alias("src_b"),
+        (F.col("sa") == F.col("sb")).alias("same_source"),
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8057,6 +8107,7 @@ def q185_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q186_near_dup_provenance",
     "q185_collocations",
     "q183_rolling_active_users",
     "q184_compression_ratio",
@@ -8082,8 +8133,9 @@ _ATTESTATION_PRIORITY = [
     # q183/q184 landed, q163 when q185 landed — all exact-value green
     # locally at both SFs.)
     "q158_pareto_frontier",
-    "q159_pps_sample",
     "q157_pq_lloyd_update",
+    # (q159 rotated to r5 when q186 landed — exact-value green locally
+    # at both SFs; its q141-mixture companion stays attested via r4.)
     "q154_hard_negatives",
     # (q155/q156/q165 rotated to the r5 window's head when q178–q180
     # landed — all three are exact-value green in the local harness at

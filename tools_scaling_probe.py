@@ -109,6 +109,7 @@ PROBES = [
     "q183_rolling_active_users",
     "q184_compression_ratio",
     "q185_collocations",
+    "q186_near_dup_provenance",
 ]
 
 KEY_SHIFTS = {
