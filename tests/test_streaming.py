@@ -445,3 +445,60 @@ def test_streaming_debounce_equals_batch(spark, sf_dir):
     batch = get_queries()["q173_event_debounce"](spark, sf_dir)
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_debounce_carries_state_across_batches(spark, sf_dir, tmp_path):
+    """Replay the events table as TWO time-ordered micro-batches and
+    assert the stateful debounce still emits exactly the batch q173
+    survivors — proving the per-key last-seen state carries across
+    micro-batch boundaries, not just within one batch."""
+    import pyspark.sql.functions as F
+
+    from oculus_data_pipeline_spark.queries import get_queries
+    from oculus_data_pipeline_spark.streaming.ingest import read_events_stream
+    from oculus_data_pipeline_spark.streaming.stateful import debounce_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "timestamp_micros(CAST(percentile_disc(0.5)"
+            " WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    landing = tmp_path / "ev_batches"
+    landing.mkdir()
+    # two strictly time-ordered single FILES (pathGlobFilter matches
+    # leaf file names, so Spark's directory-style writer won't do);
+    # lexicographic names match replay order
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, part in enumerate(
+        (ev.where(F.col("ts") < F.lit(cut)), ev.where(F.col("ts") >= F.lit(cut)))
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part.toPandas()),
+            str(landing / f"batch_{i}.parquet"),
+        )
+    out = debounce_stream(
+        read_events_stream(spark, str(landing / "batch_*.parquet")), gap_s=3600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounce_two_batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, user_id, event_type, value FROM debounce_two_batches"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in get_queries()["q173_event_debounce"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
