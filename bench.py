@@ -121,6 +121,7 @@ HEADLINE = [
     "q184_compression_ratio",
     "q185_collocations",
     "q186_near_dup_provenance",
+    "q187_vocab_growth",
 ]
 
 

@@ -8095,6 +8095,80 @@ def q186_near_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("n_pairs"))
 
 
+@query(
+    "q187_vocab_growth",
+    f"""
+    WITH tok AS (
+      SELECT string_split({normalize_term_oracle_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT 1 AS n, UNNEST(toks) AS gram FROM tok
+      UNION ALL
+      SELECT 2, UNNEST(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1]))
+      FROM tok WHERE len(toks) >= 2
+      UNION ALL
+      SELECT 3, UNNEST(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' ')))
+      FROM tok WHERE len(toks) >= 3
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT)
+             AS distinct_ppm
+    FROM grams GROUP BY n
+    """,
+)
+def q187_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth report — total vs distinct n-gram counts for
+    n = 1..3 with the distinct rate in ppm: the Heaps'-law audit that
+    sizes tokenizer vocabularies and n-gram LM tables before they are
+    built (distinct trigrams is the table the q170-style LMs and the
+    q103 shingle indexes must hold). One union of three explode
+    branches off the SAME scan, each a partial-dedup aggregation on a
+    compact (n, gram) key; nothing but the distinct gram strings ever
+    shuffles, and the output is three rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dedup.tokens("text")
+    base = docs.select(toks.alias("toks"))
+    uni = base.select(F.lit(1).alias("n"), F.explode("toks").alias("gram"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    big = base.where(F.size("toks") >= 2).select(
+        F.lit(2).alias("n"), F.explode(bigrams).alias("gram")
+    )
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+    )
+    tri = base.where(F.size("toks") >= 3).select(
+        F.lit(3).alias("n"), F.explode(trigrams).alias("gram")
+    )
+    return (
+        uni.unionByName(big)
+        .unionByName(tri)
+        .groupBy(F.col("n").cast("long").alias("n"))
+        .agg(
+            F.count("*").cast("long").alias("total_grams"),
+            F.countDistinct("gram").cast("long").alias("distinct_grams"),
+        )
+        .select(
+            "n",
+            "total_grams",
+            "distinct_grams",
+            F.expr("distinct_grams * 1000000 div total_grams").alias(
+                "distinct_ppm"
+            ),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8107,6 +8181,7 @@ def q186_near_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q187_vocab_growth",
     "q186_near_dup_provenance",
     "q185_collocations",
     "q183_rolling_active_users",
@@ -8132,10 +8207,9 @@ _ATTESTATION_PRIORITY = [
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when
     # q183/q184 landed, q163 when q185 landed — all exact-value green
     # locally at both SFs.)
-    "q158_pareto_frontier",
     "q157_pq_lloyd_update",
-    # (q159 rotated to r5 when q186 landed — exact-value green locally
-    # at both SFs; its q141-mixture companion stays attested via r4.)
+    # (q159 rotated to r5 when q186 landed, q158 when q187 landed —
+    # exact-value green locally at both SFs.)
     "q154_hard_negatives",
     # (q155/q156/q165 rotated to the r5 window's head when q178–q180
     # landed — all three are exact-value green in the local harness at

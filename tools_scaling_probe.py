@@ -110,6 +110,7 @@ PROBES = [
     "q184_compression_ratio",
     "q185_collocations",
     "q186_near_dup_provenance",
+    "q187_vocab_growth",
 ]
 
 KEY_SHIFTS = {
