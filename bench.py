@@ -122,6 +122,7 @@ HEADLINE = [
     "q185_collocations",
     "q186_near_dup_provenance",
     "q187_vocab_growth",
+    "q188_dup_rate_by_source",
 ]
 
 

@@ -8169,6 +8169,57 @@ def q187_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q188_dup_rate_by_source",
+    f"""
+    WITH h AS (
+      SELECT source, md5({normalize_term_oracle_sql('text')}) AS ch
+      FROM documents
+    ),
+    g AS (SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+           CAST((SUM(n) - COUNT(*)) * 10000 // SUM(n) AS BIGINT) AS dup_bp
+    FROM g GROUP BY source
+    """,
+)
+def q188_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication rate per source — docs, unique normalized
+    texts, redundant copies, and the redundancy rate in bp. The ingest
+    health number that decides whether a source needs upstream fixing
+    before the (more expensive) near-dup passes run: q30 finds the
+    duplicate GROUPS, q167 profiles near-dup cluster sizes; this is
+    the one-row-per-source executive view of exact redundancy. Two
+    stacked aggregations on (source, content-hash) then (source) —
+    both map-side combined, nothing but hashes shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", F.md5(normalize_term("text")).alias("ch")
+        )
+        .groupBy("source", "ch")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique_texts"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("n_redundant"),
+            F.expr(
+                "(n_docs - n_unique_texts) * 10000 div n_docs"
+            ).alias("dup_bp"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8181,6 +8232,7 @@ def q187_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q188_dup_rate_by_source",
     "q187_vocab_growth",
     "q186_near_dup_provenance",
     "q185_collocations",
@@ -8207,9 +8259,8 @@ _ATTESTATION_PRIORITY = [
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when
     # q183/q184 landed, q163 when q185 landed — all exact-value green
     # locally at both SFs.)
-    "q157_pq_lloyd_update",
-    # (q159 rotated to r5 when q186 landed, q158 when q187 landed —
-    # exact-value green locally at both SFs.)
+    # (q159 rotated to r5 when q186 landed, q158 when q187 landed,
+    # q157 when q188 landed — exact-value green locally at both SFs.)
     "q154_hard_negatives",
     # (q155/q156/q165 rotated to the r5 window's head when q178–q180
     # landed — all three are exact-value green in the local harness at

@@ -111,6 +111,7 @@ PROBES = [
     "q185_collocations",
     "q186_near_dup_provenance",
     "q187_vocab_growth",
+    "q188_dup_rate_by_source",
 ]
 
 KEY_SHIFTS = {
