@@ -8220,6 +8220,97 @@ def q188_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q189_embedding_norm_profile",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE ROUND({_fold_norm_sql('v', EMB_DIM)}, 6) END AS norm
+      FROM e
+    ),
+    r AS (
+      SELECT label, norm,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY norm, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS cnt
+      FROM n WHERE norm IS NOT NULL
+    ),
+    pct AS (
+      SELECT label,
+             MAX(CASE WHEN rn = (cnt + 1) // 2 THEN norm END) AS norm_p50,
+             MAX(CASE WHEN rn = (99 * cnt + 99) // 100 THEN norm END) AS norm_p99,
+             MAX(norm) AS norm_max
+      FROM r GROUP BY label
+    ),
+    base AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CASE WHEN norm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM n GROUP BY label
+    )
+    SELECT base.label, base.n_vecs, base.n_null, base.n_zero,
+           pct.norm_p50, pct.norm_p99, pct.norm_max
+    FROM base JOIN pct ON base.label = pct.label
+    """,
+)
+def q189_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health audit per label — vector count, null/zero-norm
+    counts, and exact p50/p99/max of the L2 norm. The pre-ANN gate:
+    zero vectors poison cosine math (q50 defines them to similarity 0,
+    but they bucket randomly in LSH), and a norm distribution that
+    shifts between labels or snapshot versions is the embedding-drift
+    regression signal before any index is rebuilt. Norms are the
+    left-fold double sums both engines compute bit-identically
+    (rounded to 6 — same kernel the cosine family pins); percentiles
+    ride label-keyed windows with bounded partitions (labels are a
+    class dimension, the q117 shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .functions.vectors import l2_norm
+
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("embedding").isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(l2_norm(F.col("embedding").cast("array<double>")), 6)
+        ).alias("norm"),
+    )
+    w = W.partitionBy("label").orderBy("norm", "vec_id")
+    r = (
+        n.where(F.col("norm").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("label")))
+    )
+    pct = r.groupBy("label").agg(
+        F.max(F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("norm"))).alias(
+            "norm_p50"
+        ),
+        F.max(
+            F.when(F.expr("rn = (99 * cnt + 99) DIV 100"), F.col("norm"))
+        ).alias("norm_p99"),
+        F.max("norm").alias("norm_max"),
+    )
+    base = n.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("norm").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(F.col("norm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+    return base.join(pct, "label").select(
+        "label", "n_vecs", "n_null", "n_zero", "norm_p50", "norm_p99", "norm_max"
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8232,6 +8323,7 @@ def q188_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q189_embedding_norm_profile",
     "q188_dup_rate_by_source",
     "q187_vocab_growth",
     "q186_near_dup_provenance",
@@ -8266,8 +8358,9 @@ _ATTESTATION_PRIORITY = [
     # landed — all three are exact-value green in the local harness at
     # sf0.001 AND sf0.01; the slots go to the never-attested curation
     # trio with the bigger 100 TB story.)
-    "q152_count_sketch",
     "q153_bloom_membership",
+    # (q152 rotated to r5 when q189 landed — exact-value green locally
+    # at both SFs; its q150 CMS sibling stays in the window.)
     "q148_power_iteration",
     "q149_ivf_pq_topk",
     "q150_cms_heavy_hitters",

@@ -112,6 +112,7 @@ PROBES = [
     "q186_near_dup_provenance",
     "q187_vocab_growth",
     "q188_dup_rate_by_source",
+    "q189_embedding_norm_profile",
 ]
 
 KEY_SHIFTS = {
