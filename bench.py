@@ -124,6 +124,7 @@ HEADLINE = [
     "q187_vocab_growth",
     "q188_dup_rate_by_source",
     "q189_embedding_norm_profile",
+    "q190_pack_manifest",
 ]
 
 

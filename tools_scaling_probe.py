@@ -113,6 +113,7 @@ PROBES = [
     "q187_vocab_growth",
     "q188_dup_rate_by_source",
     "q189_embedding_norm_profile",
+    "q190_pack_manifest",
 ]
 
 KEY_SHIFTS = {
