@@ -125,6 +125,7 @@ HEADLINE = [
     "q188_dup_rate_by_source",
     "q189_embedding_norm_profile",
     "q190_pack_manifest",
+    "q191_rrf_fusion",
 ]
 
 

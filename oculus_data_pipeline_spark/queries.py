@@ -8366,6 +8366,125 @@ def q190_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q191_rrf_fusion",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id,
+             UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS token
+      FROM documents
+    ),
+    ov AS (
+      SELECT q.id AS query_id, c.id AS cand_id,
+             CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM tok q JOIN tok c ON q.token = c.token AND c.id <> q.id
+      WHERE q.id < 5 GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, cand_id, lex_rank FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY overlap DESC, cand_id) AS lex_rank
+        FROM ov
+      ) WHERE lex_rank <= 20
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT qv.query_id, c2.vec_id AS cand_id,
+             ROUND({_cosine_sql('qv.q', 'c2.v', EMB_DIM)}, 6) AS cos_sim
+      FROM qv JOIN e c2 ON c2.vec_id <> qv.query_id
+    ),
+    sem AS (
+      SELECT query_id, cand_id, sem_rank FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS sem_rank
+        FROM scored
+      ) WHERE sem_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.cand_id, s.cand_id) AS cand_id,
+             l.lex_rank, s.sem_rank,
+             CAST(COALESCE(100000000 // (60 + l.lex_rank), 0)
+                  + COALESCE(100000000 // (60 + s.sem_rank), 0) AS BIGINT)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s
+        ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+    )
+    SELECT query_id, cand_id, lex_rank, sem_rank, rrf_score, fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, cand_id)
+                  AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+)
+def q191_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way
+    to combine a lexical ranking (shared distinct tokens, the BM25
+    stand-in) with a semantic ranking (exact cosine) without
+    calibrating their incomparable scores: each list contributes
+    1/(60+rank), here as the integer 10⁸ DIV (60+rank) so the fusion
+    is cross-engine exact. Docs and embeddings share an id space
+    (q121's pairing), so the two top-20 lists full-outer join on
+    (query, candidate) and re-rank to a fused top-10. Scale shape:
+    the query side is a bounded set — both rankings broadcast it,
+    rank windows partition per query, and only (query, cand, rank)
+    triples ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        F.col("doc_id").alias("id"), F.explode(dedup.tokens("text")).alias("token")
+    ).distinct()
+    qt = tok.where(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), "token"
+    )
+    ct = tok.select(F.col("id").alias("cand_id"), "token")
+    ov = (
+        ct.join(F.broadcast(qt), "token")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("cand_id"))
+    lex = (
+        ov.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .where(F.col("lex_rank") <= 20)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    sem = (
+        similarity.brute_force_topk(emb.where(F.col("vec_id") < 5), emb, k=20)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("rank").cast("long").alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.expr("100000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("100000000 div (60 + sem_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_score"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("cand_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "query_id", "cand_id", "lex_rank", "sem_rank", "rrf_score", "fused_rank"
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8378,6 +8497,7 @@ def q190_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q191_rrf_fusion",
     "q190_pack_manifest",
     "q189_embedding_norm_profile",
     "q188_dup_rate_by_source",
@@ -8417,8 +8537,9 @@ _ATTESTATION_PRIORITY = [
     "q153_bloom_membership",
     # (q152 rotated to r5 when q189 landed — exact-value green locally
     # at both SFs; its q150 CMS sibling stays in the window.)
-    "q148_power_iteration",
     "q149_ivf_pq_topk",
+    # (q148 rotated to r5 when q191 landed — exact-value green locally
+    # at both SFs.)
     "q150_cms_heavy_hitters",
     # (q151 rotated to r5 when q190 landed — exact-value green locally
     # at both SFs.)

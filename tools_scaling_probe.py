@@ -114,6 +114,7 @@ PROBES = [
     "q188_dup_rate_by_source",
     "q189_embedding_norm_profile",
     "q190_pack_manifest",
+    "q191_rrf_fusion",
 ]
 
 KEY_SHIFTS = {
