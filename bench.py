@@ -126,6 +126,7 @@ HEADLINE = [
     "q189_embedding_norm_profile",
     "q190_pack_manifest",
     "q191_rrf_fusion",
+    "q192_sequential_patterns",
 ]
 
 

@@ -8485,6 +8485,115 @@ def q191_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q192_sequential_patterns",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+      FROM o
+    ),
+    firsts AS (
+      SELECT user_id, session_idx, event_type, MIN(ts) AS first_ts
+      FROM s GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions_total
+      FROM (SELECT DISTINCT user_id, session_idx FROM firsts)
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM firsts a
+      JOIN firsts b ON a.user_id = b.user_id
+                   AND a.session_idx = b.session_idx
+                   AND a.first_ts < b.first_ts
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_sessions,
+           CAST(n_sessions * 10000 // tot.n_sessions_total AS BIGINT)
+             AS support_bp
+    FROM pairs CROSS JOIN tot
+    """,
+)
+def q192_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support — for every ordered event-type pair
+    (a THEN b, not necessarily adjacent), the number and fraction of
+    sessions whose FIRST a precedes their first b. The GSP-style
+    2-sequence mining step behind funnel DISCOVERY (q91 counts a funnel
+    you already hypothesized; this surfaces which orderings are worth
+    hypothesizing), on q128's gap sessions. Scale shape: sessions
+    reduce to first-occurrence rows — at most |event types| per
+    session, a bounded dimension — so the within-session ordered
+    self-join is linear in sessions with a small constant; session
+    totals broadcast as a one-row scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wl)
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = o.withColumn("session_idx", F.sum("is_new").over(ws))
+    firsts = s.groupBy("user_id", "session_idx", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    tot = (
+        firsts.select("user_id", "session_idx")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_sessions_total"))
+    )
+    a = firsts.alias("a")
+    b = firsts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_idx") == F.col("b.session_idx"))
+            & (F.col("a.first_ts") < F.col("b.first_ts")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "type_a",
+        "type_b",
+        "n_sessions",
+        F.expr("n_sessions * 10000 div n_sessions_total").alias("support_bp"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8497,6 +8606,7 @@ def q191_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q192_sequential_patterns",
     "q191_rrf_fusion",
     "q190_pack_manifest",
     "q189_embedding_norm_profile",
@@ -8544,8 +8654,9 @@ _ATTESTATION_PRIORITY = [
     # (q151 rotated to r5 when q190 landed — exact-value green locally
     # at both SFs.)
     "q138_pq_encode",
-    "q139_segment_scrub",
     "q140_embedding_gram",
+    # (q139 rotated to r5 when q192 landed — exact-value green locally
+    # at both SFs.)
     "q141_source_mixture",
     "q142_pq_adc_topk",
     "q143_snapshot_diff",
