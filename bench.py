@@ -127,6 +127,7 @@ HEADLINE = [
     "q190_pack_manifest",
     "q191_rrf_fusion",
     "q192_sequential_patterns",
+    "q193_contrastive_triplets",
 ]
 
 

@@ -8594,6 +8594,89 @@ def q192_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triplet_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT id_a, id_b, jaccard FROM ({_lsh_verified_oracle()}) v
+    ),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    anch AS (
+      SELECT DISTINCT p.id_a, e.label AS a_label, e.v AS av
+      FROM pairs p JOIN e ON e.vec_id = p.id_a
+    ),
+    scored AS (
+      SELECT a.id_a, c.vec_id AS neg_id,
+             ROUND({_cosine_sql('a.av', 'c.v', EMB_DIM)}, 6) AS neg_cos
+      FROM anch a JOIN e c ON c.vec_id <> a.id_a AND c.label <> a.a_label
+    ),
+    neg AS (
+      SELECT id_a, neg_id, neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                  ORDER BY neg_cos DESC, neg_id) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT p.id_a AS anchor_id, p.id_b AS positive_id, p.jaccard,
+           n.neg_id AS negative_id, n.neg_cos
+    FROM pairs p JOIN neg n ON n.id_a = p.id_a
+    """
+
+
+@query("q193_contrastive_triplets", _triplet_oracle())
+def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet manifest — anchor/positive from the
+    verified lexical near-dup pairs (q66: LSH candidates + exact
+    Jaccard) and negative from hard-negative mining (q154's semantics:
+    the most-similar vector with a DIFFERENT label), joined on the
+    shared doc/vec id space. This is the dataset an embedding model
+    trains on, assembled by composing the dedup and mining operators
+    instead of re-implementing either. The anchor set is near-dup
+    pairs — corpus-sparse by definition (dense duplication collapses
+    in dedup first) — so it broadcasts through the negative-mining
+    join; everything else rides the existing sub-quadratic paths."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.similarity import _as_double
+    from .functions.vectors import cosine_similarity
+
+    pairs = dedup.lsh_verified_near_dups(docs).select("id_a", "id_b", "jaccard")
+    e = _as_double(emb.select("vec_id", "label", "embedding"), "embedding")
+    anch = (
+        pairs.select("id_a")
+        .distinct()
+        .join(e, F.col("vec_id") == F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("av"),
+        )
+    )
+    scored = e.join(
+        F.broadcast(anch),
+        (F.col("vec_id") != F.col("id_a")) & (F.col("label") != F.col("a_label")),
+    ).select(
+        "id_a",
+        F.col("vec_id").alias("neg_id"),
+        F.round(cosine_similarity(F.col("av"), F.col("embedding")), 6).alias(
+            "neg_cos"
+        ),
+    )
+    wn = W.partitionBy("id_a").orderBy(F.desc("neg_cos"), F.asc("neg_id"))
+    neg = (
+        scored.withColumn("r", F.row_number().over(wn))
+        .where(F.col("r") == 1)
+        .select("id_a", "neg_id", "neg_cos")
+    )
+    return pairs.join(neg, "id_a").select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "jaccard",
+        F.col("neg_id").alias("negative_id"),
+        "neg_cos",
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8606,6 +8689,7 @@ def q192_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q193_contrastive_triplets",
     "q192_sequential_patterns",
     "q191_rrf_fusion",
     "q190_pack_manifest",
@@ -8654,9 +8738,8 @@ _ATTESTATION_PRIORITY = [
     # (q151 rotated to r5 when q190 landed — exact-value green locally
     # at both SFs.)
     "q138_pq_encode",
-    "q140_embedding_gram",
-    # (q139 rotated to r5 when q192 landed — exact-value green locally
-    # at both SFs.)
+    # (q139 rotated to r5 when q192 landed, q140 when q193 landed —
+    # exact-value green locally at both SFs.)
     "q141_source_mixture",
     "q142_pq_adc_topk",
     "q143_snapshot_diff",

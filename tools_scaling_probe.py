@@ -116,6 +116,7 @@ PROBES = [
     "q190_pack_manifest",
     "q191_rrf_fusion",
     "q192_sequential_patterns",
+    "q193_contrastive_triplets",
 ]
 
 KEY_SHIFTS = {
