@@ -128,6 +128,7 @@ HEADLINE = [
     "q191_rrf_fusion",
     "q192_sequential_patterns",
     "q193_contrastive_triplets",
+    "q194_burstiness",
 ]
 
 

@@ -8677,6 +8677,72 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q194_burstiness",
+    """
+    WITH g AS (
+      SELECT event_type,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    ),
+    gaps AS (SELECT event_type, CAST(gap_s AS BIGINT) AS x
+             FROM g WHERE gap_s IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(x) AS BIGINT) AS sum_s,
+           CAST(SUM(x * x) AS BIGINT) AS sumsq,
+           CAST((COUNT(*)::HUGEINT * SUM(x * x) - SUM(x)::HUGEINT * SUM(x))
+                * 10000 // (SUM(x)::HUGEINT * SUM(x)) AS BIGINT) AS cv2_bp
+    FROM gaps
+    GROUP BY event_type
+    HAVING SUM(x) > 0
+    """,
+)
+def q194_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of event inter-arrivals per type — the squared
+    coefficient of variation in basis points, computed from exact
+    integer moments: cv² = (n·Σx² − (Σx)²)/(Σx)². 10000 bp means
+    Poisson-like arrivals; far above means bursts (retry storms,
+    batch replays) that sizing on mean rate alone would miss —
+    the capacity-planning companion to q125's gap percentiles. All
+    moments are BIGINT sums of integer second gaps; the ratio runs in
+    DECIMAL(38,0) (mirrors DuckDB HUGEINT) so nothing overflows at
+    any corpus size and both engines floor-divide identically. One
+    keyed lag window, one aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("x"),
+    ).where(F.col("x").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("x").cast("long").alias("sum_s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sumsq"),
+        )
+        .where(F.col("sum_s") > 0)
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_s",
+            "sumsq",
+            F.expr(
+                "CAST((CAST(n_gaps AS DECIMAL(38,0)) * sumsq"
+                " - CAST(sum_s AS DECIMAL(38,0)) * sum_s) * 10000"
+                " div (CAST(sum_s AS DECIMAL(38,0)) * sum_s) AS BIGINT)"
+            ).alias("cv2_bp"),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8689,6 +8755,7 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q194_burstiness",
     "q193_contrastive_triplets",
     "q192_sequential_patterns",
     "q191_rrf_fusion",
@@ -8728,9 +8795,9 @@ _ATTESTATION_PRIORITY = [
     # landed — all three are exact-value green in the local harness at
     # sf0.001 AND sf0.01; the slots go to the never-attested curation
     # trio with the bigger 100 TB story.)
-    "q153_bloom_membership",
-    # (q152 rotated to r5 when q189 landed — exact-value green locally
-    # at both SFs; its q150 CMS sibling stays in the window.)
+    # (q152 rotated to r5 when q189 landed, q153 when q194 landed —
+    # exact-value green locally at both SFs; the q150 CMS sibling
+    # stays in the window.)
     "q149_ivf_pq_topk",
     # (q148 rotated to r5 when q191 landed — exact-value green locally
     # at both SFs.)

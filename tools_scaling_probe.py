@@ -117,6 +117,7 @@ PROBES = [
     "q191_rrf_fusion",
     "q192_sequential_patterns",
     "q193_contrastive_triplets",
+    "q194_burstiness",
 ]
 
 KEY_SHIFTS = {
