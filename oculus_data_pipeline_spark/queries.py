@@ -8743,6 +8743,525 @@ def q194_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_expr(x: str, y: str, bits: int, *, spark: bool) -> str:
+    """Bit-interleave expression (Z-order / Morton code) for two
+    ``bits``-bit non-negative ints, generated once and rendered for
+    either engine so the integer math is identical: ``x`` takes the
+    odd bit positions, ``y`` the even ones."""
+    terms = []
+    for i in range(bits):
+        if spark:
+            terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i + 1})")
+            terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q195_oracle() -> str:
+    morton = _morton_expr("cust_b", "day_b", 8, spark=False)
+    return f"""
+    WITH rng AS (
+      SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+             MIN(CAST(date_part('epoch', o_orderdate) AS BIGINT) // 86400)
+               AS day_min,
+             MAX(CAST(date_part('epoch', o_orderdate) AS BIGINT) // 86400)
+               AS day_max
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST((o_custkey - ck_min) * 256
+                  // (ck_max - ck_min + 1) AS BIGINT) AS cust_b,
+             CAST((CAST(date_part('epoch', o_orderdate) AS BIGINT) // 86400
+                   - day_min) * 256
+                  // (day_max - day_min + 1) AS BIGINT) AS day_b
+      FROM orders, rng
+    ),
+    coded AS (SELECT {morton} AS z, cust_b, day_b FROM b)
+    SELECT z // 256 AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(z) AS BIGINT) AS z_min,
+           CAST(MAX(z) AS BIGINT) AS z_max,
+           CAST(COUNT(DISTINCT cust_b) AS BIGINT) AS n_cust_buckets,
+           CAST(MIN(day_b) AS BIGINT) AS day_b_min,
+           CAST(MAX(day_b) AS BIGINT) AS day_b_max
+    FROM coded
+    GROUP BY 1
+    """
+
+
+@query("q195_zorder_layout", _q195_oracle())
+def q195_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout manifest for multi-dimensional data
+    skipping — the clustering step a 100 TB table needs so that BOTH
+    `o_custkey` predicates AND date-range predicates prune files, which
+    no 1-D sort can give simultaneously. Each row's (custkey, epoch-day)
+    pair is range-bucketed to 8 bits per dimension (global min/max via a
+    broadcast one-row scalar aggregate — no collect) and bit-interleaved
+    into a 16-bit Z-code by a generated shiftleft/shiftright expression
+    that stays entirely inside whole-stage codegen; `file_id = z div
+    256` assigns rows to 256 layout cells, and the per-file z-range /
+    per-dimension bucket spans that come back are exactly the min/max
+    skipping statistics a writer would persist. One scan + one broadcast
+    + one groupBy — shuffle carries 16-bit codes, never the payload.
+    Epoch-day floors keep both engines' date math identical
+    (cross-engine rule: never diff raw timestamps)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(o_orderdate AS LONG) div 86400")
+    rng = o.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min(day).alias("day_min"),
+        F.max(day).alias("day_max"),
+    )
+    b = (
+        o.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                "CAST((o_custkey - ck_min) * 256"
+                " div (ck_max - ck_min + 1) AS BIGINT)"
+            ).alias("cust_b"),
+            (
+                (day - F.col("day_min")) * 256
+            ).cast("long").alias("_day_rel256"),
+            (F.col("day_max") - F.col("day_min") + 1).alias("_day_span"),
+        )
+        .select(
+            "cust_b",
+            F.expr("_day_rel256 div _day_span").alias("day_b"),
+        )
+    )
+    coded = b.select(
+        F.expr(_morton_expr("cust_b", "day_b", 8, spark=True)).alias("z"),
+        "cust_b",
+        "day_b",
+    )
+    return (
+        coded.groupBy(F.expr("z div 256").alias("file_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+            F.countDistinct("cust_b").cast("long").alias("n_cust_buckets"),
+            F.min("day_b").cast("long").alias("day_b_min"),
+            F.max("day_b").cast("long").alias("day_b_max"),
+        )
+    )
+
+
+@query(
+    "q196_padding_waste",
+    """
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tok,
+             ((n_tok + 63) // 64) * 64 AS cap
+      FROM t
+    )
+    SELECT CAST(cap AS BIGINT) AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(cap - n_tok) AS BIGINT) AS sum_padding,
+           CAST(SUM(cap - n_tok) * 10000 // (cap * COUNT(*)) AS BIGINT)
+             AS padding_bp,
+           CAST(16384 // cap AS BIGINT) AS docs_per_batch,
+           CAST((COUNT(*) + 16384 // cap - 1) // (16384 // cap) AS BIGINT)
+             AS n_batches
+    FROM b
+    GROUP BY cap
+    """,
+)
+def q196_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching manifest with exact padding-waste
+    accounting — the step between tokenization and the training
+    dataloader: docs are bucketed to 64-token-multiple caps, each
+    bucket packs `16384 div cap` docs per fixed-token batch, and the
+    report gives per-bucket doc/token/padding totals, padding overhead
+    in basis points, and the exact batch count. At 100 TB this is one
+    scan + one groupBy on ~hundreds of bucket keys (the shuffle
+    carries one integer per doc), and the padding_bp column is the
+    number that decides whether the bucket boundaries need retuning
+    before a multi-week training run. All integer math — both engines
+    floor-divide identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    )
+    b = t.select(
+        "n_tok",
+        F.expr("((n_tok + 63) div 64) * 64").alias("cap"),
+    )
+    return (
+        b.groupBy(F.col("cap").cast("long").alias("bucket_cap"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.sum(F.col("cap") - F.col("n_tok")).cast("long").alias(
+                "sum_padding"
+            ),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "sum_padding",
+            F.expr(
+                "sum_padding * 10000 div (bucket_cap * n_docs)"
+            ).alias("padding_bp"),
+            F.expr("16384 div bucket_cap").alias("docs_per_batch"),
+            F.expr(
+                "(n_docs + 16384 div bucket_cap - 1)"
+                " div (16384 div bucket_cap)"
+            ).alias("n_batches"),
+        )
+    )
+
+
+@query(
+    "q197_triangle_count",
+    """
+    WITH vals AS (SELECT DISTINCT p_name AS v FROM part),
+    e AS (
+      SELECT a.v AS name_a, b.v AS name_b
+      FROM vals a JOIN vals b
+        ON string_split(a.v, ' ')[1] = string_split(b.v, ' ')[1]
+       AND a.v < b.v
+      WHERE levenshtein(a.v, b.v) <= 4
+    ),
+    tri AS (
+      SELECT e1.name_a AS a, e1.name_b AS b, e2.name_b AS c
+      FROM e e1
+      JOIN e e2 ON e2.name_a = e1.name_b
+      JOIN e e3 ON e3.name_a = e1.name_a AND e3.name_b = e2.name_b
+    ),
+    n AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM n GROUP BY node
+    """,
+)
+def q197_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts of the blocked-levenshtein similarity
+    graph (q92's edge builder at max_dist=4) — the local-clustering
+    signal that separates dense duplicate families (high triangle
+    participation) from chains of borderline matches (two-hop
+    candidates with no closure), which is how an entity-resolution
+    pass decides merge vs review. The edge list is oriented
+    lexicographically (a < b), so each triangle is materialized
+    exactly once by one wedge join (e1.b = e2.a) plus one closing
+    equi-join on the (a, c) pair — the standard distributed algorithm
+    whose wedge work is Σ d_out(v)²; at 100 TB you orient by (degree,
+    id) instead of name order to bound that sum by O(m^1.5), and both
+    joins shuffle only node-pair keys. Per-node counts come from
+    exploding each triangle's three corners — no second pass over the
+    edge list."""
+    from .operators.stringsim import blocked_levenshtein_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    e = blocked_levenshtein_pairs(p, "p_name", max_dist=4).select(
+        "name_a", "name_b"
+    )
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e2.name_a") == F.col("e1.name_b"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e3.name_a") == F.col("e1.name_a"))
+            & (F.col("e3.name_b") == F.col("e2.name_b")),
+        )
+        .select(
+            F.col("e1.name_a").alias("a"),
+            F.col("e1.name_b").alias("b"),
+            F.col("e2.name_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+@query(
+    "q198_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) + 60
+               + CAST(json_extract_string(props, '$.k') AS BIGINT) * 30 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, island,
+             MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_s,
+           CAST(MIN(island_start) AS BIGINT) AS first_start_s,
+           CAST(MAX(island_end) AS BIGINT) AS last_end_s
+    FROM spans GROUP BY user_id
+    """,
+)
+def q198_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact union-of-intervals coverage per user — each event opens an
+    activity lease of 60 + 30·k seconds (k from the event's JSON props,
+    so intervals are genuinely variable-length: this is interval union,
+    NOT gap sessionization — q128 cannot express it) and overlapping
+    leases must not double count, the classic sweep-line problem
+    (billing minutes, GPU-hour attribution, sensor uptime).
+    Implemented without a range self-join:
+    one keyed sort gives each interval the running max end of its
+    predecessors; an interval whose start exceeds that max opens a new
+    island, a running sum of those flags numbers the islands, and two
+    keyed aggregations emit per-island spans then per-user totals.
+    Work is O(n log n) per key (the sort) with every window PARTITIONED
+    BY user_id — millions of independent keys at 100 TB, no
+    single-partition stage, no quadratic overlap probe. Epoch-second
+    floors on both engines (cross-engine rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long")
+            + 60
+            + F.get_json_object("props", "$.k").cast("long") * 30
+        ).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(-(2**63)),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("long")
+        .alias("covered_s"),
+        F.min("island_start").cast("long").alias("first_start_s"),
+        F.max("island_end").cast("long").alias("last_end_s"),
+    )
+
+
+_FD_CANDIDATES = [
+    ("documents", "source", "lang"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+]
+
+
+def _fd_candidate_sql(tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(SUM(rows_k) AS BIGINT) AS n_rows,
+           CAST(SUM(rows_k) - SUM(keep_k) AS BIGINT) AS rows_to_remove,
+           CAST(SUM(keep_k) * 10000 // SUM(rows_k) AS BIGINT) AS fd_bp
+    FROM (
+      SELECT k, SUM(c) AS rows_k, MAX(c) AS keep_k, COUNT(*) AS n_rhs
+      FROM (SELECT {lhs} AS k, {rhs} AS v, COUNT(*) AS c
+            FROM {tbl} GROUP BY 1, 2)
+      GROUP BY k
+    )
+    """
+
+
+@query(
+    "q199_fd_audit",
+    "\nUNION ALL\n".join(
+        _fd_candidate_sql(t, l, r) for (t, l, r) in _FD_CANDIDATES
+    ),
+)
+def q199_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit over a candidate list —
+    the schema-discovery / data-quality pass that tells a pipeline
+    whether `source → lang` (etc.) actually holds before anyone builds
+    a join or a dedup key on that assumption. For each candidate
+    lhs → rhs it reports the g3 measure from the FD-mining literature:
+    the minimum number of rows to delete to make the FD hold exactly
+    (Σ rows − Σ per-key majority count), plus key counts and the
+    holding fraction in basis points. Each candidate is two keyed
+    aggregations — (lhs, rhs) counts, then per-lhs majority — followed
+    by a one-row global rollup; all shuffles are on the lhs key, the
+    union across candidates is plan-parallel, and nothing is ever
+    collected, so the audit runs at full scan speed on a 100 TB table.
+    Integer-exact everywhere."""
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        kv = (
+            t.groupBy(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+            .agg(F.count("*").alias("c"))
+        )
+        per_key = kv.groupBy("k").agg(
+            F.sum("c").alias("rows_k"),
+            F.max("c").alias("keep_k"),
+            F.count("*").alias("n_rhs"),
+        )
+        parts.append(
+            per_key.agg(
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum((F.col("n_rhs") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.sum("rows_k").cast("long").alias("n_rows"),
+                F.sum("keep_k").cast("long").alias("_keep"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_keys",
+                "n_violating_keys",
+                "n_rows",
+                (F.col("n_rows") - F.col("_keep"))
+                .cast("long")
+                .alias("rows_to_remove"),
+                F.expr("_keep * 10000 div n_rows").alias("fd_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q200_segment_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    seg AS (
+      SELECT doc_id,
+             unnest(range(0, len(toks) // 8)) AS i,
+             toks
+      FROM t
+    ),
+    hashed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')) AS h
+      FROM seg
+    ),
+    dup AS (
+      SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS dup_bp
+    FROM hashed s LEFT JOIN dup d ON s.h = d.h
+    GROUP BY s.doc_id
+    """,
+)
+def q200_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (segment-level) duplication report — the
+    granularity doc-level dedup misses: boilerplate headers, license
+    blocks, and templated passages repeat across otherwise-distinct
+    documents and burn training tokens. Each doc is cut into
+    non-overlapping 8-token segments by pure projection (slice +
+    concat + md5 inside whole-stage codegen — segments are built
+    scan-side, never shuffled as arrays); a segment hash seen in more
+    than one distinct doc marks every occurrence, and the per-doc
+    report gives the duplicated-segment fraction in basis points — the
+    direct input to a drop-or-trim curation rule. Shuffles carry only
+    (doc_id, 16-byte hash) pairs: one aggregation on the hash, one
+    semi-join back, one per-doc rollup — all linear in corpus token
+    count at 100 TB. (This is the exact-tier companion to q31/q133
+    n-gram Jaccard: non-overlapping segments give 8× fewer rows than
+    overlapping shingles and an exact containment answer.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    hashed = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.expr("size(toks) div 8 - 1"))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("i") * 8 + 1, F.lit(8))
+                )
+            ).alias("h"),
+        )
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    flagged = hashed.join(
+        dup.withColumn("is_dup", F.lit(1)), "h", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup_segments"),
+        F.expr(
+            "CAST(sum(coalesce(is_dup, 0)) * 10000 div count(*) AS BIGINT)"
+        ).alias("dup_bp"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -8755,6 +9274,16 @@ def q194_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q200_segment_dedup",
+    "q199_fd_audit",
+    "q198_interval_coverage",
+    "q197_triangle_count",
+    "q196_padding_waste",
+    "q195_zorder_layout",
+    # (q141/q143/q144/q145/q146/q147 rotated to the r5 head when
+    # q195–q200 landed: all six are exact-value green in the local
+    # harness at sf0.001 AND sf0.01, and the never-attested newest
+    # wave takes the slots per the standing new-evidence-first rule.)
     "q194_burstiness",
     "q193_contrastive_triplets",
     "q192_sequential_patterns",
@@ -8807,13 +9336,7 @@ _ATTESTATION_PRIORITY = [
     "q138_pq_encode",
     # (q139 rotated to r5 when q192 landed, q140 when q193 landed —
     # exact-value green locally at both SFs.)
-    "q141_source_mixture",
     "q142_pq_adc_topk",
-    "q143_snapshot_diff",
-    "q144_stratified_split",
-    "q145_table_fingerprint",
-    "q146_variant_extract",
-    "q147_approx_percentile_bound",
     "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",

@@ -118,6 +118,12 @@ PROBES = [
     "q192_sequential_patterns",
     "q193_contrastive_triplets",
     "q194_burstiness",
+    "q195_zorder_layout",
+    "q196_padding_waste",
+    "q197_triangle_count",
+    "q198_interval_coverage",
+    "q199_fd_audit",
+    "q200_segment_dedup",
 ]
 
 KEY_SHIFTS = {
