@@ -131,7 +131,7 @@ HEADLINE = [
     "q194_burstiness",
     "q195_zorder_layout",
     "q196_padding_waste",
-    "q197_triangle_count",
+    "q197_sorted_neighborhood",
     "q198_interval_coverage",
     "q199_fd_audit",
     "q200_segment_dedup",

@@ -8922,75 +8922,63 @@ def q196_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q197_triangle_count",
+    "q197_sorted_neighborhood",
     """
     WITH vals AS (SELECT DISTINCT p_name AS v FROM part),
-    e AS (
-      SELECT a.v AS name_a, b.v AS name_b
-      FROM vals a JOIN vals b
-        ON string_split(a.v, ' ')[1] = string_split(b.v, ' ')[1]
-       AND a.v < b.v
-      WHERE levenshtein(a.v, b.v) <= 4
-    ),
-    tri AS (
-      SELECT e1.name_a AS a, e1.name_b AS b, e2.name_b AS c
-      FROM e e1
-      JOIN e e2 ON e2.name_a = e1.name_b
-      JOIN e e3 ON e3.name_a = e1.name_a AND e3.name_b = e2.name_b
-    ),
-    n AS (
-      SELECT a AS node FROM tri
-      UNION ALL SELECT b FROM tri
-      UNION ALL SELECT c FROM tri
+    ranked AS (
+      SELECT v, substring(v, 1, 1) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substring(v, 1, 1)
+                                ORDER BY v) AS rn
+      FROM vals
     )
-    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-    FROM n GROUP BY node
+    SELECT a.v AS name_a, b.v AS name_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+    WHERE levenshtein(a.v, b.v) <= 4
     """,
 )
-def q197_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts of the blocked-levenshtein similarity
-    graph (q92's edge builder at max_dist=4) — the local-clustering
-    signal that separates dense duplicate families (high triangle
-    participation) from chains of borderline matches (two-hop
-    candidates with no closure), which is how an entity-resolution
-    pass decides merge vs review. The edge list is oriented
-    lexicographically (a < b), so each triangle is materialized
-    exactly once by one wedge join (e1.b = e2.a) plus one closing
-    equi-join on the (a, c) pair — the standard distributed algorithm
-    whose wedge work is Σ d_out(v)²; at 100 TB you orient by (degree,
-    id) instead of name order to bound that sum by O(m^1.5), and both
-    joins shuffle only node-pair keys. Per-node counts come from
-    exploding each triangle's three corners — no second pass over the
-    edge list."""
-    from .operators.stringsim import blocked_levenshtein_pairs
-
+def q197_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo) for entity
+    resolution — the candidate-generation strategy that bounds work
+    when equality blocking (q89/q126's first-token blocks) goes
+    quadratic on a hot block: sort records within a coarse block,
+    compare each record only to its w=3 sorted successors, verify with
+    exact levenshtein. Candidate volume is n·w — LINEAR in corpus
+    size by construction, regardless of block skew, versus Σ|block|²
+    for the self-join family; that guarantee is why multi-pass SN is
+    the standard fallback for skewed ER at 100 TB (run again with a
+    second sort key — e.g. reversed name — to recover recall across
+    prefix typos). The rank window is PARTITIONED BY the block
+    character, the neighbor probe is an equi-join on the block plus a
+    3-wide band on dense ranks — no global sort, no unpartitioned
+    window, shuffles carry (block, rank, name) only."""
     p = load_table(spark, sf_dir, "part")
-    e = blocked_levenshtein_pairs(p, "p_name", max_dist=4).select(
-        "name_a", "name_b"
+    vals = p.select(F.col("p_name").alias("v")).distinct()
+    ranked = vals.select(
+        "v",
+        F.substring("v", 1, 1).alias("blk"),
+        F.row_number()
+        .over(W.partitionBy(F.substring("v", 1, 1)).orderBy("v"))
+        .alias("rn"),
     )
-    tri = (
-        e.alias("e1")
-        .join(
-            e.alias("e2"),
-            F.col("e2.name_a") == F.col("e1.name_b"),
-        )
-        .join(
-            e.alias("e3"),
-            (F.col("e3.name_a") == F.col("e1.name_a"))
-            & (F.col("e3.name_b") == F.col("e2.name_b")),
-        )
-        .select(
-            F.col("e1.name_a").alias("a"),
-            F.col("e1.name_b").alias("b"),
-            F.col("e2.name_b").alias("c"),
-        )
-    )
+    a, b = ranked.alias("a"), ranked.alias("b")
     return (
-        tri.select(
-            F.explode(F.array("a", "b", "c")).alias("node")
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.rn") - F.col("a.rn")).between(1, 3),
         )
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .where(F.levenshtein(F.col("a.v"), F.col("b.v")) <= 4)
+        .select(
+            F.col("a.v").alias("name_a"),
+            F.col("b.v").alias("name_b"),
+            (F.col("b.rn") - F.col("a.rn")).cast("long").alias("rank_gap"),
+            F.levenshtein(F.col("a.v"), F.col("b.v"))
+            .cast("long")
+            .alias("dist"),
+        )
     )
 
 
@@ -9277,7 +9265,7 @@ _ATTESTATION_PRIORITY = [
     "q200_segment_dedup",
     "q199_fd_audit",
     "q198_interval_coverage",
-    "q197_triangle_count",
+    "q197_sorted_neighborhood",
     "q196_padding_waste",
     "q195_zorder_layout",
     # (q141/q143/q144/q145/q146/q147 rotated to the r5 head when
