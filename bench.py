@@ -135,6 +135,8 @@ HEADLINE = [
     "q198_interval_coverage",
     "q199_fd_audit",
     "q200_segment_dedup",
+    "q201_cusum_changepoint",
+    "q202_mutual_nn_margin",
 ]
 
 

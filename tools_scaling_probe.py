@@ -124,6 +124,8 @@ PROBES = [
     "q198_interval_coverage",
     "q199_fd_audit",
     "q200_segment_dedup",
+    "q201_cusum_changepoint",
+    "q202_mutual_nn_margin",
 ]
 
 KEY_SHIFTS = {
