@@ -137,6 +137,8 @@ HEADLINE = [
     "q200_segment_dedup",
     "q201_cusum_changepoint",
     "q202_mutual_nn_margin",
+    "q203_shuffle_shards",
+    "q204_curriculum_schedule",
 ]
 
 

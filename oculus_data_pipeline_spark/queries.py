@@ -9525,6 +9525,180 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q203_shuffle_shards",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             {md5_int_sql("'e0:' || CAST(doc_id AS VARCHAR)")} % 64 AS s0,
+             {md5_int_sql("'e1:' || CAST(doc_id AS VARCHAR)")} % 64 AS s1
+      FROM documents
+    ),
+    e0 AS (
+      SELECT s0 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_e0,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_e0,
+             CAST(SUM(CASE WHEN s1 = s0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stayed
+      FROM t GROUP BY 1
+    ),
+    e1 AS (
+      SELECT s1 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_e1
+      FROM t GROUP BY 1
+    )
+    SELECT e0.shard, e0.n_docs_e0, e1.n_docs_e1, e0.n_stayed,
+           e0.tokens_e0
+    FROM e0 JOIN e1 ON e1.shard = e0.shard
+    """,
+)
+def q203_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle shard manifest — how a training
+    dataloader gets a reproducible yet epoch-decorrelated global
+    shuffle without ever materializing a global sort: shard(doc) =
+    md5('e{{N}}:' || id) mod 64, a pure scan-side projection, so the
+    'shuffle' is free at any scale and bit-reproducible across reruns
+    (the property torch-style seeded samplers cannot give you on a
+    distributed corpus). The manifest attests both epochs' shard
+    histograms (balance), the per-shard token mass (the actual
+    dataloader cost unit), and the epoch-over-epoch stay count —
+    n_stayed ≈ n_docs/64 is the signature of truly independent epoch
+    permutations, while n_stayed = n_docs would mean the salt is
+    being ignored and every epoch replays the same order. One groupBy
+    per epoch on a 6-bit key; shuffles carry (shard, int) pairs.
+    Cited reference behavior: deterministic md5 keying is the same
+    contract as q56's deterministic sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            md5_int(F.concat(F.lit("e0:"), F.col("doc_id").cast("string")))
+            % 64
+        ).alias("s0"),
+        (
+            md5_int(F.concat(F.lit("e1:"), F.col("doc_id").cast("string")))
+            % 64
+        ).alias("s1"),
+    )
+    e0 = t.groupBy(F.col("s0").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs_e0"),
+        F.sum("n_tok").cast("long").alias("tokens_e0"),
+        F.sum((F.col("s1") == F.col("s0")).cast("long"))
+        .cast("long")
+        .alias("n_stayed"),
+    )
+    e1 = t.groupBy(F.col("s1").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs_e1")
+    )
+    return e0.join(e1, "shard").select(
+        "shard", "n_docs_e0", "n_docs_e1", "n_stayed", "tokens_e0"
+    )
+
+
+def _q204_oracle() -> str:
+    return f"""
+    WITH qual AS (SELECT id, quality_score FROM ({_quality_oracle()})),
+    scored AS (
+      SELECT d.doc_id AS id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             q.quality_score
+      FROM documents d JOIN qual q ON q.id = d.doc_id
+    ),
+    ranked AS (
+      SELECT id, n_tok,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality_score, id) - 1) * 10000
+               // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1)
+               AS calib_bp
+      FROM scored
+    ),
+    -- phase = source-calibrated quartile, clamped so bp=10000 joins
+    -- the top phase
+    phased AS (
+      SELECT LEAST(calib_bp // 2500, 3) AS phase, id, n_tok FROM ranked
+    ),
+    per AS (
+      SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      FROM phased GROUP BY 1
+    ),
+    tot AS (SELECT SUM(sum_tokens) AS total_tokens FROM per)
+    SELECT a.phase, a.n_docs, a.sum_tokens,
+           CAST(SUM(b.sum_tokens) AS BIGINT) AS cum_tokens,
+           CAST(a.sum_tokens * 10000 // t.total_tokens AS BIGINT)
+             AS share_bp
+    FROM per a JOIN per b ON b.phase <= a.phase, tot t
+    GROUP BY a.phase, a.n_docs, a.sum_tokens, t.total_tokens
+    """
+
+
+@query("q204_curriculum_schedule", _q204_oracle())
+def q204_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-training schedule manifest: docs are phased by their
+    source-calibrated quality quartile (q178's rank-in-source bp — the
+    cross-source-comparable signal; raw scores would let one clean
+    source monopolize the 'hard' phase) and the schedule reports each
+    phase's doc count, token mass, cumulative token budget (what the
+    LR schedule consumes), and corpus share in bp. Scale shape: the
+    only window is partitioned by source (q178's pass), phases
+    aggregate to FOUR rows, and the cumulative sum runs as a broadcast
+    theta self-join on those four rows — no global window anywhere.
+    The quality score reuses q41's bit-identical composite."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        textstats.quality_score_col("text").alias("quality_score"),
+    )
+    w = W.partitionBy("source").orderBy("quality_score", "id")
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("source")))
+        .select(
+            "id",
+            "n_tok",
+            F.expr(
+                "(rn - 1) * 10000 div greatest(cnt - 1, 1)"
+            ).alias("calib_bp"),
+        )
+    )
+    per = (
+        ranked.select(
+            F.least(F.expr("calib_bp div 2500"), F.lit(3)).alias("phase"),
+            "n_tok",
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("sum_tokens").alias("total_tokens"))
+    cum = (
+        per.alias("a")
+        .join(
+            F.broadcast(per.alias("b")),
+            F.col("b.phase") <= F.col("a.phase"),
+        )
+        .groupBy(
+            F.col("a.phase").alias("phase"),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.sum_tokens").alias("sum_tokens"),
+        )
+        .agg(F.sum("b.sum_tokens").cast("long").alias("cum_tokens"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "phase",
+        "n_docs",
+        "sum_tokens",
+        "cum_tokens",
+        F.expr("CAST(sum_tokens * 10000 div total_tokens AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -9537,6 +9711,13 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q204_curriculum_schedule",
+    "q203_shuffle_shards",
+    # (q149/q154 rotated to the r5 head when q203/q204 landed: both
+    # exact-value green locally at sf0.001 AND sf0.01, and their code
+    # paths re-attest inside this window regardless — q168 runs the
+    # trained IVF+PQ probe that subsumes q149's search, and q193
+    # composes q154's hard-negative mining directly.)
     "q202_mutual_nn_margin",
     "q201_cusum_changepoint",
     # (q138/q142 rotated to the r5 head when q201/q202 landed: both
@@ -9587,7 +9768,6 @@ _ATTESTATION_PRIORITY = [
     # locally at both SFs.)
     # (q159 rotated to r5 when q186 landed, q158 when q187 landed,
     # q157 when q188 landed — exact-value green locally at both SFs.)
-    "q154_hard_negatives",
     # (q155/q156/q165 rotated to the r5 window's head when q178–q180
     # landed — all three are exact-value green in the local harness at
     # sf0.001 AND sf0.01; the slots go to the never-attested curation
@@ -9595,7 +9775,6 @@ _ATTESTATION_PRIORITY = [
     # (q152 rotated to r5 when q189 landed, q153 when q194 landed —
     # exact-value green locally at both SFs; the q150 CMS sibling
     # stays in the window.)
-    "q149_ivf_pq_topk",
     # (q148 rotated to r5 when q191 landed — exact-value green locally
     # at both SFs.)
     "q150_cms_heavy_hitters",
