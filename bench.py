@@ -139,6 +139,8 @@ HEADLINE = [
     "q202_mutual_nn_margin",
     "q203_shuffle_shards",
     "q204_curriculum_schedule",
+    "q205_apportionment",
+    "q206_lag_xcorr",
 ]
 
 

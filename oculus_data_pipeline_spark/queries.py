@@ -9699,6 +9699,207 @@ def q204_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q205_apportionment",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM w),
+    quota AS (
+      SELECT source, tokens,
+             CAST(100000 * tokens // t AS BIGINT) AS base_alloc,
+             CAST((100000 * tokens) % t AS BIGINT) AS remainder
+      FROM w, tot
+    ),
+    lvl AS (
+      SELECT CAST(100000 - SUM(base_alloc) AS BIGINT) AS leftover
+      FROM quota
+    ),
+    ranked AS (
+      SELECT a.source, a.tokens, a.base_alloc, a.remainder,
+             CAST(1 + COUNT(b.source) AS BIGINT) AS rnk
+      FROM quota a LEFT JOIN quota b
+        ON b.remainder > a.remainder
+        OR (b.remainder = a.remainder AND b.source < a.source)
+      GROUP BY a.source, a.tokens, a.base_alloc, a.remainder
+    )
+    SELECT r.source, r.tokens, r.base_alloc, r.remainder, r.rnk,
+           CAST(CASE WHEN r.rnk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(r.base_alloc
+                + CASE WHEN r.rnk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS final_alloc
+    FROM ranked r, lvl l
+    """,
+)
+def q205_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget across sources ∝ token mass — the integer-exact step q141's
+    mixture plan stops short of: expected rates never sum to exactly B
+    after rounding, and a multi-week run schedule needs Σ alloc = B to
+    the row. Floor quotas + distributing the leftover to the largest
+    remainders (ties broken by source name) is the classic scheme, and
+    every quantity here is BIGINT (quota numerator B·tokens ≤ 1e5·1e13
+    stays far under int64 at 100 TB). The remainder ranking is a
+    broadcast theta LEFT self-join on the per-source table — sources
+    number in the hundreds at worst, so the quadratic is over a
+    dimension-sized relation and no global window is needed; the
+    corpus-sized work is one token-count aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = w.agg(F.sum("tokens").cast("long").alias("t"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("CAST(100000 * tokens div t AS BIGINT)").alias("base_alloc"),
+        F.expr("CAST((100000 * tokens) % t AS BIGINT)").alias("remainder"),
+    )
+    lvl = quota.agg(
+        (F.lit(100000) - F.sum("base_alloc")).cast("long").alias("leftover")
+    )
+    a, b = quota.alias("a"), quota.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.remainder") > F.col("a.remainder"))
+            | (
+                (F.col("b.remainder") == F.col("a.remainder"))
+                & (F.col("b.source") < F.col("a.source"))
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.tokens").alias("tokens"),
+            F.col("a.base_alloc").alias("base_alloc"),
+            F.col("a.remainder").alias("remainder"),
+        )
+        .agg((1 + F.count(F.col("b.source"))).cast("long").alias("rnk"))
+    )
+    return ranked.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "tokens",
+        "base_alloc",
+        "remainder",
+        "rnk",
+        F.expr(
+            "CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("extra"),
+        F.expr(
+            "CAST(base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("final_alloc"),
+    )
+
+
+@query(
+    "q206_lag_xcorr",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    ),
+    cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds),
+    x AS (
+      SELECT cal.day, COALESCE(d.c, 0) AS x FROM cal
+      LEFT JOIN daily d ON d.day = cal.day AND d.event_type = 'view'
+    ),
+    y AS (
+      SELECT cal.day, COALESCE(d.c, 0) AS y FROM cal
+      LEFT JOIN daily d ON d.day = cal.day AND d.event_type = 'purchase'
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    joined AS (
+      SELECT l.lag, x.x, y.y
+      FROM lags l
+      JOIN x ON TRUE
+      JOIN y ON y.day = x.day + l.lag
+    )
+    SELECT lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+             AS cov_n
+    FROM joined
+    GROUP BY lag
+    """,
+)
+def q206_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation moments between the view and
+    purchase daily series at lags −3..+3 days — the demand-forecasting
+    screen ('do views lead purchases, and by how many days?') that
+    q170's Markov transitions and q194's burstiness don't answer. The
+    series are ZERO-FILLED onto a shared calendar (absent days are
+    real zeros — dropping them biases every product moment), built by
+    exploding one day-range off a broadcast min/max scalar — calendar
+    length is bounded by elapsed time, never corpus size. Each lag's
+    alignment is an equi-join on day+lag (7 small join keys fanned out
+    from one calendar pass) and the outputs are raw BIGINT moments
+    plus the scaled covariance n·Σxy − Σx·Σy, left unnormalized so
+    everything stays integer-exact; the caller normalizes to Pearson r
+    off these moments if a float is acceptable. All aggregation is on
+    |lags|·|days| rows — trivially small after the daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    x = cal.join(
+        daily.where(F.col("event_type") == "view").select("day", "c"),
+        "day",
+        "left",
+    ).select("day", F.coalesce("c", F.lit(0)).alias("x"))
+    y = cal.join(
+        daily.where(F.col("event_type") == "purchase").select("day", "c"),
+        "day",
+        "left",
+    ).select(F.col("day").alias("yday"), F.coalesce("c", F.lit(0)).alias("y"))
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    joined = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("yday") == F.col("day") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    return joined.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("cov_n"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -9711,6 +9912,12 @@ def q204_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q206_lag_xcorr",
+    "q205_apportionment",
+    # (q150/q133 rotated to the r5 head when q205/q206 landed: both
+    # exact-value green locally at sf0.001 AND sf0.01; q133's guarded
+    # exact-Jaccard path stays pinned by the q31-vs-q133 parity test
+    # and its headline-bench slot.)
     "q204_curriculum_schedule",
     "q203_shuffle_shards",
     # (q149/q154 rotated to the r5 head when q203/q204 landed: both
@@ -9777,12 +9984,10 @@ _ATTESTATION_PRIORITY = [
     # stays in the window.)
     # (q148 rotated to r5 when q191 landed — exact-value green locally
     # at both SFs.)
-    "q150_cms_heavy_hitters",
     # (q151 rotated to r5 when q190 landed — exact-value green locally
     # at both SFs.)
     # (q139 rotated to r5 when q192 landed, q140 when q193 landed —
     # exact-value green locally at both SFs.)
-    "q133_stop_shingle_jaccard",
     "q134_hll_error_report",
     "q135_kmeans_assign",
     "q136_video_decode",

@@ -128,6 +128,8 @@ PROBES = [
     "q202_mutual_nn_margin",
     "q203_shuffle_shards",
     "q204_curriculum_schedule",
+    "q205_apportionment",
+    "q206_lag_xcorr",
 ]
 
 KEY_SHIFTS = {
