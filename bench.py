@@ -141,6 +141,8 @@ HEADLINE = [
     "q204_curriculum_schedule",
     "q205_apportionment",
     "q206_lag_xcorr",
+    "q207_temporal_integrity",
+    "q208_split_leakage",
 ]
 
 

@@ -9900,6 +9900,195 @@ def q206_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q207_temporal_integrity",
+    """
+    WITH iv0 AS (
+      SELECT o_custkey AS k,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS s,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    iv1 AS (
+      SELECT k, s, rn,
+             COALESCE(LEAD(s) OVER (PARTITION BY k ORDER BY rn),
+                      s + 30) AS e
+      FROM iv0
+    ),
+    perturbed AS (
+      SELECT k, s, rn,
+             e + CASE WHEN k % 5 = 0 THEN 10 ELSE 0 END AS e
+      FROM iv1
+      WHERE NOT (k % 7 = 0 AND rn % 3 = 2)
+    ),
+    checked AS (
+      SELECT k,
+             CASE WHEN s < LAG(e) OVER (PARTITION BY k ORDER BY s, rn)
+                  THEN 1 ELSE 0 END AS is_overlap,
+             CASE WHEN s > LAG(e) OVER (PARTITION BY k ORDER BY s, rn)
+                  THEN 1 ELSE 0 END AS is_gap
+      FROM perturbed
+    )
+    SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(is_overlap) AS BIGINT) AS n_overlaps,
+           CAST(SUM(is_gap) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT CASE WHEN is_overlap = 1 THEN k END)
+                AS BIGINT) AS keys_with_overlap,
+           CAST(COUNT(DISTINCT CASE WHEN is_gap = 1 THEN k END)
+                AS BIGINT) AS keys_with_gap
+    FROM checked
+    """,
+)
+def q207_temporal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table integrity audit — the validation pass that must
+    gate any SCD2/bitemporal build (q74/q124 construct these tables;
+    nothing previously CHECKED one): per key, consecutive validity
+    intervals must tile time with no overlaps (double-counted history)
+    and no gaps (silently lost history). The fixture derives intervals
+    from each customer's order dates, then deliberately PLANTS both
+    violation classes (extended valid_to on custkey%5 keys → overlaps;
+    a deleted middle version on custkey%7 keys → gaps) so the audit's
+    detection arms are exercised non-vacuously — the q107/q153
+    planted-evidence pattern. Detection is one LAG per key ordered by
+    start: O(n log n) per key, every window PARTITIONED BY the entity
+    key, summary is a single aggregation — at 100 TB this is exactly
+    the nightly-contract shape (scan + keyed window + count). Day
+    arithmetic uses epoch-day floors on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    wseq = W.partitionBy("k").orderBy("s", "o_orderkey")
+    iv0 = o.select(
+        F.col("o_custkey").alias("k"),
+        F.expr("CAST(o_orderdate AS LONG) div 86400").alias("s"),
+        "o_orderkey",
+    ).withColumn("rn", F.row_number().over(wseq))
+    iv1 = iv0.withColumn(
+        "e",
+        F.coalesce(
+            F.lead("s").over(W.partitionBy("k").orderBy("rn")),
+            F.col("s") + 30,
+        ),
+    )
+    perturbed = iv1.where(
+        ~((F.col("k") % 7 == 0) & (F.col("rn") % 3 == 2))
+    ).select(
+        "k",
+        "s",
+        "rn",
+        (
+            F.col("e")
+            + F.when(F.col("k") % 5 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("e"),
+    )
+    wchk = W.partitionBy("k").orderBy("s", "rn")
+    checked = perturbed.select(
+        "k",
+        F.when(F.col("s") < F.lag("e").over(wchk), 1)
+        .otherwise(0)
+        .alias("is_overlap"),
+        F.when(F.col("s") > F.lag("e").over(wchk), 1)
+        .otherwise(0)
+        .alias("is_gap"),
+    )
+    return checked.agg(
+        F.countDistinct("k").cast("long").alias("n_keys"),
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("is_overlap").cast("long").alias("n_overlaps"),
+        F.sum("is_gap").cast("long").alias("n_gaps"),
+        F.countDistinct(F.when(F.col("is_overlap") == 1, F.col("k")))
+        .cast("long")
+        .alias("keys_with_overlap"),
+        F.countDistinct(F.when(F.col("is_gap") == 1, F.col("k")))
+        .cast("long")
+        .alias("keys_with_gap"),
+    )
+
+
+def _q208_oracle() -> str:
+    split_sql = split_col_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH pairs AS ({_lsh_verified_oracle()}),
+    lbl AS (SELECT doc_id, {split_sql} AS split FROM documents),
+    marked AS (
+      SELECT p.id_a, p.id_b,
+             LEAST(la.split, lb.split) AS split_lo,
+             GREATEST(la.split, lb.split) AS split_hi
+      FROM pairs p
+      JOIN lbl la ON la.doc_id = p.id_a
+      JOIN lbl lb ON lb.doc_id = p.id_b
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM marked)
+    SELECT m.split_lo, m.split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN m.split_lo <> m.split_hi THEN 1 ELSE 0 END
+                AS BIGINT) AS is_leak,
+           CAST(COUNT(*) * 10000 // t.n_total AS BIGINT) AS share_bp
+    FROM marked m, tot t
+    GROUP BY m.split_lo, m.split_hi, t.n_total
+    """
+
+
+@query("q208_split_leakage", _q208_oracle())
+def q208_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit — the eval-integrity
+    number a training pipeline must publish: a hash split (q95) is
+    only row-disjoint, so near-duplicate PAIRS straddling train/val
+    leak evaluation signal even when exact-dup-safe grouping (q179)
+    holds. Composes the production near-dup path (q66: MinHash-LSH
+    candidates + exact-Jaccard verify, sub-quadratic) with the
+    no-shuffle deterministic split column, joins each pair's two split
+    labels, and reports pair counts per (lo, hi) split combination
+    with an is_leak flag and basis-point shares — off-diagonal mass is
+    exactly what q179-style group-aware splitting would move. Both
+    label joins shuffle only (id, 5-char label); the pair table is
+    near-dup-sparse by construction."""
+    from .operators.split import split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_near_dups(docs).select("id_a", "id_b")
+    lbl = docs.select(
+        "doc_id",
+        split_col(F.col("doc_id").cast("string")).alias("split"),
+    )
+    marked = (
+        pairs.join(
+            lbl.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            lbl.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    tot = marked.agg(F.count("*").alias("n_total"))
+    return (
+        marked.groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            F.expr(
+                "CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is_leak"),
+            F.expr("CAST(n_pairs * 10000 div n_total AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -9912,6 +10101,11 @@ def q206_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q208_split_leakage",
+    "q207_temporal_integrity",
+    # (q166/q167 rotated to the r5 head when q207/q208 landed: both
+    # exact-value green locally at sf0.001 AND sf0.01; their dedup
+    # reporting inputs re-attest via in-window q186/q188.)
     "q206_lag_xcorr",
     "q205_apportionment",
     # (q150/q133 rotated to the r5 head when q205/q206 landed: both
@@ -9967,8 +10161,6 @@ _ATTESTATION_PRIORITY = [
     "q171_minhash_accuracy",
     "q169_label_propagation",
     "q168_ivf_pq_trained",
-    "q166_dedup_weights",
-    "q167_cluster_size_histogram",
     "q39_lsh_bucket_stats",
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when
     # q183/q184 landed, q163 when q185 landed — all exact-value green

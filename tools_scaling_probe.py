@@ -130,6 +130,8 @@ PROBES = [
     "q204_curriculum_schedule",
     "q205_apportionment",
     "q206_lag_xcorr",
+    "q207_temporal_integrity",
+    "q208_split_leakage",
 ]
 
 KEY_SHIFTS = {
