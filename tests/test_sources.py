@@ -119,3 +119,33 @@ def test_neo4j_sink_gated(spark, docs):
     nodes, edges = build_document_graph(docs, classified)
     with pytest.raises(NotImplementedError):
         write_graph_neo4j(nodes, edges, "bolt://localhost:7687", "neo4j", "pw")
+
+
+def test_python_datasource_matches_native_xml_scan(spark, tmp_path):
+    """The Spark-4 Python DataSource connector (sources/py_datasource
+    .py: one InputPartition per file, executor-side document splitting,
+    JVM-side from_xml field extraction) yields row-for-row the same
+    documents as the native splittable XML scan — the custom-connector
+    escape hatch is semantics-preserving."""
+    from oculus_data_pipeline_spark.sources.py_datasource import (
+        read_documents_xml_pyds,
+    )
+
+    d = tmp_path / "xml_pyds"
+    d.mkdir()
+    (d / "corpus.xml").write_text(XML)
+    native = [
+        r.asDict(recursive=True)
+        for r in read_documents_xml(spark, str(d)).orderBy("doc_id").collect()
+    ]
+    custom = [
+        r.asDict(recursive=True)
+        for r in read_documents_xml_pyds(spark, str(d))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert native == custom and len(native) == 2
+    # split planning: one partition per input file
+    assert (
+        read_documents_xml_pyds(spark, str(d)).rdd.getNumPartitions() == 1
+    )
