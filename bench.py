@@ -143,6 +143,7 @@ HEADLINE = [
     "q206_lag_xcorr",
     "q207_temporal_integrity",
     "q208_split_leakage",
+    "q209_kmv_set_ops",
 ]
 
 

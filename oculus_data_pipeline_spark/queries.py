@@ -10103,6 +10103,220 @@ def q208_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q209_oracle(k: int = 256) -> str:
+    h = md5_int_sql("tok")
+    return f"""
+    WITH tk AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    tok AS (
+      SELECT DISTINCT source,
+             UNNEST(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS tok
+      FROM tk
+    ),
+    hashed AS (SELECT DISTINCT source, {h} AS hv FROM tok),
+    sk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY hv) AS rn
+        FROM hashed
+      ) WHERE rn <= {k}
+    ),
+    prs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM hashed) a
+      JOIN (SELECT DISTINCT source FROM hashed) b ON a.source < b.source
+    ),
+    merged AS (
+      SELECT p.source_a, p.source_b, s.hv,
+             CAST(MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END)
+               AS INT) AS in_a,
+             CAST(MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END)
+               AS INT) AS in_b
+      FROM prs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY p.source_a, p.source_b, s.hv
+    ),
+    kmin AS (
+      SELECT source_a, source_b, hv, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                ORDER BY hv) AS rn
+      FROM merged
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             CAST(SUM(CASE WHEN rn <= {k} AND in_a = 1 AND in_b = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS k_common,
+             CAST(MAX(CASE WHEN rn = {k} THEN hv END) AS BIGINT) AS h_k
+      FROM kmin GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.source_a, p.source_b,
+             CAST(COUNT(DISTINCT h.hv) AS BIGINT) AS exact_union,
+             CAST(SUM(CASE WHEN h2.hv IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS exact_inter
+      FROM prs p
+      JOIN (SELECT DISTINCT source, hv FROM hashed) h
+        ON h.source IN (p.source_a, p.source_b)
+      LEFT JOIN hashed h2
+        ON h2.source = CASE WHEN h.source = p.source_a
+                            THEN p.source_b ELSE p.source_a END
+       AND h2.hv = h.hv AND h.source = p.source_a
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, x.exact_union, x.exact_inter,
+           CAST(CASE WHEN s.h_k IS NOT NULL AND s.h_k > 0
+                THEN ({k} - 1) * CAST(281474976710656 AS BIGINT) // s.h_k
+                ELSE x.exact_union END AS BIGINT) AS est_union,
+           s.k_common
+    FROM est s
+    JOIN exact x ON x.source_a = s.source_a AND x.source_b = s.source_b
+    JOIN est e ON e.source_a = s.source_a AND e.source_b = s.source_b
+    """
+
+
+@query("q209_kmv_set_ops", _q209_oracle())
+def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-sketch family) set-operation
+    estimates between per-source BIGRAM vocabularies (the unigram
+    vocab of the synthetic corpus is smaller than k, which would leave
+    the estimator branch dead — bigrams exceed k so the h_k formula is
+    exercised for real), attested against
+    the exact answers — the sketch that, unlike HLL (q46/q134), gives
+    INTERSECTION estimates and merges by simply keeping the k smallest
+    of a union: est_union = (k−1)·2⁴⁸ div h_k off the k-th smallest
+    48-bit md5 value, intersections from common members of the merged
+    k-min set. Everything is integer arithmetic over deterministic
+    md5 values, so both engines agree bit-for-bit — a sketch family
+    with an EXACT oracle. Scale shape: per-source sketches are
+    k-bounded (256 rows each) regardless of corpus size, built by one
+    distinct + one per-source rank window; pair merging touches only
+    sketch rows (sources × k), never the corpus. The exact columns
+    exist for attestation only — production ships the sketches."""
+    k = 256
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    hashed = tok.select(
+        "source", md5_int(F.col("tok")).alias("hv")
+    ).distinct()
+    wsrc = W.partitionBy("source").orderBy("hv")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") <= k)
+        .select("source", "hv")
+    )
+    srcs = hashed.select("source").distinct()
+    prs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    merged = (
+        prs.join(
+            F.broadcast(sk).alias("s"),
+            (F.col("s.source") == F.col("source_a"))
+            | (F.col("s.source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(
+                (F.col("s.source") == F.col("source_a")).cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("s.source") == F.col("source_b")).cast("int")
+            ).alias("in_b"),
+        )
+    )
+    wpair = W.partitionBy("source_a", "source_b").orderBy("hv")
+    kmin = merged.withColumn("rn", F.row_number().over(wpair))
+    est = kmin.groupBy("source_a", "source_b").agg(
+        F.sum(
+            (
+                (F.col("rn") <= k)
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("k_common"),
+        F.max(F.when(F.col("rn") == k, F.col("hv")))
+        .cast("long")
+        .alias("h_k"),
+    )
+    ha = hashed.select(F.col("source").alias("source_a"), "hv")
+    hb = hashed.select(F.col("source").alias("source_b"), "hv")
+    exact = (
+        prs.join(ha, "source_a")
+        .join(
+            hb.withColumnRenamed("hv", "hvb"),
+            "source_b",
+        )
+        .where(F.col("hv") == F.col("hvb"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    sizes = hashed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    exact_union = (
+        prs.join(
+            sizes.select(
+                F.col("source").alias("source_a"),
+                F.col("n_distinct").alias("na"),
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"),
+                F.col("n_distinct").alias("nb"),
+            ),
+            "source_b",
+        )
+        .join(exact, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("na") + F.col("nb") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
+            "exact_inter",
+        )
+    )
+    return est.join(exact_union, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "exact_union",
+        "exact_inter",
+        F.expr(
+            f"CAST(CASE WHEN h_k IS NOT NULL AND h_k > 0"
+            f" THEN ({k} - 1) * CAST(281474976710656 AS BIGINT) div h_k"
+            f" ELSE exact_union END AS BIGINT)"
+        ).alias("est_union"),
+        "k_common",
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -10115,6 +10329,11 @@ def q208_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q209_kmv_set_ops",
+    # (q39 rotated to the r5 head when q209 landed: exact-value green
+    # locally at sf0.001 AND sf0.01, and its bucket-occupancy subject
+    # — lsh_bucket_expr — is exercised in-window by q202's bucketed
+    # k-NN self-join.)
     "q208_split_leakage",
     "q207_temporal_integrity",
     # (q166/q167 rotated to the r5 head when q207/q208 landed: both
@@ -10175,7 +10394,6 @@ _ATTESTATION_PRIORITY = [
     "q171_minhash_accuracy",
     "q169_label_propagation",
     "q168_ivf_pq_trained",
-    "q39_lsh_bucket_stats",
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when
     # q183/q184 landed, q163 when q185 landed — all exact-value green
     # locally at both SFs.)

@@ -132,6 +132,7 @@ PROBES = [
     "q206_lag_xcorr",
     "q207_temporal_integrity",
     "q208_split_leakage",
+    "q209_kmv_set_ops",
 ]
 
 KEY_SHIFTS = {
