@@ -144,6 +144,7 @@ HEADLINE = [
     "q207_temporal_integrity",
     "q208_split_leakage",
     "q209_kmv_set_ops",
+    "q210_drop_waterfall",
 ]
 
 

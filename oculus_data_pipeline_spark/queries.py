@@ -10317,6 +10317,141 @@ def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q210_oracle() -> str:
+    return f"""
+    WITH lang AS (SELECT id, pred_lang FROM ({_lang_id_oracle()})),
+    qual AS (SELECT id, quality_score FROM ({_quality_oracle()})),
+    groups AS (
+      SELECT md5({normalize_term_oracle_sql('text')}) AS h,
+             MIN(doc_id) AS canonical
+      FROM documents GROUP BY 1
+    ),
+    dropnc AS (
+      SELECT id FROM ({_canonical_docs_oracle()}) WHERE NOT is_canonical
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END AS f_qual,
+             CASE WHEN g.canonical IS NOT NULL THEN 1 ELSE 0 END AS f_canon,
+             CASE WHEN nc.id IS NULL THEN 1 ELSE 0 END AS f_near
+      FROM documents d
+      JOIN lang l ON l.id = d.doc_id
+      JOIN qual q ON q.id = d.doc_id
+      LEFT JOIN groups g ON g.canonical = d.doc_id
+      LEFT JOIN dropnc nc ON nc.id = d.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(f_lang) AS BIGINT) AS n1,
+             CAST(SUM(f_lang * f_qual) AS BIGINT) AS n2,
+             CAST(SUM(f_lang * f_qual * f_canon) AS BIGINT) AS n3,
+             CAST(SUM(f_lang * f_qual * f_canon * f_near) AS BIGINT) AS n4
+      FROM flags
+    ),
+    stages AS (
+      SELECT CAST(1 AS BIGINT) AS stage, 'lang_en' AS stage_name,
+             n0 AS n_in, n1 AS n_out FROM agg
+      UNION ALL SELECT 2, 'quality_ge_05', n1, n2 FROM agg
+      UNION ALL SELECT 3, 'exact_dup_canonical', n2, n3 FROM agg
+      UNION ALL SELECT 4, 'near_dup_survivor', n3, n4 FROM agg
+    )
+    SELECT s.stage, s.stage_name, s.n_in, s.n_out,
+           CAST(s.n_in - s.n_out AS BIGINT) AS n_dropped,
+           CAST((s.n_in - s.n_out) * 10000 // GREATEST(s.n_in, 1)
+             AS BIGINT) AS drop_bp,
+           CAST(s.n_out * 10000 // a.n0 AS BIGINT) AS cum_kept_bp
+    FROM stages s, agg a
+    """
+
+
+@query("q210_drop_waterfall", _q210_oracle())
+def q210_drop_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation drop-waterfall — the observability report every
+    production data pipeline publishes next to its output: per filter
+    stage of the q120 corpus-prep composition (language → quality →
+    exact-dup canonical → near-dup survivor), how many docs entered,
+    how many dropped, the stage drop rate, and the cumulative survivor
+    share of the whole corpus in bp. One scan computes all stage flags
+    (lang and quality inline; the two dedup verdicts arrive as
+    LEFT-join markers), ONE single-row aggregation holds the whole
+    funnel, and `stack` unpivots it to four stage rows — so the
+    waterfall costs one pass over the corpus plus the dedup joins the
+    pipeline was running anyway, and changing a threshold shows up as
+    a diff in this table before anyone trains on the result."""
+    from .operators.curation import canonical_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = (
+        docs.select(
+            "doc_id",
+            (textstats.pred_lang_col("text") == "en")
+            .cast("int")
+            .alias("f_lang"),
+            (textstats.quality_score_col("text") >= 0.5)
+            .cast("int")
+            .alias("f_qual"),
+        )
+        .join(
+            dedup.exact_dedup(docs)
+            .select(F.col("canonical_id").alias("doc_id"))
+            .withColumn("mk_canon", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            canonical_docs(docs)
+            .where(~F.col("is_canonical"))
+            .select(F.col("id").alias("doc_id"))
+            .withColumn("mk_nc", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "f_lang",
+            "f_qual",
+            F.coalesce("mk_canon", F.lit(0)).alias("f_canon"),
+            (F.coalesce("mk_nc", F.lit(0)) == 0).cast("int").alias("f_near"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("f_lang").cast("long").alias("n1"),
+        F.sum(F.col("f_lang") * F.col("f_qual")).cast("long").alias("n2"),
+        F.sum(F.col("f_lang") * F.col("f_qual") * F.col("f_canon"))
+        .cast("long")
+        .alias("n3"),
+        F.sum(
+            F.col("f_lang")
+            * F.col("f_qual")
+            * F.col("f_canon")
+            * F.col("f_near")
+        )
+        .cast("long")
+        .alias("n4"),
+    )
+    stages = agg.selectExpr(
+        "n0",
+        "stack(4,"
+        " CAST(1 AS BIGINT), 'lang_en', n0, n1,"
+        " CAST(2 AS BIGINT), 'quality_ge_05', n1, n2,"
+        " CAST(3 AS BIGINT), 'exact_dup_canonical', n2, n3,"
+        " CAST(4 AS BIGINT), 'near_dup_survivor', n3, n4"
+        ") AS (stage, stage_name, n_in, n_out)",
+    )
+    return stages.select(
+        "stage",
+        "stage_name",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+        F.expr(
+            "CAST((n_in - n_out) * 10000 div GREATEST(n_in, 1) AS BIGINT)"
+        ).alias("drop_bp"),
+        F.expr("CAST(n_out * 10000 div n0 AS BIGINT)").alias("cum_kept_bp"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -10329,7 +10464,12 @@ def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q210_drop_waterfall",
     "q209_kmv_set_ops",
+    # (q171 rotated to the r5 head when q210 landed: exact-value green
+    # locally at both SFs; its MinHash signature path is q32's
+    # (driver rows r1/r2) and the verified-pair set it scores
+    # re-attests in-window through q208's composition of q66.)
     # (q39 rotated to the r5 head when q209 landed: exact-value green
     # locally at sf0.001 AND sf0.01, and its bucket-occupancy subject
     # — lsh_bucket_expr — is exercised in-window by q202's bucketed
@@ -10391,7 +10531,6 @@ _ATTESTATION_PRIORITY = [
     "q174_expectations_report",
     "q172_weighted_median",
     "q170_markov_transitions",
-    "q171_minhash_accuracy",
     "q169_label_propagation",
     "q168_ivf_pq_trained",
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when

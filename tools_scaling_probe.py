@@ -133,6 +133,7 @@ PROBES = [
     "q207_temporal_integrity",
     "q208_split_leakage",
     "q209_kmv_set_ops",
+    "q210_drop_waterfall",
 ]
 
 KEY_SHIFTS = {
