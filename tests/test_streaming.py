@@ -502,3 +502,94 @@ def test_streaming_debounce_carries_state_across_batches(spark, sf_dir, tmp_path
         for r in get_queries()["q173_event_debounce"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_kmv_sketch_merge_equals_batch(spark, tmp_path):
+    """KMV mergeability under streaming (the property that makes q209
+    shippable as a sketch): each micro-batch's per-source k-minimum
+    hash set unions into the persisted sketch and is re-truncated to
+    the k smallest — a semilattice fold — and after all batches the
+    accumulated sketch is EXACTLY the one-shot batch sketch over the
+    full corpus. No history rescan, state bounded at sources×k rows."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.functions.hashing import md5_int
+
+    K = 16
+    schema = "doc_id long, text string, source string"
+    rows1 = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i%7}", f"s{i % 3}") for i in range(30)]
+    rows2 = [(i, f"tok{i%11} tok{i+3} tok{i} tok{i%5}", f"s{i % 3}") for i in range(30, 70)]
+
+    def sketch(df):
+        tok = (
+            df.select("source", F.split("text", " ").alias("toks"))
+            .where(F.size("toks") >= 2)
+            .select(
+                "source",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 2),"
+                        " i -> concat(toks[i], ' ', toks[i + 1]))"
+                    )
+                ).alias("tok"),
+            )
+            .distinct()
+            .select("source", md5_int(F.col("tok")).alias("hv"))
+            .distinct()
+        )
+        w = W.partitionBy("source").orderBy("hv")
+        return (
+            tok.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= K)
+            .select("source", "hv")
+        )
+
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    expected = {(r.source, r.hv) for r in sketch(whole).collect()}
+
+    src_dir = tmp_path / "docs"
+    state_dir = str(tmp_path / "kmv_state")
+    src_dir.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src_dir / "b1.parquet")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src_dir / "b2.parquet")
+    )
+
+    def fold_batch(batch, epoch_id):
+        if not batch.head(1):
+            return
+        part = sketch(batch)
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            w = W.partitionBy("source").orderBy("hv")
+            merged = (
+                state.unionByName(part)
+                .distinct()
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= K)
+                .select("source", "hv")
+                .collect()
+            )
+            spark.createDataFrame(merged, part.schema).write.mode(
+                "overwrite"
+            ).parquet(state_dir)
+        else:
+            part.write.parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.source, r.hv) for r in spark.read.parquet(state_dir).collect()}
+    assert got == expected
