@@ -134,6 +134,8 @@ PROBES = [
     "q208_split_leakage",
     "q209_kmv_set_ops",
     "q210_drop_waterfall",
+    "q211_bfs_distances",
+    "q212_zone_map_report",
 ]
 
 KEY_SHIFTS = {
