@@ -147,6 +147,9 @@ HEADLINE = [
     "q210_drop_waterfall",
     "q211_bfs_distances",
     "q212_zone_map_report",
+    "q213_gdpr_impact",
+    "q214_benford_audit",
+    "q215_kcore_peel",
 ]
 
 
