@@ -190,3 +190,54 @@ def test_oov_rate_vocab_joins_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_code_is_computed_scan_side(spark, sf_dir):
+    """q195's Morton code must be a pure projection fused over the
+    scan + one broadcast: the only hash exchanges in the plan belong
+    to the final file_id aggregation, never to row-level code
+    construction (no shuffle carries the raw orders payload)."""
+    from oculus_data_pipeline_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["q195_zorder_layout"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the min/max scalar row
+    # no shuffle may carry the raw orders payload: every hash
+    # exchange partitions either the 16-bit code/file key or the
+    # scalar aggregate, never o_custkey/o_orderdate columns
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_custkey" not in line and "o_orderdate" not in line, line
+
+
+def test_segment_dedup_shuffles_hashes_not_arrays(spark, sf_dir):
+    """q200 builds 8-token segments scan-side; nothing array-typed may
+    cross an exchange — shuffles carry only (doc_id, md5) pairs."""
+    from oculus_data_pipeline_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["q200_segment_dedup"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "toks" not in line, line
+
+
+def test_interval_coverage_windows_are_keyed(spark, sf_dir):
+    """q198's sweep line must never fall back to a global window —
+    every Window operator in the plan is partitioned by user_id."""
+    from oculus_data_pipeline_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["q198_interval_coverage"](spark, sf_dir))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Window [" in line or "RunningWindowFunction" in line:
+            assert "user_id" in line, line
+
+
+def test_apportionment_rank_is_broadcast_theta_not_window(spark, sf_dir):
+    """q205 ranks remainders by a broadcast theta self-join on the
+    per-source dimension table — no Window operator at all."""
+    from oculus_data_pipeline_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["q205_apportionment"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
