@@ -718,3 +718,84 @@ def test_interval_coverage_never_exceeds_span(spark, sf_dir):
     for r in rows:
         assert 0 < r["covered_s"] <= r["last_end_s"] - r["first_start_s"]
         assert r["n_islands"] >= 1
+
+
+def test_morton_interleave_is_bijective(spark):
+    """q195's generated Z-order expression is a true bijection on
+    16-bit inputs: all 2^16 (x, y) pairs map to 2^16 distinct codes,
+    and the inverse (odd/even bit extraction) recovers both inputs."""
+    from oculus_data_pipeline_spark.queries import _morton_expr
+
+    pairs = spark.range(0, 1 << 16).select(
+        (F.col("id") % 256).alias("cust_b"),
+        (F.col("id") / 256).cast("long").alias("day_b"),
+    )
+    z = pairs.select(
+        "cust_b",
+        "day_b",
+        F.expr(_morton_expr("cust_b", "day_b", 8, spark=True)).alias("z"),
+    )
+    inv_x = " + ".join(
+        f"shiftleft((shiftright(z, {2 * i + 1}) & 1), {i})" for i in range(8)
+    )
+    inv_y = " + ".join(
+        f"shiftleft((shiftright(z, {2 * i}) & 1), {i})" for i in range(8)
+    )
+    chk = z.select(
+        F.count("*").alias("n"),
+        F.countDistinct("z").alias("nz"),
+        F.sum(
+            (
+                (F.expr(inv_x) == F.col("cust_b"))
+                & (F.expr(inv_y) == F.col("day_b"))
+            ).cast("long")
+        ).alias("ok"),
+    ).collect()[0]
+    assert chk.n == chk.nz == chk.ok == 1 << 16
+
+
+def test_interval_union_matches_per_second_bruteforce(spark):
+    """q198's sweep-line island coverage equals the brute-force
+    second-by-second union on a small adversarial fixture (touching,
+    nested, identical, and disjoint intervals)."""
+    rows = [
+        (1, 0, 10), (1, 5, 7), (1, 10, 12), (1, 20, 25), (1, 20, 25),
+        (2, 0, 3), (2, 100, 101), (2, 50, 60), (2, 55, 80),
+    ]
+    iv = spark.createDataFrame(rows, "user_id long, s long, e long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(-(2**63)),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    got = {
+        r.user_id: r.covered
+        for r in islands.groupBy("user_id", "island")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("b") - F.col("a")).alias("covered"))
+        .collect()
+    }
+    brute = {
+        r.user_id: r.covered
+        for r in iv.select(
+            "user_id", F.explode(F.sequence("s", F.col("e") - 1)).alias("t")
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("covered"))
+        .collect()
+    }
+    assert got == brute
