@@ -152,3 +152,108 @@ def debounce_stream(events: DataFrame, gap_s: int = 3600) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval-union coverage — the stateful twin of batch q198
+# ---------------------------------------------------------------------------
+
+COVERAGE_STATE_SCHEMA = StructType(
+    [
+        StructField("open_start", LongType()),
+        StructField("open_end", LongType()),
+        StructField("closed_islands", LongType()),
+        StructField("closed_covered", LongType()),
+        StructField("first_start", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+COVERAGE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_islands", LongType()),
+        StructField("covered_s", LongType()),
+        StructField("first_start_s", LongType()),
+        StructField("last_end_s", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _fold_coverage(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        o_s, o_e, n_cl, cov, first, seen = state.get
+    else:
+        o_s, o_e, n_cl, cov, first, seen = None, None, 0, 0, None, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["s", "e"])
+        seen += len(pdf)
+        for s, e in zip(pdf["s"].astype("int64"), pdf["e"].astype("int64")):
+            s, e = int(s), int(e)
+            if first is None:
+                first = s
+            if o_s is None:
+                o_s, o_e = s, e
+            elif s > o_e:
+                n_cl += 1
+                cov += o_e - o_s
+                o_s, o_e = s, e
+            else:
+                o_e = max(o_e, e)
+    state.update((o_s, o_e, n_cl, cov, first, seen))
+    total_cov = cov + ((o_e - o_s) if o_s is not None else 0)
+    total_islands = n_cl + (1 if o_s is not None else 0)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_islands": total_islands,
+                "covered_s": total_cov,
+                "first_start_s": first,
+                "last_end_s": o_e,
+                "n_seen": seen,
+            }
+        ]
+    )
+
+
+def interval_coverage_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact union-of-intervals coverage per user — the
+    stateful twin of batch q198 (same leases: 60 + 30·k seconds from
+    the event's JSON props). State per key is SIX longs — the open
+    island plus closed-island totals — bounded regardless of stream
+    length, which is what lets it run forever at 100 TB/day where the
+    batch sweep line would re-sort history every run. Each micro-batch
+    folds its (sorted) intervals into the open island exactly as the
+    batch window pass does; like debounce_stream, exact batch parity
+    holds for event-time-ordered replay (out-of-order arrival needs a
+    watermark buffer in front — documented limitation, not silent).
+    Emits the cumulative per-user coverage row each batch; `n_seen`
+    is the monotone emission version, so the latest row per key is
+    max(n_seen)."""
+    import pyspark.sql.functions as F
+
+    iv = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long")
+            + 60
+            + F.get_json_object("props", "$.k").cast("long") * 30
+        ).alias("e"),
+    )
+    return iv.groupBy("user_id").applyInPandasWithState(
+        _fold_coverage,
+        outputStructType=COVERAGE_OUTPUT_SCHEMA,
+        stateStructType=COVERAGE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -593,3 +593,105 @@ def test_streaming_kmv_sketch_merge_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.source, r.hv) for r in spark.read.parquet(state_dir).collect()}
     assert got == expected
+
+
+def test_streaming_interval_coverage_equals_batch(spark, sf_dir):
+    """The stateful streaming interval-union coverage must converge to
+    exactly the batch q198 report (same leases) when the events table
+    is replayed as a stream: latest emission per key (max n_seen) ==
+    batch row, for every user."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.queries import get_queries
+    from oculus_data_pipeline_spark.streaming.stateful import (
+        interval_coverage_stream,
+    )
+
+    out = interval_coverage_stream(
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cov_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = spark.sql(
+        """
+        SELECT user_id, n_islands, covered_s, first_start_s, last_end_s
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY n_seen DESC) AS r
+          FROM cov_out
+        ) WHERE r = 1
+        """
+    )
+    got = {r.user_id: tuple(r)[1:] for r in latest.collect()}
+    batch = get_queries()["q198_interval_coverage"](spark, sf_dir)
+    want = {
+        r.user_id: (r.n_islands, r.covered_s, r.first_start_s, r.last_end_s)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_interval_coverage_state_across_batches(spark, sf_dir, tmp_path):
+    """Replay the events table as TWO time-ordered files and assert
+    the streaming coverage still converges to the batch q198 report —
+    open islands straddling the batch boundary must merge through the
+    carried state, not reset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.queries import get_queries
+    from oculus_data_pipeline_spark.streaming.ingest import read_events_stream
+    from oculus_data_pipeline_spark.streaming.stateful import (
+        interval_coverage_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "timestamp_micros(CAST(percentile_disc(0.5)"
+            " WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    landing = tmp_path / "cov_batches"
+    landing.mkdir()
+    for i, part in enumerate(
+        (ev.where(F.col("ts") < F.lit(cut)), ev.where(F.col("ts") >= F.lit(cut)))
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part.toPandas()),
+            str(landing / f"batch_{i}.parquet"),
+        )
+    out = interval_coverage_stream(
+        read_events_stream(spark, str(landing / "batch_*.parquet"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cov_two_batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = spark.sql(
+        """
+        SELECT user_id, n_islands, covered_s, first_start_s, last_end_s
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY n_seen DESC) AS r
+          FROM cov_two_batches
+        ) WHERE r = 1
+        """
+    )
+    got = {r.user_id: tuple(r)[1:] for r in latest.collect()}
+    want = {
+        r.user_id: (r.n_islands, r.covered_s, r.first_start_s, r.last_end_s)
+        for r in get_queries()["q198_interval_coverage"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
