@@ -8651,9 +8651,13 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.lsh_verified_near_dups(docs)
         .select("id_a", "id_b", "jaccard")
         # bounded batch: TakeOrdered, not a global window — the
-        # manifest covers one training batch of anchors per pass
+        # manifest covers one training batch of anchors per pass.
+        # Lazy localCheckpoint: the expensive LSH+verify+TakeOrdered
+        # subtree feeds BOTH the anchor build and the final join —
+        # without it the whole candidate pipeline runs twice.
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(100)
+        .localCheckpoint(eager=False)
     )
     e = _as_double(emb.select("vec_id", "label", "embedding"), "embedding")
     anch = (
@@ -8773,25 +8777,59 @@ def _morton_expr(x: str, y: str, bits: int, *, spark: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _q195_oracle() -> str:
-    morton = _morton_expr("cust_b", "day_b", 8, spark=False)
-    return f"""
-    WITH rng AS (
+def _order_bucket_cte() -> str:
+    """Shared ``rng`` + ``b`` CTE text: 8-bit range bucketization of
+    orders' (custkey, epoch-day). q195 builds the z-order layout off
+    it and q212 replays predicates against the same cells — ONE
+    definition so the two views of the layout cannot drift (review
+    finding: they were hand-duplicated)."""
+    return """rng AS (
       SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
-             MIN(CAST(date_part('epoch', o_orderdate) AS BIGINT) // 86400)
+             MIN(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
                AS day_min,
-             MAX(CAST(date_part('epoch', o_orderdate) AS BIGINT) // 86400)
+             MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
                AS day_max
       FROM orders
     ),
     b AS (
-      SELECT CAST((o_custkey - ck_min) * 256
+      SELECT o_orderkey,
+             CAST((o_custkey - ck_min) * 256
                   // (ck_max - ck_min + 1) AS BIGINT) AS cust_b,
-             CAST((CAST(date_part('epoch', o_orderdate) AS BIGINT) // 86400
+             CAST((CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
                    - day_min) * 256
                   // (day_max - day_min + 1) AS BIGINT) AS day_b
       FROM orders, rng
-    ),
+    )"""
+
+
+def _order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_order_bucket_cte`: one scan + one
+    broadcast min/max scalar -> (o_orderkey, cust_b, day_b)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(o_orderdate AS LONG) div 86400")
+    rng = o.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min(day).alias("day_min"),
+        F.max(day).alias("day_max"),
+    )
+    return o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        F.expr(
+            "CAST((o_custkey - ck_min) * 256"
+            " div (ck_max - ck_min + 1) AS BIGINT)"
+        ).alias("cust_b"),
+        F.expr(
+            "CAST((CAST(o_orderdate AS LONG) div 86400 - day_min) * 256"
+            " div (day_max - day_min + 1) AS BIGINT)"
+        ).alias("day_b"),
+    )
+
+
+def _q195_oracle() -> str:
+    morton = _morton_expr("cust_b", "day_b", 8, spark=False)
+    return f"""
+    WITH {_order_bucket_cte()},
     coded AS (SELECT {morton} AS z, cust_b, day_b FROM b)
     SELECT z // 256 AS file_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -8821,31 +8859,7 @@ def q195_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one groupBy — shuffle carries 16-bit codes, never the payload.
     Epoch-day floors keep both engines' date math identical
     (cross-engine rule: never diff raw timestamps)."""
-    o = load_table(spark, sf_dir, "orders")
-    day = F.expr("CAST(o_orderdate AS LONG) div 86400")
-    rng = o.agg(
-        F.min("o_custkey").alias("ck_min"),
-        F.max("o_custkey").alias("ck_max"),
-        F.min(day).alias("day_min"),
-        F.max(day).alias("day_max"),
-    )
-    b = (
-        o.crossJoin(F.broadcast(rng))
-        .select(
-            F.expr(
-                "CAST((o_custkey - ck_min) * 256"
-                " div (ck_max - ck_min + 1) AS BIGINT)"
-            ).alias("cust_b"),
-            (
-                (day - F.col("day_min")) * 256
-            ).cast("long").alias("_day_rel256"),
-            (F.col("day_max") - F.col("day_min") + 1).alias("_day_span"),
-        )
-        .select(
-            "cust_b",
-            F.expr("_day_rel256 div _day_span").alias("day_b"),
-        )
-    )
+    b = _order_buckets(spark, sf_dir)
     coded = b.select(
         F.expr(_morton_expr("cust_b", "day_b", 8, spark=True)).alias("z"),
         "cust_b",
@@ -10265,15 +10279,23 @@ def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ha = hashed.select(F.col("source").alias("source_a"), "hv")
     hb = hashed.select(F.col("source").alias("source_b"), "hv")
+    # LEFT joins + conditional count so a pair of sources with
+    # DISJOINT vocabularies still emits a row with exact_inter = 0 —
+    # the oracle always emits every pair, and an inner join here would
+    # drop such pairs and break row-count parity on a corpus that has
+    # them (review finding; the synthetic fixture never triggers it)
     exact = (
-        prs.join(ha, "source_a")
+        prs.join(ha, "source_a", "left")
         .join(
-            hb.withColumnRenamed("hv", "hvb"),
-            "source_b",
+            hb.withColumnRenamed("hv", "hvb").withColumnRenamed(
+                "source_b", "sb2"
+            ),
+            (F.col("sb2") == F.col("source_b"))
+            & (F.col("hvb") == F.col("hv")),
+            "left",
         )
-        .where(F.col("hv") == F.col("hvb"))
         .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("long").alias("exact_inter"))
+        .agg(F.count("hvb").cast("long").alias("exact_inter"))
     )
     sizes = hashed.groupBy("source").agg(
         F.count("*").cast("long").alias("n_distinct")
@@ -10452,6 +10474,31 @@ def q210_drop_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_edges(e: DataFrame) -> DataFrame:
+    """Symmetrize an oriented (name_a < name_b) edge list by exploding
+    both orientations — never a self-union, which would re-evaluate
+    the upstream pair plan twice — and lazily checkpoint the result
+    so iterative consumers (BFS rounds, peel rounds) don't rebuild
+    the levenshtein join every round. Shared by q211 and q215 so the
+    two views of the similarity graph can never drift apart."""
+    return (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("name_a").alias("a"), F.col("name_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("name_b").alias("a"), F.col("name_a").alias("b")
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
+        .localCheckpoint(eager=False)
+    )
+
+
 @query(
     "q211_bfs_distances",
     """
@@ -10496,19 +10543,7 @@ def q211_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = blocked_levenshtein_pairs(p, "p_name", max_dist=4).select(
         "name_a", "name_b"
     )
-    und = e.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("name_a").alias("a"), F.col("name_b").alias("b")
-                ),
-                F.struct(
-                    F.col("name_b").alias("a"), F.col("name_a").alias("b")
-                ),
-            )
-        ).alias("s")
-    ).select("s.a", "s.b")
-    und = und.localCheckpoint(eager=False)
+    und = _sym_edges(e)
     seeds = (
         p.select(F.col("p_name").alias("node"))
         .distinct()
@@ -10550,23 +10585,7 @@ def _q212_oracle() -> str:
         for (pid, cl, ch, dl, dh) in _Q212_PROBES
     )
     return f"""
-    WITH rng AS (
-      SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
-             MIN(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
-               AS day_min,
-             MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
-               AS day_max
-      FROM orders
-    ),
-    b AS (
-      SELECT o_orderkey,
-             CAST((o_custkey - ck_min) * 256
-                  // (ck_max - ck_min + 1) AS BIGINT) AS cust_b,
-             CAST((CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
-                   - day_min) * 256
-                  // (day_max - day_min + 1) AS BIGINT) AS day_b
-      FROM orders, rng
-    ),
+    WITH {_order_bucket_cte()},
     coded AS (
       SELECT cust_b, day_b,
              o_orderkey // 64 AS file_nat,
@@ -10620,25 +10639,7 @@ def q212_zone_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus pass builds both layouts' zone maps (two groupBys on
     integer file ids); the probe replay is a 6-row broadcast cross
     join over dimension-sized zone tables."""
-    o = load_table(spark, sf_dir, "orders")
-    day = F.expr("CAST(o_orderdate AS LONG) div 86400")
-    rng = o.agg(
-        F.min("o_custkey").alias("ck_min"),
-        F.max("o_custkey").alias("ck_max"),
-        F.min(day).alias("day_min"),
-        F.max(day).alias("day_max"),
-    )
-    b = o.crossJoin(F.broadcast(rng)).select(
-        "o_orderkey",
-        F.expr(
-            "CAST((o_custkey - ck_min) * 256"
-            " div (ck_max - ck_min + 1) AS BIGINT)"
-        ).alias("cust_b"),
-        F.expr(
-            "CAST((CAST(o_orderdate AS LONG) div 86400 - day_min) * 256"
-            " div (day_max - day_min + 1) AS BIGINT)"
-        ).alias("day_b"),
-    )
+    b = _order_buckets(spark, sf_dir)
     coded = b.select(
         "cust_b",
         "day_b",
@@ -10953,22 +10954,7 @@ def q215_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = blocked_levenshtein_pairs(p, "p_name", max_dist=4).select(
         "name_a", "name_b"
     )
-    und = (
-        e.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("name_a").alias("a"), F.col("name_b").alias("b")
-                    ),
-                    F.struct(
-                        F.col("name_b").alias("a"), F.col("name_a").alias("b")
-                    ),
-                )
-            ).alias("s")
-        )
-        .select("s.a", "s.b")
-        .localCheckpoint(eager=False)
-    )
+    und = _sym_edges(e)
     prev_nodes = und.select(F.col("a").alias("v")).distinct()
     edges = und
     rows = []
@@ -11001,13 +10987,15 @@ def q215_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
-# full hash-match, 2 rows-only by design). Round 4's window: the 5 new
-# round-4 queries, the 7 whose execution path changed this round, the
-# 2 rows-only entries next to their closed-form companions, then the
-# 36 queries whose only driver row is r1 — so no query's evidence goes
-# more than two rounds stale. Queries past the window keep their
-# prior driver rows and stay covered by tests/ (stricter exact-value
-# compare at sf0.001 AND sf0.01).
+# full hash-match, 2 rows-only by design). The window below is the
+# LATE-round-4 state after seven/eighth-wave additions: never-driver-
+# attested new queries lead (newest first, q215 down), then the
+# closed-form companions + video pair (q133–q137 block), then the 4
+# whose execution path changed in round 4 (q68/q45/q132/q109). Every
+# rotation out of the window is annotated inline with its
+# justification; rotated queries lead the r5 plan (README). Queries
+# past the window keep their prior driver rows and stay covered by
+# tests/ (stricter exact-value compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
     "q215_kcore_peel",

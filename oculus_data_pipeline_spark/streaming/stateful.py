@@ -191,10 +191,13 @@ def _fold_coverage(
         o_s, o_e, n_cl, cov, first, seen = state.get
     else:
         o_s, o_e, n_cl, cov, first, seen = None, None, 0, 0, None, 0
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["s", "e"])
+    # concatenate the WHOLE micro-batch for this key before sorting —
+    # sorting each Arrow chunk independently would fold later-chunk
+    # intervals with earlier start times out of order (same pattern as
+    # _debounce's pd.concat)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["s", "e"])
         seen += len(pdf)
         for s, e in zip(pdf["s"].astype("int64"), pdf["e"].astype("int64")):
             s, e = int(s), int(e)

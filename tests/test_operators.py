@@ -688,7 +688,9 @@ def test_apportionment_sums_exactly_to_budget(spark, sf_dir):
     assert rows
     assert sum(r["final_alloc"] for r in rows) == 100000
     assert all(r["extra"] in (0, 1) for r in rows)
-    got_extra = min(r["remainder"] for r in rows if r["extra"] == 1)
+    got_extra = min(
+        (r["remainder"] for r in rows if r["extra"] == 1), default=2**63
+    )
     no_extra = max((r["remainder"] for r in rows if r["extra"] == 0), default=-1)
     # ties broken by source name, so only assert the strict ordering
     assert got_extra >= no_extra
