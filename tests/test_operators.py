@@ -801,3 +801,28 @@ def test_interval_union_matches_per_second_bruteforce(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_kmv_emits_row_for_disjoint_sources(spark, monkeypatch):
+    """Regression (review finding): two sources with DISJOINT bigram
+    vocabularies must still produce a pair row with exact_inter = 0 —
+    the Spark side's intersection joins are LEFT joins precisely so
+    the oracle's always-emit semantics hold on such corpora."""
+    import oculus_data_pipeline_spark.queries as Q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd aa bb", "en", "srcA", 17),
+            (2, "ee ff gg hh ee ff", "en", "srcB", 17),
+            (3, "aa bb cc dd ee", "en", "srcC", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(Q, "load_table", lambda sp, sf, name: docs)
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in Q.QUERIES["q209_kmv_set_ops"](spark, "ignored").collect()
+    }
+    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    assert rows[("srcA", "srcB")].exact_inter == 0
+    assert rows[("srcA", "srcC")].exact_inter > 0
