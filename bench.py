@@ -150,6 +150,9 @@ HEADLINE = [
     "q213_gdpr_impact",
     "q214_benford_audit",
     "q215_kcore_peel",
+    "q216_rank_agreement",
+    "q217_lang_confusion",
+    "q218_seasonality_profile",
 ]
 
 

@@ -8366,10 +8366,11 @@ def q190_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q191_rrf_fusion",
-    f"""
-    WITH tok AS (
+def _hybrid_arms_cte() -> str:
+    """The lexical and semantic top-20 ranking CTEs shared by q191
+    (fusion) and q216 (agreement) — one definition so the two views
+    of the hybrid-retrieval arms cannot drift."""
+    return f"""tok AS (
       SELECT DISTINCT doc_id AS id,
              UNNEST(string_split({normalize_term_oracle_sql('text')}, ' ')) AS token
       FROM documents
@@ -8402,7 +8403,48 @@ def q190_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cos_sim DESC, cand_id) AS sem_rank
         FROM scored
       ) WHERE sem_rank <= 20
-    ),
+    )"""
+
+
+def _hybrid_rankings(spark: SparkSession, sf_dir: str):
+    """Spark twin of :func:`_hybrid_arms_cte` — returns the (lex, sem)
+    top-20 DataFrames with columns (query_id, cand_id, *_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        F.col("doc_id").alias("id"), F.explode(dedup.tokens("text")).alias("token")
+    ).distinct()
+    qt = tok.where(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), "token"
+    )
+    ct = tok.select(F.col("id").alias("cand_id"), "token")
+    ov = (
+        ct.join(F.broadcast(qt), "token")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("cand_id"))
+    lex = (
+        ov.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .where(F.col("lex_rank") <= 20)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    sem = (
+        similarity.brute_force_topk(emb.where(F.col("vec_id") < 5), emb, k=20)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("rank").cast("long").alias("sem_rank"),
+        )
+    )
+    return lex, sem
+
+
+@query(
+    "q191_rrf_fusion",
+    f"""
+    WITH {_hybrid_arms_cte()},
     fused AS (
       SELECT COALESCE(l.query_id, s.query_id) AS query_id,
              COALESCE(l.cand_id, s.cand_id) AS cand_id,
@@ -8434,35 +8476,7 @@ def q191_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side is a bounded set — both rankings broadcast it,
     rank windows partition per query, and only (query, cand, rank)
     triples ever shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    tok = docs.select(
-        F.col("doc_id").alias("id"), F.explode(dedup.tokens("text")).alias("token")
-    ).distinct()
-    qt = tok.where(F.col("id") < 5).select(
-        F.col("id").alias("query_id"), "token"
-    )
-    ct = tok.select(F.col("id").alias("cand_id"), "token")
-    ov = (
-        ct.join(F.broadcast(qt), "token")
-        .where(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.count("*").cast("long").alias("overlap"))
-    )
-    wl = W.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("cand_id"))
-    lex = (
-        ov.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
-        .where(F.col("lex_rank") <= 20)
-        .select("query_id", "cand_id", "lex_rank")
-    )
-    sem = (
-        similarity.brute_force_topk(emb.where(F.col("vec_id") < 5), emb, k=20)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("cand_id"),
-            F.col("rank").cast("long").alias("sem_rank"),
-        )
-    )
+    lex, sem = _hybrid_rankings(spark, sf_dir)
     fused = lex.join(sem, ["query_id", "cand_id"], "full_outer").select(
         "query_id",
         "cand_id",
@@ -10984,6 +10998,180 @@ def q215_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q216_oracle() -> str:
+    return f"""
+    WITH {_hybrid_arms_cte()},
+    joined AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             l.lex_rank, s.sem_rank
+      FROM lex l FULL OUTER JOIN sem s
+        ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN lex_rank <= 5 AND sem_rank <= 5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overlap_5,
+           CAST(SUM(CASE WHEN lex_rank <= 10 AND sem_rank <= 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overlap_10,
+           CAST(SUM(CASE WHEN lex_rank IS NOT NULL AND sem_rank IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overlap_20,
+           CAST(SUM(CASE WHEN lex_rank IS NOT NULL AND sem_rank IS NOT NULL
+                    THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+             AS jaccard20_bp
+    FROM joined
+    GROUP BY query_id
+    """
+
+
+@query("q216_rank_agreement", _q216_oracle())
+def q216_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-agreement diagnostics between the hybrid-retrieval arms —
+    the number you check BEFORE trusting q191's fusion: overlap@5/10/20
+    between the lexical and semantic top-20 lists per query, plus
+    Jaccard@20 in bp (overlap over the union of both lists). Near-zero
+    overlap means the arms see different relevance signals (fusion
+    helps, weights matter); near-total overlap means one arm is
+    redundant. Reuses the SAME ranking CTEs/DataFrames as q191
+    (_hybrid_arms_cte/_hybrid_rankings — one definition, no drift),
+    adds one full-outer join and a per-query conditional aggregation;
+    the query set is bounded and broadcast, so this is rank-table
+    sized work at any corpus scale."""
+    lex, sem = _hybrid_rankings(spark, sf_dir)
+    joined = lex.join(sem, ["query_id", "cand_id"], "full_outer")
+    both = F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()
+    return joined.groupBy("query_id").agg(
+        F.sum(
+            ((F.col("lex_rank") <= 5) & (F.col("sem_rank") <= 5)).cast("long")
+        )
+        .cast("long")
+        .alias("overlap_5"),
+        F.sum(
+            ((F.col("lex_rank") <= 10) & (F.col("sem_rank") <= 10)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("overlap_10"),
+        F.sum(both.cast("long")).cast("long").alias("overlap_20"),
+        F.expr(
+            "CAST(sum(CAST(lex_rank IS NOT NULL AND sem_rank IS NOT NULL"
+            " AS LONG)) * 10000 div count(*) AS BIGINT)"
+        ).alias("jaccard20_bp"),
+    )
+
+
+def _q217_oracle() -> str:
+    return f"""
+    WITH pred AS (SELECT id, pred_lang FROM ({_lang_id_oracle()})),
+    pairs AS (
+      SELECT d.lang AS true_lang, p.pred_lang
+      FROM documents d JOIN pred p ON p.id = d.doc_id
+    ),
+    per_true AS (
+      SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM pairs GROUP BY 1
+    )
+    SELECT c.true_lang, c.pred_lang,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 10000 // t.n_true AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN c.true_lang = c.pred_lang THEN 1 ELSE 0 END
+             AS BIGINT) AS is_correct
+    FROM (SELECT true_lang, pred_lang, COUNT(*) AS n
+          FROM pairs GROUP BY 1, 2) c
+    JOIN per_true t ON t.true_lang = c.true_lang
+    """
+
+
+@query("q217_lang_confusion", _q217_oracle())
+def q217_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the evaluation the q42 heuristic
+    never had: the documents table carries a ground-truth `lang`
+    column, so crossing it with the stopword-vote prediction gives
+    per-(true, predicted) cell counts, per-true-language recall in bp
+    (diagonal cells are the per-class recall), and a correctness flag
+    for downstream accuracy rollups. This is the classifier-eval
+    surface pattern (confusion → recall → decide whether the cheap
+    heuristic suffices or a model is needed) applied to a corpus
+    operator already in production here. One scan computes prediction
+    and truth together; two keyed aggregations on language codes —
+    dimension-sized work at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("true_lang"),
+        textstats.pred_lang_col("text").alias("pred_lang"),
+    )
+    cells = pairs.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_true = pairs.groupBy("true_lang").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    return cells.join(per_true, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("CAST(n * 10000 div n_true AS BIGINT)").alias("recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("is_correct"),
+    )
+
+
+@query(
+    "q218_seasonality_profile",
+    """
+    WITH slot AS (
+      SELECT ((CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7) AS dow,
+             ((CAST(epoch_us(ts) // 1000000 AS BIGINT) // 3600) % 24) AS hour
+      FROM events
+    ),
+    cells AS (
+      SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM slot GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+    SELECT c.dow, c.hour, c.n,
+           CAST(c.n * 10000 // t.total AS BIGINT) AS share_bp,
+           CAST(c.n * 168 * 10000 // t.total - 10000 AS BIGINT)
+             AS uniform_dev_bp
+    FROM cells c, tot t
+    """,
+)
+def q218_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality fingerprint — the (day-of-week × hour) load
+    matrix that capacity planning, anomaly baselines (q201's CUSUM
+    needs it to avoid flagging every Monday morning), and crawl
+    scheduling all read. Day-of-week comes from pure epoch-day
+    arithmetic — (epoch_day + 4) mod 7, anchored on 1970-01-01 being
+    a Thursday — because Spark's dayofweek() (1=Sunday) and DuckDB's
+    dow (0=Sunday) disagree, and integer arithmetic on epoch floors
+    is the only encoding both engines share bit-for-bit (cross-engine
+    rule). Each of the 168 slots reports its exact count, traffic
+    share in bp, and signed deviation from the uniform slot mass —
+    computed as n·168·10⁴ div total − 10⁴ so the floor-division
+    numerator stays non-negative (Spark div truncates, DuckDB //
+    floors; they only agree on non-negatives). One scan, one 168-key
+    aggregation, one broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = ev.select(
+        F.expr("((CAST(ts AS LONG) div 86400) + 4) % 7").alias("dow"),
+        F.expr("(CAST(ts AS LONG) div 3600) % 24").alias("hour"),
+    )
+    cells = slot.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n",
+        F.expr("CAST(n * 10000 div total AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CAST(n * 168 * 10000 div total - 10000 AS BIGINT)"
+        ).alias("uniform_dev_bp"),
+    )
+
+
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. After round 3 the union
 # of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
@@ -10998,6 +11186,15 @@ def q215_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/ (stricter exact-value compare at sf0.001 AND sf0.01).
 _ATTESTATION_PRIORITY = [
     # --- new in round 4 (never driver-attested) ---
+    "q218_seasonality_profile",
+    "q217_lang_confusion",
+    "q216_rank_agreement",
+    # (q176/q177/q178 rotated to the r5 head when q216-q218 landed:
+    # all exact-value green locally at sf0.001 AND sf0.01; q176's
+    # cross-source n-gram machinery re-attests in-window through
+    # q209's bigram sketches, q177's token/bigram explode path through
+    # q209/q187, and q178's per-source rank calibration is composed
+    # and re-attested in-window by q204's curriculum phases.)
     "q215_kcore_peel",
     "q214_benford_audit",
     "q213_gdpr_impact",
@@ -11072,11 +11269,8 @@ _ATTESTATION_PRIORITY = [
     "q184_compression_ratio",
     "q181_time_weighted_avg",
     "q182_mad_outliers",
-    "q178_quality_calibration",
     "q179_group_aware_split",
     "q180_key_skew_profile",
-    "q176_source_overlap_matrix",
-    "q177_token_diversity",
     "q169_label_propagation",
     "q168_ivf_pq_trained",
     # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when

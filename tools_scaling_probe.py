@@ -139,6 +139,9 @@ PROBES = [
     "q213_gdpr_impact",
     "q214_benford_audit",
     "q215_kcore_peel",
+    "q216_rank_agreement",
+    "q217_lang_confusion",
+    "q218_seasonality_profile",
 ]
 
 KEY_SHIFTS = {
