@@ -11038,15 +11038,27 @@ def q216_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex, sem = _hybrid_rankings(spark, sf_dir)
     joined = lex.join(sem, ["query_id", "cand_id"], "full_outer")
     both = F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()
+    # coalesce each row's flag to 0: a full-outer row with one side
+    # NULL makes the AND three-valued NULL, and SUM over all-NULL rows
+    # is NULL in Spark where the oracle's CASE..ELSE 0 sums to 0 —
+    # the q209 disjoint-corpus divergence class (review finding)
     return joined.groupBy("query_id").agg(
         F.sum(
-            ((F.col("lex_rank") <= 5) & (F.col("sem_rank") <= 5)).cast("long")
+            F.coalesce(
+                ((F.col("lex_rank") <= 5) & (F.col("sem_rank") <= 5)).cast(
+                    "long"
+                ),
+                F.lit(0),
+            )
         )
         .cast("long")
         .alias("overlap_5"),
         F.sum(
-            ((F.col("lex_rank") <= 10) & (F.col("sem_rank") <= 10)).cast(
-                "long"
+            F.coalesce(
+                ((F.col("lex_rank") <= 10) & (F.col("sem_rank") <= 10)).cast(
+                    "long"
+                ),
+                F.lit(0),
             )
         )
         .cast("long")
@@ -11102,8 +11114,10 @@ def q217_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = pairs.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("long").alias("n")
     )
-    per_true = pairs.groupBy("true_lang").agg(
-        F.count("*").cast("long").alias("n_true")
+    # derive per-truth totals from the ~|langs|² cells aggregate, not
+    # a second corpus scan (review finding; same shape as q218's tot)
+    per_true = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("n_true")
     )
     return cells.join(per_true, "true_lang").select(
         "true_lang",
@@ -11150,7 +11164,10 @@ def q218_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     share in bp, and signed deviation from the uniform slot mass —
     computed as n·168·10⁴ div total − 10⁴ so the floor-division
     numerator stays non-negative (Spark div truncates, DuckDB //
-    floors; they only agree on non-negatives). One scan, one 168-key
+    floors; they only agree on non-negatives — which is also why the
+    dow/hour floors above assume ts ≥ 1970-01-01, the standing data
+    contract of every epoch-floor operator here: pre-epoch timestamps
+    would truncate vs floor differently). One scan, one 168-key
     aggregation, one broadcast total."""
     ev = load_table(spark, sf_dir, "events")
     slot = ev.select(
