@@ -142,6 +142,8 @@ PROBES = [
     "q216_rank_agreement",
     "q217_lang_confusion",
     "q218_seasonality_profile",
+    "q219_join_cardinality_forecast",
+    "q220_watermark_lateness",
 ]
 
 KEY_SHIFTS = {
