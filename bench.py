@@ -31,12 +31,13 @@ HEADLINE = [
     "q19_asof_join",
     "q21_generate_uri",
     "q30_exact_dedup",
-    # q31 (unguarded exact Jaccard) is deliberately NOT headline: it is
-    # the one super-linear tier (Σ df² join work once the shingle vocab
-    # saturates). q133 is the same exact semantics behind the max_df
-    # stop-shingle skew guard — linear join work — and q66 is the
+    # q31 is the stop-shingle-guarded exact Jaccard (the library
+    # default since round 5 — linear join work, O(#shingles·max_df²)).
+    # q133 (unguarded all-pairs, the explicit opt-in QA tier) is
+    # deliberately NOT headline: it is the one super-linear tier
+    # (Σ df² join work once the shingle vocab saturates); q66 is the
     # LSH-then-verify scale path.
-    "q133_stop_shingle_jaccard",
+    "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash",
     "q38_lsh_ann_topk",

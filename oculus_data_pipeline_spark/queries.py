@@ -721,10 +721,12 @@ def _shingle_cte(n: int = 3) -> str:
     f"""
     WITH {_shingle_cte(3)},
     hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
-    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    hot AS (SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= 5),
+    kept AS (SELECT h.id, h.sh FROM hashed h JOIN hot USING (sh)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b,
@@ -737,7 +739,16 @@ def _shingle_cte(n: int = 3) -> str:
 )
 def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard ≥ 0.5 via inverted-index join —
-    finds the generator's planted near-duplicates."""
+    finds the generator's planted near-duplicates.
+
+    Round-5 change (r4 verdict item 3): this registered plan is now the
+    library DEFAULT — the stop-shingle-guarded tier (max_df=5), whose
+    inverted-index join is bounded at O(#shingles · max_df²), linear in
+    corpus size (0.9× at 8× data, SCALING.md).  The unguarded all-pairs
+    exact tier — formerly THIS query's plan (driver rows r1/r2) — moved
+    to q133 as the explicit opt-in QA tier, so the obvious name hands
+    out the linear plan and the Σ df² quadratic one is never an
+    accident.  Oracle updated symmetrically (df-capped shingle sets)."""
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
@@ -4999,16 +5010,14 @@ def q135_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q133_stop_shingle_jaccard",
+    "q133_allpairs_jaccard_exact",
     f"""
     WITH {_shingle_cte(3)},
     hashed AS (SELECT id, {md5_int_sql('shingle')} AS sh FROM sh),
-    hot AS (SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= 5),
-    kept AS (SELECT h.id, h.sh FROM hashed h JOIN hot USING (sh)),
-    sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b,
@@ -5019,18 +5028,23 @@ def q135_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     """,
 )
-def q133_stop_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q31's exact n-gram Jaccard with the stop-shingle skew guard
-    (max_df=5): Jaccard over df-filtered shingle sets.  Join work is
-    bounded at O(#shingles · max_df²) — linear in corpus size — where
-    the unguarded tier is Σ df² (quadratic once the shingle vocabulary
-    saturates).  On this testdata the guarded result finds the exact
-    tier's pairs pair-for-pair (values can shift slightly on
-    near-identical pairs — filtered-set semantics, pinned in
-    tests/test_operators.py); the guard is what makes the exact tier
-    shippable as a default at 100 TB."""
+def q133_allpairs_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGUARDED all-pairs exact n-gram Jaccard — the explicit opt-in
+    QA/audit tier (``max_df=None``), formerly registered as q31.
+
+    Round-5 role swap with q31 (r4 verdict item 3): the guarded
+    df-capped plan is now both the library default and the q31
+    registration; this query keeps the unfiltered-set semantics
+    reachable for ground-truth audits (e.g. measuring what the guard's
+    filtered-set semantics shifts).  Its inverted-index join is Σ df²
+    — deliberately quadratic once the shingle vocabulary saturates
+    (6.6× at 8× data, SCALING.md) — which is why it is NOT in the
+    headline bench and exists only behind an explicit argument.
+    (q133 was never driver-attested under its old name/definition, so
+    the rename loses no evidence; the old q133 plan+oracle now live
+    verbatim under q31.)"""
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=None
     )
 
 
@@ -9315,13 +9329,15 @@ def q200_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d JOIN tot t ON t.event_type = d.event_type
     ),
     hi AS (
-      SELECT event_type, cusum AS cusum_max, day AS peak_day FROM (
+      SELECT event_type, CAST(cusum AS BIGINT) AS cusum_max,
+             day AS peak_day FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                   ORDER BY cusum DESC, day) AS r FROM cus
       ) WHERE r = 1
     ),
     lo AS (
-      SELECT event_type, cusum AS cusum_min, day AS trough_day FROM (
+      SELECT event_type, CAST(cusum AS BIGINT) AS cusum_min,
+             day AS trough_day FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                   ORDER BY cusum ASC, day) AS r FROM cus
       ) WHERE r = 1
@@ -9446,8 +9462,8 @@ def _mutual_nn_oracle(k: int = 4, dim: int = EMB_DIM, n_planes: int = 6) -> str:
         ON t2.qa = t1.qb AND t2.qb = t1.qa AND t1.qa < t1.qb
     )
     SELECT m.id_a, m.id_b, m.cos_ppm,
-           ga.knn_mean_ppm AS knn_mean_a_ppm,
-           gb.knn_mean_ppm AS knn_mean_b_ppm,
+           CAST(ga.knn_mean_ppm AS BIGINT) AS knn_mean_a_ppm,
+           CAST(gb.knn_mean_ppm AS BIGINT) AS knn_mean_b_ppm,
            CASE WHEN m.cos_ppm >= 0 AND ga.knn_mean_ppm IS NOT NULL
                      AND gb.knn_mean_ppm IS NOT NULL
                      AND ga.knn_mean_ppm + gb.knn_mean_ppm > 0

@@ -74,7 +74,7 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     true_pairs = {
         (r["id_a"], r["id_b"])
-        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).collect()
     }
     assert true_pairs, "generator plants near-dups; none found"
     cand = {
@@ -120,7 +120,7 @@ def test_lsh_near_dup_pairs_auto_planes(spark, sf_dir):
 
 def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, max_df=None).collect()
     fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     assert pairs
 
@@ -647,11 +647,13 @@ def test_prefix_filter_parity_on_zipfian_corpus(spark):
     docs = _zipf_docs(spark)
     base = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
     }
     pref = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in ngram_jaccard_pairs(docs, threshold=0.5, prefix_filter=True).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, prefix_filter=True, max_df=None
+        ).collect()
     }
     assert base == pref
     planted = {(3, 120), (17, 121), (42, 122)}
@@ -665,11 +667,11 @@ def test_stop_shingle_guard_parity_and_semantics(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
     }
     guarded = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=5).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     # same pairs survive; dropping a df>max_df shingle from a
     # near-identical pair can shift its jaccard by at most a few

@@ -31,7 +31,12 @@ PROBES = [
     "q16_session_windows",
     "q30_exact_dedup",
     "q31_ngram_jaccard_pairs",
-    "q133_stop_shingle_jaccard",
+    # q133 = unguarded all-pairs exact Jaccard, the explicit opt-in QA
+    # tier (role-swapped with q31 in round 5). Deliberately quadratic
+    # (Σ df²; 6.6× at 8× measured in r4 under its old q31 name) —
+    # probed anyway so SCALING.md keeps the honest number next to the
+    # guarded default's.
+    "q133_allpairs_jaccard_exact",
     "q32_minhash_lsh_pairs",
     "q66_lsh_verified_near_dups",
     "q62_graph_edges",
