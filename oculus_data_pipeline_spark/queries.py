@@ -6681,7 +6681,12 @@ def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution is many pairs or a few giant clusters — giant
     clusters usually mean boilerplate, the q100/q139 path). Histogram
     rows are |distinct sizes|; the only corpus-sized work is the q76
-    cluster pass it composes."""
+    cluster pass it composes.  The singleton mass (docs in no near-dup
+    pair) is derived relationally — broadcast anti-join against the
+    clustered-id set, aggregate, union — so the whole query is ONE
+    lazy plan with zero driver-side actions (r4 verdict item 5: the
+    old shape ran two .count() actions and a Python branch, making the
+    plan data-dependent and recomputing the LSH+CC subtree)."""
     from .operators.graph_algo import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6689,23 +6694,26 @@ def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, src="id_a", dst="id_b")
     sizes = cc.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(
-        F.count("*").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
-    )
-    n_docs_total = docs.count()
-    n_clustered = cc.count()
-    n_single = n_docs_total - n_clustered
-    if n_single > 0:
-        single_row = docs.sparkSession.createDataFrame(
-            [(1, n_single, n_single)],
-            "cluster_size long, n_clusters long, n_docs long",
+    ).select(F.col("cluster_size").cast("long"), "n_clusters", "n_docs")
+    # clustered ids ≤ |near-dup docs| — a small set; broadcast the
+    # anti-join probe side so the singleton count never shuffles docs
+    singles = (
+        docs.join(
+            F.broadcast(cc.select(F.col("id").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
         )
-        hist = hist.select(
-            F.col("cluster_size").cast("long"),
-            F.col("n_clusters").cast("long"),
-            "n_docs",
-        ).unionByName(single_row)
-    return hist
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
 
 
 def _ivf_pq_trained_oracle(

@@ -695,3 +695,137 @@ def test_streaming_interval_coverage_state_across_batches(spark, sf_dir, tmp_pat
         for r in get_queries()["q198_interval_coverage"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order replay through the watermark buffer (round 5)
+# ---------------------------------------------------------------------------
+
+_JITTER_DELAY_S = 1800  # watermark bound for the permuted-replay tests
+
+
+def _permuted_event_files(spark, sf_dir, landing, n_files: int = 6):
+    """Write the events table as ``n_files`` parquet files ordered by a
+    deterministically JITTERED arrival time (arrival = ts + (event_id
+    mod 8)·delay/8, so arrival order ≠ event order but every row's
+    lateness vs the running max stays strictly under the watermark
+    bound), plus a far-future sentinel row (user_id −1) whose only job
+    is to advance the watermark past everything and flush the buffers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.withColumn(
+        "arr_us",
+        F.unix_micros("ts")
+        + (F.col("event_id") % 8) * int(_JITTER_DELAY_S * 1_000_000 // 8),
+    ).orderBy("arr_us", "event_id")
+    pdf = arr.drop("arr_us").toPandas()
+    # permutation sanity: arrival order must actually differ from
+    # event-time order, else the test degenerates to the in-order one
+    assert not pdf["ts"].is_monotonic_increasing
+    chunk = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(landing / f"batch_{i:02d}.parquet"),
+        )
+    sentinel = pdf.iloc[:1].copy()
+    sentinel["event_id"] = -1
+    sentinel["user_id"] = -1
+    sentinel["ts"] = pdf["ts"].max() + pd_timedelta_s(100 * _JITTER_DELAY_S)
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, preserve_index=False),
+        str(landing / f"batch_{n_files:02d}_sentinel.parquet"),
+    )
+
+
+def pd_timedelta_s(s: int):
+    import pandas as pd
+
+    return pd.Timedelta(seconds=s)
+
+
+def test_streaming_debounce_out_of_order_equals_batch(spark, sf_dir, tmp_path):
+    """Replay the events table with arrival order PERMUTED within the
+    watermark bound and assert the buffered debounce still emits
+    exactly the batch q173 survivors — the replay buffer must restore
+    global (ts, event_id) fold order across micro-batches."""
+    from oculus_data_pipeline_spark.queries import get_queries
+    from oculus_data_pipeline_spark.streaming.stateful import debounce_stream
+
+    landing = tmp_path / "ooo_debounce"
+    landing.mkdir()
+    _permuted_event_files(spark, sf_dir, landing)
+    out = debounce_stream(
+        read_events_stream(spark, str(landing / "batch_*.parquet")),
+        gap_s=3600,
+        max_lateness_s=_JITTER_DELAY_S,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounce_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, user_id, event_type, value FROM debounce_ooo"
+            " WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in get_queries()["q173_event_debounce"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_interval_coverage_out_of_order_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Permuted-arrival replay of the events table through the buffered
+    interval-coverage operator converges to exactly the batch q198
+    report (latest emission per key), proving out-of-order exact parity
+    — the r4 in-order-only limitation is closed, not just documented."""
+    from oculus_data_pipeline_spark.queries import get_queries
+    from oculus_data_pipeline_spark.streaming.stateful import (
+        interval_coverage_stream,
+    )
+
+    landing = tmp_path / "ooo_coverage"
+    landing.mkdir()
+    _permuted_event_files(spark, sf_dir, landing)
+    out = interval_coverage_stream(
+        read_events_stream(spark, str(landing / "batch_*.parquet")),
+        max_lateness_s=_JITTER_DELAY_S,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cov_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    latest = spark.sql(
+        """
+        SELECT user_id, n_islands, covered_s, first_start_s, last_end_s
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY n_seen DESC) AS r
+          FROM cov_ooo
+        ) WHERE r = 1 AND user_id >= 0
+        """
+    )
+    got = {r.user_id: tuple(r)[1:] for r in latest.collect()}
+    want = {
+        r.user_id: (r.n_islands, r.covered_s, r.first_start_s, r.last_end_s)
+        for r in get_queries()["q198_interval_coverage"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
