@@ -11390,160 +11390,90 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-attestation ordering: the external correctness driver checks
-# the FIRST 50 registered queries each round. After round 3 the union
-# of CORRECTNESS_r01–r03 covers all 131 then-registered queries (129
-# full hash-match, 2 rows-only by design). The window below is the
-# LATE-round-4 state after seven/eighth-wave additions: never-driver-
-# attested new queries lead (newest first, q215 down), then the
-# closed-form companions + video pair (q133–q137 block), then the 4
-# whose execution path changed in round 4 (q68/q45/q132/q109). Every
-# rotation out of the window is annotated inline with its
-# justification; rotated queries lead the r5 plan (README). Queries
-# past the window keep their prior driver rows and stay covered by
-# tests/ (stricter exact-value compare at sf0.001 AND sf0.01).
+# the FIRST 50 registered queries each round. Cumulative state after
+# round 4: 177 of 220 registry queries have a driver row, 174 full
+# rows+schema+hash green (the non-green: q201 r4 hash — oracle typing,
+# fixed this round; q46/q85 rows-only BY DESIGN, their closed-form
+# companions q134/q135 are full green r4).
+#
+# The ROUND-5 window below executes the r4 verdict's plan verbatim
+# ("spend the r5 window exactly as drafted — clear the attestation
+# debt first"; registry growth FROZEN at 220 this round):
+#   1. the 43 queries that have never been in a driver window
+#      (registry grew 131→220 against the 50-slot/round budget) —
+#      all exact-value green in the local harness at sf0.001 AND
+#      sf0.01 (tests/test_oracle_queries.py), but local evidence is
+#      not driver evidence until this round;
+#   2. q201 (oracle's windowed SUM now CAST ... AS BIGINT — DuckDB
+#      HUGEINT vs Spark LONG broke the r4 driver hash; values were
+#      already exact on both engines);
+#   3. q202 (same audit: its knn_mean_{a,b}_ppm were the only other
+#      HUGEINT-typed oracle outputs registry-wide — cast, re-attest);
+#   4. q31 (execution path changed in round 5: the registered plan is
+#      now the stop-shingle-guarded default; the old unguarded plan
+#      moved to q133, itself in set 1);
+#   5. the 4 oldest r1-stale re-attestations that fit (q01–q04); the
+#      rest of the r1-stale list (q06–q10, q12–q13, q15, q17–q18,
+#      q20–q30, q33–q37, q40–q43, q46, q50) leads the r6 window.
+# Queries past the window keep their prior driver rows and stay
+# covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
-    # --- new in round 4 (never driver-attested) ---
-    "q220_watermark_lateness",
-    "q219_join_cardinality_forecast",
-    # (q181/q182 rotated to the r5 head when q219/q220 landed: both
-    # exact-value green locally at sf0.001 AND sf0.01; q181's
-    # epoch-floor keyed-window machinery is in-window q198/q201's,
-    # and q182's exact percentile-crossing technique is in-window
-    # q180's.)
-    "q218_seasonality_profile",
-    "q217_lang_confusion",
-    "q216_rank_agreement",
-    # (q176/q177/q178 rotated to the r5 head when q216-q218 landed:
-    # all exact-value green locally at sf0.001 AND sf0.01; q176's
-    # cross-source n-gram machinery re-attests in-window through
-    # q209's bigram sketches, q177's token/bigram explode path through
-    # q209/q187, and q178's per-source rank calibration is composed
-    # and re-attested in-window by q204's curriculum phases.)
-    "q215_kcore_peel",
-    "q214_benford_audit",
-    "q213_gdpr_impact",
-    # (q173/q174/q175 rotated to the r5 head when q213-q215 landed:
-    # all exact-value green locally at sf0.001 AND sf0.01; q173 is
-    # additionally pinned by its streaming-parity test and shares the
-    # keyed epoch-second lag machinery with in-window q201/q194,
-    # q174's one-scan conditional-aggregate shape is in-window
-    # q199/q210's, and q175's token-explode + broadcast-dimension
-    # join is in-window q209's candidate path.)
-    "q212_zone_map_report",
-    "q211_bfs_distances",
-    # (q170/q172 rotated to the r5 head when q211/q212 landed: both
-    # exact-value green locally at sf0.001 AND sf0.01; q170's keyed
-    # lag+groupBy machinery is in-window q192's, and q172's
-    # cumulative-weight crossing is the same percentile technique
-    # in-window q180 attests.)
-    "q210_drop_waterfall",
-    "q209_kmv_set_ops",
-    # (q171 rotated to the r5 head when q210 landed: exact-value green
-    # locally at both SFs; its MinHash signature path is q32's
-    # (driver rows r1/r2) and the verified-pair set it scores
-    # re-attests in-window through q208's composition of q66.)
-    # (q39 rotated to the r5 head when q209 landed: exact-value green
-    # locally at sf0.001 AND sf0.01, and its bucket-occupancy subject
-    # — lsh_bucket_expr — is exercised in-window by q202's bucketed
-    # k-NN self-join.)
-    "q208_split_leakage",
-    "q207_temporal_integrity",
-    # (q166/q167 rotated to the r5 head when q207/q208 landed: both
-    # exact-value green locally at sf0.001 AND sf0.01; their dedup
-    # reporting inputs re-attest via in-window q186/q188.)
-    "q206_lag_xcorr",
-    "q205_apportionment",
-    # (q150/q133 rotated to the r5 head when q205/q206 landed: both
-    # exact-value green locally at sf0.001 AND sf0.01; q133's guarded
-    # exact-Jaccard path stays pinned by the q31-vs-q133 parity test
-    # and its headline-bench slot.)
-    "q204_curriculum_schedule",
-    "q203_shuffle_shards",
-    # (q149/q154 rotated to the r5 head when q203/q204 landed: both
-    # exact-value green locally at sf0.001 AND sf0.01, and their code
-    # paths re-attest inside this window regardless — q168 runs the
-    # trained IVF+PQ probe that subsumes q149's search, and q193
-    # composes q154's hard-negative mining directly.)
-    "q202_mutual_nn_margin",
+    # --- 1. never driver-attested (43; registry order) ---
+    "q39_lsh_bucket_stats",
+    "q133_allpairs_jaccard_exact",  # role-swapped with q31 in r5
+    "q138_pq_encode",
+    "q139_segment_scrub",
+    "q140_embedding_gram",
+    "q141_source_mixture",
+    "q142_pq_adc_topk",
+    "q143_snapshot_diff",
+    "q144_stratified_split",
+    "q145_table_fingerprint",
+    "q146_variant_extract",
+    "q147_approx_percentile_bound",
+    "q148_power_iteration",
+    "q149_ivf_pq_topk",
+    "q150_cms_heavy_hitters",
+    "q151_winsorized_stats",
+    "q152_count_sketch",
+    "q153_bloom_membership",
+    "q154_hard_negatives",
+    "q155_ewma_smoothing",
+    "q156_ab_test_stats",
+    "q157_pq_lloyd_update",
+    "q158_pareto_frontier",
+    "q159_pps_sample",
+    "q160_label_gini",
+    "q161_chi_square",
+    "q162_k_anonymity",
+    "q163_column_profile",
+    "q164_referential_integrity",
+    "q165_group_mode",
+    "q166_dedup_weights",
+    "q167_cluster_size_histogram",  # r5: singleton mass now relational
+    "q170_markov_transitions",
+    "q171_minhash_accuracy",
+    "q172_weighted_median",
+    "q173_event_debounce",
+    "q174_expectations_report",
+    "q175_oov_rate",
+    "q176_source_overlap_matrix",
+    "q177_token_diversity",
+    "q178_quality_calibration",
+    "q181_time_weighted_avg",
+    "q182_mad_outliers",
+    # --- 2./3. oracle typing fixed in r5 (HUGEINT→BIGINT casts) ---
     "q201_cusum_changepoint",
-    # (q138/q142 rotated to the r5 head when q201/q202 landed: both
-    # exact-value green locally at sf0.001 AND sf0.01, and their PQ
-    # family keeps q149/q150/q157/q168 in the window.)
-    "q200_segment_dedup",
-    "q199_fd_audit",
-    "q198_interval_coverage",
-    "q197_sorted_neighborhood",
-    "q196_padding_waste",
-    "q195_zorder_layout",
-    # (q141/q143/q144/q145/q146/q147 rotated to the r5 head when
-    # q195–q200 landed: all six are exact-value green in the local
-    # harness at sf0.001 AND sf0.01, and the never-attested newest
-    # wave takes the slots per the standing new-evidence-first rule.)
-    "q194_burstiness",
-    "q193_contrastive_triplets",
-    "q192_sequential_patterns",
-    "q191_rrf_fusion",
-    "q190_pack_manifest",
-    "q189_embedding_norm_profile",
-    "q188_dup_rate_by_source",
-    "q187_vocab_growth",
-    "q186_near_dup_provenance",
-    "q185_collocations",
-    "q183_rolling_active_users",
-    "q184_compression_ratio",
-    "q179_group_aware_split",
-    "q180_key_skew_profile",
-    "q169_label_propagation",
-    "q168_ivf_pq_trained",
-    # (q160/q161 rotated to r5 when q181/q182 landed, q162/q164 when
-    # q183/q184 landed, q163 when q185 landed — all exact-value green
-    # locally at both SFs.)
-    # (q159 rotated to r5 when q186 landed, q158 when q187 landed,
-    # q157 when q188 landed — exact-value green locally at both SFs.)
-    # (q155/q156/q165 rotated to the r5 window's head when q178–q180
-    # landed — all three are exact-value green in the local harness at
-    # sf0.001 AND sf0.01; the slots go to the never-attested curation
-    # trio with the bigger 100 TB story.)
-    # (q152 rotated to r5 when q189 landed, q153 when q194 landed —
-    # exact-value green locally at both SFs; the q150 CMS sibling
-    # stays in the window.)
-    # (q148 rotated to r5 when q191 landed — exact-value green locally
-    # at both SFs.)
-    # (q151 rotated to r5 when q190 landed — exact-value green locally
-    # at both SFs.)
-    # (q139 rotated to r5 when q192 landed, q140 when q193 landed —
-    # exact-value green locally at both SFs.)
-    "q134_hll_error_report",
-    "q135_kmeans_assign",
-    "q136_video_decode",
-    "q137_frame_sample",
-    # --- execution path changed in round 4 ---
-    "q68_global_sales_opportunity",  # de-vacuized anti-join predicate
-    "q45_token_histogram",           # TakeOrdered + join-rank rewrite
-    "q132_revenue_share",            # broadcast scalar-aggregate share
-    "q109_unigram_rarity",           # rarity_mass now DECIMAL(38,0)
-    # (q31/q119/q120 rotated out late in round 4 to fit the 50-slot
-    # window when q175–q177 landed: all three carry r1–r3 driver rows,
-    # their round-4 changes are exact-value green in the local harness
-    # at sf0.001 AND sf0.01, and q119's zero-guard only fires on
-    # degenerate inputs the sf0.01 attestation would not exercise
-    # anyway — they lead the r5 re-attestation list with the r1-stale
-    # set below.)
-    # (q85/q47 rotated out late in round 4 to keep every NEVER-attested
-    # new query inside the 50-slot window: both carry r1–r3 driver
-    # rows, and their closed-form companions q134/q135 — the rows that
-    # actually hash-match the centroid math — are in this window.)
-    # --- evidence stale since round 1: every query whose only driver
-    # --- row is r1 re-attests before it goes three rounds stale
-    # (q45 already re-attests above with the r4 rewrites. r1-stale
-    # q01, q02–q04, q06–q10, q12–q13, q15, q17–q18, q20–q30, q33–q37,
-    # q40–q43, q46 and q50 rotated out to make room
-    # for the round-4 additions q39 and q138–q172 — new-query
-    # evidence outranks re-attestation; they lead the r5 stale list.
-    # q46's error bound is attested via its closed-form companion q134
-    # in this window regardless, and q35's exact side re-attests
-    # inside q147.)
-    # Everything else is r2/r3-driver-attested and unchanged this
+    "q202_mutual_nn_margin",
+    # --- 4. execution path changed in r5 ---
+    "q31_ngram_jaccard_pairs",  # registered plan now the guarded tier
+    # --- 5. oldest r1-stale re-attestations (remaining stale set
+    # --- leads the r6 window, see header comment) ---
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_region_revenue",
+    "q04_order_priority",
+    # Everything else is r2–r4-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
 ]

@@ -1,3 +1,11 @@
-from .graph_sink import write_graph_parquet, write_graph_neo4j
+from .graph_sink import (
+    write_graph_delta_merge,
+    write_graph_neo4j,
+    write_graph_parquet,
+)
 
-__all__ = ["write_graph_parquet", "write_graph_neo4j"]
+__all__ = [
+    "write_graph_delta_merge",
+    "write_graph_neo4j",
+    "write_graph_parquet",
+]

@@ -24,6 +24,66 @@ def write_graph_parquet(nodes: DataFrame, edges: DataFrame, out_dir: str) -> Non
     )
 
 
+def write_graph_delta_merge(
+    nodes: DataFrame, edges: DataFrame, out_dir: str
+) -> None:
+    """Transactional graph upsert via Delta Lake ``MERGE INTO`` — the
+    reference's Cypher MERGE (json_to_db.py:7-76) as an ACID table
+    operation: nodes keyed on (label, key), edges on (src, dst,
+    rel_type), matched rows updated in place, new rows inserted, all
+    under one optimistic-concurrency commit per table. Unlike the
+    parquet overwrite (write_graph_parquet — set-wise MERGE semantics
+    but last-writer-wins at the file level), concurrent pipelines and
+    incremental re-ingest stay consistent.
+
+    Gated on the Delta jars. Probe note (2026-08-14, round 5): this
+    container has no delta-spark package, no io.delta jars under the
+    pyspark distribution, and no network to resolve
+    spark.jars.packages, so the gate is the honest default here —
+    re-probe on an image with io.delta:delta-spark_2.13 available.
+    The MERGE path below is real and exercised wherever the jars
+    exist; in this environment tests pin the gate's behavior.
+    """
+    spark = nodes.sparkSession
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+
+        # py4j resolves classes lazily; Class.forName is a real probe
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        )
+    except Exception as e:
+        raise NotImplementedError(
+            "Delta Lake is not on the classpath (probed 2026-08-14: no "
+            "delta-spark package, no io.delta jars, no network in this "
+            "container); use write_graph_parquet (default sink) or add "
+            "io.delta:delta-spark_2.13 to spark.jars.packages and set "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+        ) from e
+
+    for name, df, keys in (  # pragma: no cover - needs delta jars
+        ("nodes", nodes.dropDuplicates(["label", "key"]), ["label", "key"]),
+        (
+            "edges",
+            edges.dropDuplicates(["src", "dst", "rel_type"]),
+            ["src", "dst", "rel_type"],
+        ),
+    ):
+        path = f"{out_dir}/{name}"
+        if DeltaTable.isDeltaTable(spark, path):
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(df.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            df.write.format("delta").save(path)
+
+
 def write_graph_neo4j(
     nodes: DataFrame,
     edges: DataFrame,

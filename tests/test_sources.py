@@ -121,6 +121,32 @@ def test_neo4j_sink_gated(spark, docs):
         write_graph_neo4j(nodes, edges, "bolt://localhost:7687", "neo4j", "pw")
 
 
+def test_delta_merge_sink_gated(spark, docs, tmp_path):
+    """Transactional MERGE INTO graph sink: in this container (no
+    delta jars, probed 2026-08-14) the gate must raise with a
+    jar-pointing message and must NOT leave partial output behind;
+    where the jars exist the same call is a real per-table MERGE."""
+    from oculus_data_pipeline_spark.plans.pipeline import (
+        build_document_graph,
+        classify_document_terms,
+        extract_terms,
+        known_entities_from_docs,
+    )
+    from oculus_data_pipeline_spark.sinks.graph_sink import (
+        write_graph_delta_merge,
+    )
+
+    terms = extract_terms(docs)
+    classified = classify_document_terms(
+        terms, known_entities_from_docs(docs), EchoClassifier()
+    )
+    nodes, edges = build_document_graph(docs, classified)
+    out = tmp_path / "delta_graph"
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        write_graph_delta_merge(nodes, edges, str(out))
+    assert not out.exists()
+
+
 def test_python_datasource_matches_native_xml_scan(spark, tmp_path):
     """The Spark-4 Python DataSource connector (sources/py_datasource
     .py: one InputPartition per file, executor-side document splitting,
