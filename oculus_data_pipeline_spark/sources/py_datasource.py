@@ -28,6 +28,17 @@ At 100 TB: one partition per file matches the reference's layout of
 many medium files; for huge single files the native splittable XML
 scan (plans/pipeline.py) is the right tool — this source is the
 custom-connector escape hatch for layouts Spark has no reader for.
+
+Deployment contract (explicit, r4 advisor note): ``partitions()``
+lists files on the DRIVER with ``os.scandir`` and executors re-open
+the same paths with plain ``open()`` — so driver and executors must
+share a POSIX view of the directory (local disk in local mode, NFS /
+fuse-mounted object store on a cluster). For object stores without a
+mount, the native XML scan path (Hadoop FS) is the right reader.
+Listing is RECURSIVE (``**/*.xml``); per-file memory on the executor
+is bounded by ``ET.iterparse`` with element eviction — one
+``<document>`` subtree at a time, not the whole file, so a 10 GB file
+of small documents streams through a constant-memory partition.
 """
 
 from __future__ import annotations
@@ -61,22 +72,39 @@ class XmlDirReader(DataSourceReader):
             raise ValueError("oculus_xmldir requires a path option")
 
     def partitions(self) -> Sequence[InputPartition]:
-        files = sorted(
-            os.path.join(self.dir, f)
-            for f in os.listdir(self.dir)
-            if f.endswith(".xml")
-        )
-        return [_XmlFilePartition(p) for p in files]
+        # recursive: nested corpus layouts (year/month/… dirs) are one
+        # logical dataset, same as the native reader's glob
+        files: list[str] = []
+        for cur, _dirs, names in os.walk(self.dir):
+            files.extend(
+                os.path.join(cur, f) for f in names if f.endswith(".xml")
+            )
+        return [_XmlFilePartition(p) for p in sorted(files)]
 
     def read(self, partition: _XmlFilePartition) -> Iterator[tuple]:
         # executor-side: split the file into per-document XML snippets;
-        # no field extraction here (that stays in JVM from_xml)
-        root = ET.parse(partition.path).getroot()
-        for doc in root.iter("document"):
-            yield (
-                partition.path,
-                ET.tostring(doc, encoding="unicode"),
-            )
+        # no field extraction here (that stays in JVM from_xml).
+        # iterparse + clear() keeps memory at one <document> subtree,
+        # not the whole file: once a document's end-tag is seen the
+        # subtree is serialized, yielded, then evicted — the depth
+        # counter yields only TOP-LEVEL documents, so eviction never
+        # drops a document that is still being parsed.
+        depth = 0
+        for event, elem in ET.iterparse(partition.path, events=("start", "end")):
+            if event == "start":
+                if elem.tag == "document" and depth == 0:
+                    depth = 1
+                elif depth:
+                    depth += 1
+            else:
+                if depth:
+                    depth -= 1
+                    if depth == 0 and elem.tag == "document":
+                        yield (
+                            partition.path,
+                            ET.tostring(elem, encoding="unicode"),
+                        )
+                        elem.clear()
 
 
 class XmlDirDataSource(DataSource):

@@ -175,3 +175,25 @@ def test_python_datasource_matches_native_xml_scan(spark, tmp_path):
     assert (
         read_documents_xml_pyds(spark, str(d)).rdd.getNumPartitions() == 1
     )
+
+
+def test_python_datasource_recursive_and_streaming_parse(spark, tmp_path):
+    """Nested corpus layouts (year/month dirs) are one logical dataset
+    — the connector lists recursively; and the executor-side split
+    uses iterparse (constant memory per <document>), which must yield
+    exactly what whole-tree parsing did."""
+    from oculus_data_pipeline_spark.sources.py_datasource import (
+        read_documents_xml_pyds,
+    )
+
+    d = tmp_path / "xml_nested"
+    (d / "1800" / "07").mkdir(parents=True)
+    (d / "1801").mkdir()
+    (d / "1800" / "07" / "a.xml").write_text(XML)
+    (d / "1801" / "b.xml").write_text(
+        XML.replace("doc1", "doc9a").replace("doc2", "doc9b")
+    )
+    got = read_documents_xml_pyds(spark, str(d))
+    assert got.rdd.getNumPartitions() == 2  # one per discovered file
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert ids == ["doc1", "doc2", "doc9a", "doc9b"]
