@@ -194,14 +194,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # key order matters operationally: the driver stores only the TAIL
+    # of this process's output (BENCH_r04 lost the total that way), so
+    # the per-query map comes first and the headline total/metric keys
+    # come last, where truncation can't eat them
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "metric": "headline_queries_total_runtime",
+                "unit": "sec",
+                "value": total,
             }
         )
     )

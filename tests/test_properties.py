@@ -164,3 +164,61 @@ def test_int8_quantize_error_bound(spark):
             code = round((x - lo) / (hi - lo) * 254) - 127
             deq = lo + (code + 127) * step
             assert abs(deq - x) <= step / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Watermark replay-buffer helpers (streaming/stateful.py, round 5)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 1_000)), max_size=60
+    ),
+    st.integers(0, 10_000),
+)
+@settings(deadline=None)
+def test_wm_split_partitions_and_orders(rows, wm):
+    """released ∪ kept is exactly the input, released is every row
+    strictly below the watermark (in sorted order), kept the rest —
+    the invariant that makes buffered release order-deterministic."""
+    from oculus_data_pipeline_spark.streaming.stateful import _wm_split
+
+    released, kept = _wm_split(list(rows), wm)
+    assert sorted(released + kept) == sorted(rows)
+    assert released == sorted(released) and kept == sorted(kept)
+    assert all(r[0] < wm for r in released)
+    assert all(r[0] >= wm for r in kept)
+
+
+@given(
+    st.lists(st.integers(0, 500_000_000), min_size=1, max_size=80),
+    st.integers(1, 100),
+    st.lists(st.integers(1, 400_000_000), min_size=1, max_size=6),
+)
+@settings(deadline=None)
+def test_debounce_fold_chunking_invariance(ts_us, gap_s, cuts):
+    """Folding the stream in watermark-released chunks (state carried
+    between releases) survives ANY chunk boundaries: identical
+    survivors to one whole-stream fold. This is the algebraic property
+    the out-of-order integration tests rely on."""
+    from oculus_data_pipeline_spark.streaming.stateful import _debounce_fold
+
+    ordered = sorted((us, i) for i, us in enumerate(ts_us))
+    us_all = [r[0] for r in ordered]
+    eid_all = [r[1] for r in ordered]
+    _, keep_whole = _debounce_fold(None, us_all, eid_all, gap_s)
+    whole = {eid_all[i] for i in keep_whole}
+
+    bounds = sorted(set(cuts)) + [500_000_001]
+    prev_sec, chunked, lo = None, set(), 0
+    for b in bounds:
+        hi = lo
+        while hi < len(ordered) and ordered[hi][0] < b:
+            hi += 1
+        us = us_all[lo:hi]
+        eid = eid_all[lo:hi]
+        prev_sec, keep = _debounce_fold(prev_sec, us, eid, gap_s)
+        chunked |= {eid[i] for i in keep}
+        lo = hi
+    assert chunked == whole
