@@ -56,3 +56,24 @@ def test_registry_names_are_well_formed():
     for name in QUERIES:
         assert re.fullmatch(r"q\d+_[a-z0-9_]+", name), f"malformed: {name!r}"
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_oracle_output_types_are_hash_portable(conn):
+    """Registry-wide kill of the HUGEINT class (r4: q201's windowed
+    SUM, r5 audit also caught q202's knn_mean ppm columns): an oracle
+    output column DuckDB types as HUGEINT/UHUGEINT renders differently
+    from Spark's LONG in the driver's hash pipeline even when every
+    value is identical, so the repo rule is a final BIGINT cast on any
+    SUM-/window-derived column. LIMIT-0 type probe — no data compared,
+    the whole sweep is milliseconds per oracle."""
+    offenders = {}
+    for name in sorted(ORACLE):
+        rel = conn.sql(f"SELECT * FROM ({ORACLE[name]}) LIMIT 0")
+        bad = {
+            c: str(t)
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        }
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"un-cast HUGEINT oracle outputs: {offenders}"

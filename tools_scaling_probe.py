@@ -246,17 +246,22 @@ if __name__ == "__main__":
             "under the data factor mean fixed overhead still dominates at",
             "this size; anything super-linear flags a quadratic term.",
             "",
-            "Known super-linear entry: exact n-gram Jaccard. The testdata",
-            "vocabulary is ~35 uniformly-hot words, so every shingle is",
-            "shared by ~|docs|/vocab documents and the exact pairwise",
-            "intersection count is inherently quadratic in corpus size —",
-            "no exact algorithm avoids it without frequency skew (AllPairs",
-            "prefix filtering was measured WORSE here: 74x; available via",
-            "prefix_filter=True for Zipfian corpora). Hashing shingles to",
-            "48-bit int join keys cut the ratio 35x -> ~18x. The scale",
-            "path for near-dup detection is MinHash-LSH (q32, ~linear),",
-            "with exact Jaccard verification applied only to its",
-            "candidate pairs.",
+            "Known super-linear entry: q133, the UNGUARDED all-pairs",
+            "exact n-gram Jaccard — since round 5 the explicit opt-in QA",
+            "tier (max_df=None), while q31 registers the stop-shingle-",
+            "guarded library default (max_df=5, join work bounded at",
+            "O(#shingles*max_df^2) — measured ~linear above). The",
+            "testdata vocabulary is ~35 uniformly-hot words, so every",
+            "shingle is shared by ~|docs|/vocab documents and the exact",
+            "unfiltered pairwise intersection count is inherently",
+            "quadratic in corpus size — no exact algorithm avoids it",
+            "without frequency skew (AllPairs prefix filtering was",
+            "measured WORSE here: 74x; available via prefix_filter=True",
+            "for Zipfian corpora). Hashing shingles to 48-bit int join",
+            "keys cut the ratio 35x -> ~18x. The scale paths for near-dup",
+            "detection are the guarded default (q31) and MinHash-LSH",
+            "(q32, ~linear) with exact Jaccard verification on candidate",
+            "pairs only (q66).",
             "",
             "Embedding near-dup pairs (q51) default to hyperplane-LSH",
             "bucketed candidates + exact cosine re-rank (all-pairs is",
