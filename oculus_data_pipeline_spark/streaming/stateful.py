@@ -181,6 +181,7 @@ def _buffered_debounce(
             }
         )
 
+
 DEBOUNCE_OUTPUT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
