@@ -57,7 +57,10 @@ def _update_user_profile(
         n += len(pdf)
         total += float(pdf["value"].sum())
         if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+            # ts_us projected Spark-side (unix_micros): integer column,
+            # no pandas datetime-resolution/timezone assumptions (same
+            # advisor note as _debounce)
+            last_us = max(last_us, int(pdf["ts_us"].astype("int64").max()))
     state.update((n, total, last_us))
     yield pd.DataFrame(
         [
@@ -75,7 +78,9 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
     """events(user_id, ts, value) stream → continuously-updated per-user
     profile rows (one per key per micro-batch)."""
     return (
-        events.select("user_id", "ts", "value")
+        events.select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_profile,
