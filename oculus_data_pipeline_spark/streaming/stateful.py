@@ -371,6 +371,16 @@ def _coverage_row(user_id, st: tuple) -> pd.DataFrame:
     )
 
 
+# plain (time-ordered-replay) coverage state: the shared island fields
+# plus max_s, the guard that makes the in-order exactness CONTRACT
+# self-enforcing instead of a docstring promise (r4 advisor note) — an
+# interval starting before an already-folded start means the input was
+# not time-ordered and every downstream number would be silently wrong
+ORDERED_COVERAGE_STATE_SCHEMA = StructType(
+    list(COVERAGE_STATE_SCHEMA) + [StructField("max_s", LongType())]
+)
+
+
 def _fold_coverage(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -378,9 +388,10 @@ def _fold_coverage(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        st = tuple(state.get)
+        vals = tuple(state.get)
+        st, max_s = vals[:6], vals[6]
     else:
-        st = (None, None, 0, 0, None, 0)
+        st, max_s = (None, None, 0, 0, None, 0), None
     # concatenate the WHOLE micro-batch for this key before sorting —
     # sorting each Arrow chunk independently would fold later-chunk
     # intervals with earlier start times out of order (same pattern as
@@ -388,13 +399,21 @@ def _fold_coverage(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         pdf = pd.concat(chunks).sort_values(["s", "e"])
-        st = _coverage_fold(
-            st,
-            list(
-                zip(pdf["s"].astype("int64").tolist(), pdf["e"].astype("int64").tolist())
-            ),
+        pairs = list(
+            zip(pdf["s"].astype("int64").tolist(), pdf["e"].astype("int64").tolist())
         )
-    state.update(st)
+        if max_s is not None and pairs[0][0] < max_s:
+            raise ValueError(
+                f"interval_coverage_stream: out-of-order arrival for "
+                f"user_id={user_id} (interval starts {pairs[0][0]} < "
+                f"already-folded {max_s}); exact parity with batch q198 "
+                f"requires time-ordered replay — for out-of-order "
+                f"streams pass max_lateness_s=… to enable the "
+                f"watermark replay buffer"
+            )
+        st = _coverage_fold(st, pairs)
+        max_s = pairs[-1][0]
+    state.update(st + (max_s,))
     yield _coverage_row(user_id, st)
 
 
@@ -447,7 +466,10 @@ def interval_coverage_stream(
     batch sweep line would re-sort history every run. Each micro-batch
     folds its (sorted) intervals into the open island exactly as the
     batch window pass does; exact batch parity holds for
-    event-time-ordered replay.
+    event-time-ordered replay, and that contract is ENFORCED: a batch
+    whose earliest interval starts before an already-folded start
+    fails the query with a pointer at ``max_lateness_s`` instead of
+    silently corrupting every downstream number (r4 advisor note).
 
     ``max_lateness_s`` turns on the watermark replay buffer (round 5):
     intervals arriving up to that many seconds out of order are held
@@ -476,7 +498,7 @@ def interval_coverage_stream(
         return events.select(*iv_cols).groupBy("user_id").applyInPandasWithState(
             _fold_coverage,
             outputStructType=COVERAGE_OUTPUT_SCHEMA,
-            stateStructType=COVERAGE_STATE_SCHEMA,
+            stateStructType=ORDERED_COVERAGE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -829,3 +829,51 @@ def test_streaming_interval_coverage_out_of_order_equals_batch(
         for r in get_queries()["q198_interval_coverage"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_interval_coverage_rejects_out_of_order(spark, sf_dir, tmp_path):
+    """The PLAIN (no-buffer) coverage stream claims exact parity only
+    for time-ordered replay — feeding it reversed files must fail the
+    query loudly with a pointer at max_lateness_s, not silently emit
+    wrong coverage (r4 advisor note, now enforced in state)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.streaming.stateful import (
+        interval_coverage_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "timestamp_micros(CAST(percentile_disc(0.5)"
+            " WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    landing = tmp_path / "cov_reversed"
+    landing.mkdir()
+    # LATER half lands first (batch_0), earlier half second — reversed
+    for i, part in enumerate(
+        (ev.where(F.col("ts") >= F.lit(cut)), ev.where(F.col("ts") < F.lit(cut)))
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part.toPandas()),
+            str(landing / f"batch_{i}.parquet"),
+        )
+    out = interval_coverage_stream(
+        read_events_stream(spark, str(landing / "batch_*.parquet"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cov_reversed_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc:
+        q.awaitTermination(180)
+        raise AssertionError("reversed replay did not fail the query")
+    assert "out-of-order" in str(exc.value)
