@@ -231,6 +231,19 @@ def _debounce(
     # ts_us is projected Spark-side (unix_micros) — integer column,
     # so ordering and second-floors never touch pandas datetime dtypes
     batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    # in-order contract enforced at second granularity (the fold's
+    # resolution): a batch starting before the last folded second means
+    # unordered replay — fail loudly with the remedy, like coverage
+    first_sec = int(batch["ts_us"].iloc[0]) // 1_000_000
+    if prev_sec is not None and first_sec < prev_sec:
+        raise ValueError(
+            f"debounce_stream: out-of-order arrival for key "
+            f"{(user_id, event_type)} (event second {first_sec} < "
+            f"already-folded {prev_sec}); exact parity with batch q173 "
+            f"requires time-ordered replay — for out-of-order streams "
+            f"pass max_lateness_s=… to enable the watermark replay "
+            f"buffer"
+        )
     prev_sec, keep = _debounce_fold(
         prev_sec,
         batch["ts_us"].astype("int64").tolist(),
