@@ -275,7 +275,10 @@ def debounce_stream(
     of stream length; rows within a micro-batch apply the same
     sequential lag semantics in (ts_us, event_id) order, so a stream
     replayed through any batch slicing emits exactly the batch
-    query's survivors as long as files arrive time-ordered.
+    query's survivors as long as files arrive time-ordered — a
+    contract ENFORCED at second granularity: a batch starting before
+    the last folded second fails the query with a pointer at
+    ``max_lateness_s`` instead of silently dropping the wrong events.
 
     ``max_lateness_s`` turns on the watermark replay buffer (round 5):
     events may arrive up to that many seconds out of order and the
