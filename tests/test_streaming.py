@@ -877,3 +877,47 @@ def test_streaming_interval_coverage_rejects_out_of_order(spark, sf_dir, tmp_pat
         q.awaitTermination(180)
         raise AssertionError("reversed replay did not fail the query")
     assert "out-of-order" in str(exc.value)
+
+
+def test_streaming_debounce_rejects_out_of_order(spark, sf_dir, tmp_path):
+    """Mirror of the coverage rejection test: the PLAIN debounce must
+    fail loudly on unordered replay (second-granularity guard on
+    prev_sec), pointing at max_lateness_s."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.streaming.stateful import debounce_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "timestamp_micros(CAST(percentile_disc(0.5)"
+            " WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    landing = tmp_path / "deb_reversed"
+    landing.mkdir()
+    for i, part in enumerate(
+        (ev.where(F.col("ts") >= F.lit(cut)), ev.where(F.col("ts") < F.lit(cut)))
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part.toPandas()),
+            str(landing / f"batch_{i}.parquet"),
+        )
+    out = debounce_stream(
+        read_events_stream(spark, str(landing / "batch_*.parquet")), gap_s=3600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deb_reversed_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc:
+        q.awaitTermination(180)
+        raise AssertionError("reversed replay did not fail the query")
+    assert "out-of-order" in str(exc.value)
