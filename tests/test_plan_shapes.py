@@ -241,3 +241,24 @@ def test_apportionment_rank_is_broadcast_theta_not_window(spark, sf_dir):
     plan = physical_plan(QUERIES["q205_apportionment"](spark, sf_dir))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ngram_jaccard_default_plan_is_guarded(spark, sf_dir):
+    """The r5 contract: calling ngram_jaccard_pairs with DEFAULTS must
+    compile the stop-shingle-guarded plan (a df<=max_df filter between
+    the shingle table and the pair join), while max_df=None compiles
+    the unguarded all-pairs plan. Pins the q31/q133 role swap at the
+    physical-plan level so a default regression can't ship silently."""
+    from oculus_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    guarded = physical_plan(ngram_jaccard_pairs(docs, threshold=0.5))
+    unguarded = physical_plan(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
+    )
+    # the guard is a count-per-shingle aggregate + df filter feeding a
+    # semi/inner join back on the shingle hash; the unguarded plan has
+    # neither the df filter nor the extra aggregate
+    assert "(df" in guarded or "df#" in guarded
+    assert not ("(df" in unguarded or "df#" in unguarded)
+    assert guarded.count("HashAggregate") > unguarded.count("HashAggregate")
