@@ -219,9 +219,15 @@ def power_iteration(
             .agg(F.sum(F.col("g").cast("decimal(38,0)") * F.col("vv")).alias("vv"))
         )
     mx = v.groupBy().agg(F.max(F.abs(F.col("vv"))).alias("mx"))
+    # iterate can reach ~3e27 (> int64), so the exact readout is the
+    # DECIMAL value rendered as a STRING: DECIMAL final columns render
+    # engine-differently in downstream hash pipelines even when values
+    # match (r5 q148 lesson — final columns are BIGINT/DOUBLE/VARCHAR/
+    # BOOL/DATE/TIMESTAMP only), and scale-0 decimal → string is plain
+    # digits on both engines.
     return v.crossJoin(F.broadcast(mx)).select(
         F.col("vi").alias("i"),
-        F.col("vv").cast("decimal(38,0)").alias("iterate"),
+        F.col("vv").cast("decimal(38,0)").cast("string").alias("iterate"),
         F.round(
             F.col("vv").cast("double") / F.col("mx").cast("double"), 6
         ).alias("direction"),

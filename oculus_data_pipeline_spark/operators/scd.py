@@ -195,8 +195,14 @@ def table_fingerprint(
     ``digest_cols`` must already be cross-engine string-deterministic
     (integers, strings, pre-scaled decimals — never raw doubles or
     timestamps, whose text formatting differs by engine). The digest
-    accumulates in DECIMAL(38,0): 48-bit row hashes sum exactly to
-    ~10^24 rows."""
+    is the order-independent sum of 48-bit row hashes reduced mod
+    2^61-1 and emitted as BIGINT: the DECIMAL(38,0) accumulator stays
+    internal (exact to ~10^24 rows per bucket) and the readout is a
+    plain int64 — DECIMAL final columns render engine-differently in
+    downstream hash pipelines even when values match (r5 lesson), and
+    an unreduced BIGINT sum would overflow past ~10^9 rows anyway.
+    Merge partial fingerprints with :func:`merge_fingerprints` (sum
+    counts, sum-then-remod digests per bucket)."""
     from ..functions.hashing import md5_int
 
     row_str = F.concat_ws(
@@ -217,6 +223,33 @@ def table_fingerprint(
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("digest"),
+            F.pmod(
+                F.sum(F.col("h").cast("decimal(38,0)")),
+                F.lit(FINGERPRINT_MOD).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("digest"),
         )
+    )
+
+
+# Mersenne prime 2^61-1: modular digests stay BIGINT-safe, and a
+# pairwise merge sum (< 2^62) still fits int64 before the re-mod.
+FINGERPRINT_MOD = (1 << 61) - 1
+
+
+def merge_fingerprints(parts: DataFrame) -> DataFrame:
+    """Fold a union of :func:`table_fingerprint` partials into one grid:
+    counts add, digests add mod 2^61-1 (sum in DECIMAL so arbitrarily
+    many partials per bucket can't overflow before the re-mod). This is
+    the incremental-load path — update checksums without rescanning
+    history, then diff 256 rows."""
+    return parts.groupBy("bucket").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.pmod(
+            F.sum(F.col("digest").cast("decimal(38,0)")),
+            F.lit(FINGERPRINT_MOD).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("digest"),
     )

@@ -5282,7 +5282,8 @@ def q144_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              )} AS h
       FROM lineitem
     )
-    SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS DECIMAL(38,0)) AS digest
+    SELECT bucket, COUNT(*) AS n_rows,
+           CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS digest
     FROM r GROUP BY bucket
     """,
 )
@@ -5293,7 +5294,10 @@ def q145_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine stable): 256 (bucket, n_rows, digest) checksums that
     locate replica/backfill divergence before q143's snapshot_diff
     pinpoints it. One map-side-partial aggregation; shuffle size is
-    256 rows per task at any table size."""
+    256 rows per task at any table size. The digest is the hash sum
+    reduced mod 2^61-1 and emitted BIGINT (r5: DECIMAL(38,0) final
+    columns render engine-differently downstream even with identical
+    values, and the unreduced sum only fit BIGINT to ~10^9 rows)."""
     from .operators.scd import table_fingerprint
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5519,7 +5523,7 @@ def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
     ),
     m AS (SELECT MAX(ABS(v)) AS mx FROM v2)
-    SELECT i, CAST(v AS DECIMAL(38,0)) AS iterate,
+    SELECT i, CAST(CAST(v AS HUGEINT) AS VARCHAR) AS iterate,
            ROUND(CAST(v AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS direction
     FROM v2, m
     """,
@@ -5532,8 +5536,11 @@ def q148_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (Spark ``div`` == DuckDB ``//`` toward zero) bounds every
     entry independent of corpus size, so two exact DECIMAL(38,0)
     matvecs fit at any N; the corpus-sized work is the one bounded-
-    shuffle _gram_int pass. The float path with per-step normalization
-    is pinned against NumPy's eigendecomposition in tests."""
+    shuffle _gram_int pass. ``iterate`` can exceed int64 (~3e27) so
+    its exact readout is VARCHAR on both engines — DECIMAL final
+    columns are banned registry-wide (r5 lesson). The float path with
+    per-step normalization is pinned against NumPy's
+    eigendecomposition in tests."""
     from .operators.quantize import power_iteration
 
     return power_iteration(load_table(spark, sf_dir, "embeddings"))
@@ -6682,8 +6689,10 @@ def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters usually mean boilerplate, the q100/q139 path). Histogram
     rows are |distinct sizes|; the only corpus-sized work is the q76
     cluster pass it composes.  The singleton mass (docs in no near-dup
-    pair) is derived relationally — broadcast anti-join against the
-    clustered-id set, aggregate, union — so the whole query is ONE
+    pair) is derived relationally — anti-join against the clustered-id
+    set (AQE-sized: broadcast only when the runtime build side fits,
+    since a boilerplate giant cluster can approach corpus size),
+    aggregate, union — so the whole query is ONE
     lazy plan with zero driver-side actions (r4 verdict item 5: the
     old shape ran two .count() actions and a Python branch, making the
     plan data-dependent and recomputing the LSH+CC subtree)."""
@@ -6697,11 +6706,14 @@ def q167_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     ).select(F.col("cluster_size").cast("long"), "n_clusters", "n_docs")
-    # clustered ids ≤ |near-dup docs| — a small set; broadcast the
-    # anti-join probe side so the singleton count never shuffles docs
+    # clustered ids ≤ |near-dup docs| — usually small, but on
+    # boilerplate-heavy corpora a giant cluster can approach corpus
+    # size, where a forced broadcast becomes the OOM (r5 advisor
+    # note). No hint: AQE sees the anti-join build side's runtime size
+    # and broadcasts exactly when it fits autoBroadcastJoinThreshold.
     singles = (
         docs.join(
-            F.broadcast(cc.select(F.col("id").alias("doc_id"))),
+            cc.select(F.col("id").alias("doc_id")),
             "doc_id",
             "left_anti",
         )

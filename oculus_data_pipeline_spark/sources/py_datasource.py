@@ -39,6 +39,12 @@ Listing is RECURSIVE (``**/*.xml``); per-file memory on the executor
 is bounded by ``ET.iterparse`` with element eviction — one
 ``<document>`` subtree at a time, not the whole file, so a 10 GB file
 of small documents streams through a constant-memory partition.
+(Eviction clears BOTH the yielded subtree and the root's child list —
+``elem.clear()`` alone leaves a shell per document reachable from the
+root, O(#documents) growth, r5 advisor note. Constant memory holds
+for the flat root/<document> layout this source targets; documents
+nested under deeper intermediate containers would still accumulate
+shells on that container for the file's duration.)
 """
 
 from __future__ import annotations
@@ -88,13 +94,23 @@ class XmlDirReader(DataSourceReader):
         # not the whole file: once a document's end-tag is seen the
         # subtree is serialized, yielded, then evicted — the depth
         # counter yields only TOP-LEVEL documents, so eviction never
-        # drops a document that is still being parsed.
+        # drops a document that is still being parsed. Clearing the
+        # yielded element alone is not enough: the ROOT keeps a child
+        # reference to every cleared element shell (and to any
+        # non-document top-level subtrees), growing O(#documents) per
+        # file (r5 advisor note) — so the root is captured on its
+        # start event and its children are dropped after each yielded
+        # document, which releases shells AND interleaved non-document
+        # siblings already behind the parse cursor.
         depth = 0
+        root = None
         for event, elem in ET.iterparse(partition.path, events=("start", "end")):
             if event == "start":
+                if root is None:
+                    root = elem
                 if elem.tag == "document" and depth == 0:
                     depth = 1
-                elif depth:
+                elif depth and elem is not root:
                     depth += 1
             else:
                 if depth:
@@ -105,6 +121,7 @@ class XmlDirReader(DataSourceReader):
                             ET.tostring(elem, encoding="unicode"),
                         )
                         elem.clear()
+                        del root[:]
 
 
 class XmlDirDataSource(DataSource):

@@ -92,7 +92,19 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
     )
 
 
-DEBOUNCE_STATE_SCHEMA = StructType([StructField("prev_sec", LongType())])
+# Plain (time-ordered-replay) debounce state: the last FOLDED row's
+# (ts_us, event_id). The fold itself only needs the last second
+# (prev_sec = last_us // 1e6), but carrying the full-resolution row
+# makes the in-order guard exact: equal-second rows of the same key
+# split across files in non-event_id arrival order used to pass a
+# prev_sec-only guard yet could emit a different survivor than batch
+# q173's global (ts, event_id) order (r5 advisor note). CHECKPOINT
+# NOTE: this schema changed in round 6 (1 → 2 fields) — restarting an
+# existing streaming query from a pre-round-6 checkpoint fails on
+# state schema mismatch; start from a fresh checkpoint.
+DEBOUNCE_STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType()), StructField("last_eid", LongType())]
+)
 
 # Watermark replay buffer (round 5, r4 verdict item 4): per-key state
 # carries the rows not yet releasable — arrival order is decoupled
@@ -224,33 +236,37 @@ def _debounce(
     gap_s: int,
 ) -> Iterator[pd.DataFrame]:
     user_id, event_type = key
-    prev_sec = state.get[0] if state.exists else None
+    last = tuple(state.get) if state.exists else None
     batch = pd.concat(list(pdfs), ignore_index=True)
     if len(batch) == 0:
         return
     # ts_us is projected Spark-side (unix_micros) — integer column,
     # so ordering and second-floors never touch pandas datetime dtypes
     batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
-    # in-order contract enforced at second granularity (the fold's
-    # resolution): a batch starting before the last folded second means
-    # unordered replay — fail loudly with the remedy, like coverage
-    first_sec = int(batch["ts_us"].iloc[0]) // 1_000_000
-    if prev_sec is not None and first_sec < prev_sec:
+    # in-order contract enforced at FULL (ts_us, event_id) resolution:
+    # a batch starting at-or-before the last folded row means unordered
+    # replay (a prev_sec-only guard let equal-second cross-file ties
+    # through, where arrival order could pick a different survivor than
+    # batch q173's global order) — fail loudly with the remedy
+    first = (int(batch["ts_us"].iloc[0]), int(batch["event_id"].iloc[0]))
+    if last is not None and first <= last:
         raise ValueError(
             f"debounce_stream: out-of-order arrival for key "
-            f"{(user_id, event_type)} (event second {first_sec} < "
-            f"already-folded {prev_sec}); exact parity with batch q173 "
+            f"{(user_id, event_type)} (event (ts_us, event_id) {first} "
+            f"<= already-folded {last}); exact parity with batch q173 "
             f"requires time-ordered replay — for out-of-order streams "
             f"pass max_lateness_s=… to enable the watermark replay "
             f"buffer"
         )
-    prev_sec, keep = _debounce_fold(
-        prev_sec,
+    _, keep = _debounce_fold(
+        last[0] // 1_000_000 if last is not None else None,
         batch["ts_us"].astype("int64").tolist(),
         batch["event_id"].astype("int64").tolist(),
         gap_s,
     )
-    state.update((prev_sec,))
+    state.update(
+        (int(batch["ts_us"].iloc[-1]), int(batch["event_id"].iloc[-1]))
+    )
     if keep:
         out = batch.iloc[keep]
         yield pd.DataFrame(
@@ -276,9 +292,13 @@ def debounce_stream(
     sequential lag semantics in (ts_us, event_id) order, so a stream
     replayed through any batch slicing emits exactly the batch
     query's survivors as long as files arrive time-ordered — a
-    contract ENFORCED at second granularity: a batch starting before
-    the last folded second fails the query with a pointer at
-    ``max_lateness_s`` instead of silently dropping the wrong events.
+    contract ENFORCED at full (ts_us, event_id) resolution: a batch
+    starting at-or-before the last folded row fails the query with a
+    pointer at ``max_lateness_s`` instead of silently dropping the
+    wrong events (round 6: the guard state is the last folded row, so
+    even equal-second cross-file ties arriving out of event_id order
+    are caught; pre-round-6 checkpoints carry the old 1-field state
+    and need a fresh checkpoint directory).
 
     ``max_lateness_s`` turns on the watermark replay buffer (round 5):
     events may arrive up to that many seconds out of order and the
@@ -391,7 +411,10 @@ def _coverage_row(user_id, st: tuple) -> pd.DataFrame:
 # plus max_s, the guard that makes the in-order exactness CONTRACT
 # self-enforcing instead of a docstring promise (r4 advisor note) — an
 # interval starting before an already-folded start means the input was
-# not time-ordered and every downstream number would be silently wrong
+# not time-ordered and every downstream number would be silently wrong.
+# CHECKPOINT NOTE: max_s was added in round 5 (6 → 7 fields) —
+# restarting an existing streaming query from a pre-round-5 checkpoint
+# fails on state schema mismatch; start from a fresh checkpoint.
 ORDERED_COVERAGE_STATE_SCHEMA = StructType(
     list(COVERAGE_STATE_SCHEMA) + [StructField("max_s", LongType())]
 )
@@ -466,7 +489,11 @@ def _buffered_coverage(
         st = _coverage_fold(st, released)
     state.update(st + ([r[0] for r in kept], [r[1] for r in kept]))
     if kept and wm_ms >= 0:
-        state.setTimeoutTimestamp(max(kept[0][0] * 1000 + 1, wm_ms + 1))
+        # release needs wm_ms // 1000 > s, i.e. watermark at least
+        # (s+1)*1000 — registering at s*1000+1 would fire one no-op
+        # round per watermark advance before anything is releasable
+        # (r5 advisor note), re-registered at wm+1 each time
+        state.setTimeoutTimestamp(max((kept[0][0] + 1) * 1000, wm_ms + 1))
     if released:
         yield _coverage_row(user_id, st)
 
@@ -485,7 +512,9 @@ def interval_coverage_stream(
     event-time-ordered replay, and that contract is ENFORCED: a batch
     whose earliest interval starts before an already-folded start
     fails the query with a pointer at ``max_lateness_s`` instead of
-    silently corrupting every downstream number (r4 advisor note).
+    silently corrupting every downstream number (r4 advisor note;
+    that guard grew the plain state schema 6 → 7 fields in round 5,
+    so pre-round-5 checkpoints need a fresh checkpoint directory).
 
     ``max_lateness_s`` turns on the watermark replay buffer (round 5):
     intervals arriving up to that many seconds out of order are held

@@ -26,9 +26,25 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
+def decimal_columns(spark_df) -> list[str]:
+    """Spark-side mirror of the oracle LIMIT-0 type audit: names of any
+    DecimalType final columns. DECIMAL outputs render engine-differently
+    in the driver's hash pipeline even when values match (r5 q145/q148)
+    — final columns must be BIGINT/DOUBLE/VARCHAR/BOOL/DATE/TIMESTAMP."""
+    from pyspark.sql.types import DecimalType
+
+    return [f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)]
+
+
 def _norm(v):
-    """Normalize a value for cross-engine comparison."""
+    """Normalize a value for cross-engine comparison. Integral Decimals
+    stay exact ints (a float coercion here is precisely the driver-side
+    bug class that let the q145/q148 DECIMAL(38,0) drift pass locally —
+    ~6e16 digests exceed float53); fractional Decimals compare as float
+    against Spark doubles."""
     if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return int(v)
         return float(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()

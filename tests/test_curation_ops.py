@@ -179,24 +179,23 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark, sf_dir):
 
 
 def test_table_fingerprint_is_mergeable(spark, sf_dir):
-    """Fingerprints of disjoint halves must merge (sum counts and
-    digests per bucket) into the fingerprint of the whole — the
-    property that lets incremental loads update checksums without
-    rescanning history."""
-    from oculus_data_pipeline_spark.operators.scd import table_fingerprint
+    """Fingerprints of disjoint halves must merge (sum counts, sum
+    digests mod 2^61-1 per bucket — merge_fingerprints) into the
+    fingerprint of the whole — the property that lets incremental
+    loads update checksums without rescanning history. Holds because
+    (a+b) mod M == ((a mod M) + (b mod M)) mod M."""
+    from oculus_data_pipeline_spark.operators.scd import (
+        merge_fingerprints,
+        table_fingerprint,
+    )
     from oculus_data_pipeline_spark.sources.tables import load_table
-    from pyspark.sql import functions as F
 
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"]
     whole = table_fingerprint(li, "l_orderkey", cols)
     h1 = table_fingerprint(li.where("l_partkey % 2 = 0"), "l_orderkey", cols)
     h2 = table_fingerprint(li.where("l_partkey % 2 = 1"), "l_orderkey", cols)
-    merged = (
-        h1.unionByName(h2)
-        .groupBy("bucket")
-        .agg(F.sum("n_rows").alias("n_rows"), F.sum("digest").alias("digest"))
-    )
+    merged = merge_fingerprints(h1.unionByName(h2))
     w = {(r.bucket, r.n_rows, int(r.digest)) for r in whole.collect()}
     m = {(r.bucket, r.n_rows, int(r.digest)) for r in merged.collect()}
     assert w == m

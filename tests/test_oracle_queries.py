@@ -30,7 +30,11 @@ def test_oracle_match(name, spark, sf_dir, conn):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only(name, spark, sf_dir):
+    from .oracle_harness import decimal_columns
+
     df = QUERIES[name](spark, sf_dir)
+    bad = decimal_columns(df)
+    assert not bad, f"{name} emits DECIMAL final columns {bad} — hash-unportable"
     assert df.count() > 0, f"{name} returned 0 rows — vacuous rows-only pass"
 
 
@@ -64,8 +68,14 @@ def test_oracle_output_types_are_hash_portable(conn):
     output column DuckDB types as HUGEINT/UHUGEINT renders differently
     from Spark's LONG in the driver's hash pipeline even when every
     value is identical, so the repo rule is a final BIGINT cast on any
-    SUM-/window-derived column. LIMIT-0 type probe — no data compared,
-    the whole sweep is milliseconds per oracle."""
+    SUM-/window-derived column. Widened after r5 to reject ANY DECIMAL
+    final column as well: q145's DECIMAL(38,0) digest and q148's
+    iterate — the only two DECIMAL-typed final columns in the registry
+    — were the only two r5 driver hash-fails despite exact values at
+    three SFs. Final columns may only be BIGINT/DOUBLE/VARCHAR/BOOL/
+    DATE/TIMESTAMP (the Spark mirror of this rule lives in
+    oracle_harness.compare / test_rows_only). LIMIT-0 type probe — no
+    data compared, the whole sweep is milliseconds per oracle."""
     offenders = {}
     for name in sorted(ORACLE):
         rel = conn.sql(f"SELECT * FROM ({ORACLE[name]}) LIMIT 0")
@@ -73,7 +83,8 @@ def test_oracle_output_types_are_hash_portable(conn):
             c: str(t)
             for c, t in zip(rel.columns, rel.types)
             if str(t) in ("HUGEINT", "UHUGEINT")
+            or str(t).startswith("DECIMAL")
         }
         if bad:
             offenders[name] = bad
-    assert not offenders, f"un-cast HUGEINT oracle outputs: {offenders}"
+    assert not offenders, f"hash-unportable oracle output types: {offenders}"

@@ -282,13 +282,16 @@ def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
 def test_streaming_incremental_fingerprint_equals_batch(spark, tmp_path):
     """Incremental table fingerprinting under streaming: each
     micro-batch's 256-bucket (n_rows, digest) partial folds into the
-    persisted grid by entrywise addition (the mergeability that
-    test_properties pins algebraically), and after all batches the
-    accumulated grid equals the one-shot batch fingerprint — replica
-    validation that never rescans history."""
+    persisted grid by merge_fingerprints (counts add, digests add mod
+    2^61-1 — the mergeability the batch test pins algebraically), and
+    after all batches the accumulated grid equals the one-shot batch
+    fingerprint — replica validation that never rescans history."""
     from pyspark.sql import functions as F
 
-    from oculus_data_pipeline_spark.operators.scd import table_fingerprint
+    from oculus_data_pipeline_spark.operators.scd import (
+        merge_fingerprints,
+        table_fingerprint,
+    )
 
     schema = "k long, val string"
     b1 = [(i, f"v{i}") for i in range(40)]
@@ -319,15 +322,7 @@ def test_streaming_incremental_fingerprint_equals_batch(spark, tmp_path):
         part = table_fingerprint(batch, "k", cols, n_buckets=16)
         if os.path.exists(state_dir):
             state = spark.read.parquet(state_dir)
-            merged = (
-                state.unionByName(part)
-                .groupBy("bucket")
-                .agg(
-                    F.sum("n_rows").alias("n_rows"),
-                    F.sum("digest").alias("digest"),
-                )
-                .collect()
-            )
+            merged = merge_fingerprints(state.unionByName(part)).collect()
             spark.createDataFrame(merged, part.schema).write.mode(
                 "overwrite"
             ).parquet(state_dir)
