@@ -162,6 +162,54 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Capture fd 2 for the whole run (the JVM inherits it at launch,
+    # so Spark's log4j output lands in the temp file) and count
+    # `WindowExec: No Partition Defined` warnings — the one-task
+    # global-window scale killer this repo bans. The count goes INTO
+    # the JSON line so the evidence is machine-checkable per round,
+    # not a prose claim (r5 verdict item 7); the captured logs are
+    # replayed to the real stderr afterwards so `2>/dev/null` behaves
+    # as before.
+    import tempfile
+
+    orig_err = os.dup(2)
+    cap = tempfile.NamedTemporaryFile(prefix="bench_stderr_", delete=False)
+    os.dup2(cap.fileno(), 2)
+    try:
+        timings = _run(sf_dir)
+    finally:
+        sys.stderr.flush()
+        os.dup2(orig_err, 2)
+        os.close(orig_err)
+        cap.seek(0)
+        captured = cap.read()
+        cap.close()
+        os.unlink(cap.name)
+        os.write(2, captured)
+    window_warnings = captured.count(b"WindowExec: No Partition Defined")
+
+    total = round(sum(timings.values()), 3)
+    # key order matters operationally: the driver stores only the TAIL
+    # of this process's output (BENCH_r04 lost the total that way), so
+    # the per-query map comes first and the headline total/metric keys
+    # come last, where truncation can't eat them
+    print(
+        json.dumps(
+            {
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "unpartitioned_window_warnings": window_warnings,
+                "metric": "headline_queries_total_runtime",
+                "unit": "sec",
+                "value": total,
+            }
+        )
+    )
+
+
+def _run(sf_dir: str) -> dict[str, float]:
     spark = get_spark("oculus-bench")
     queries = get_queries()
 
@@ -192,24 +240,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
-
-    total = round(sum(timings.values()), 3)
-    # key order matters operationally: the driver stores only the TAIL
-    # of this process's output (BENCH_r04 lost the total that way), so
-    # the per-query map comes first and the headline total/metric keys
-    # come last, where truncation can't eat them
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "metric": "headline_queries_total_runtime",
-                "unit": "sec",
-                "value": total,
-            }
-        )
-    )
+    return timings
 
 
 if __name__ == "__main__":

@@ -11403,89 +11403,88 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-attestation ordering: the external correctness driver checks
 # the FIRST 50 registered queries each round. Cumulative state after
-# round 4: 177 of 220 registry queries have a driver row, 174 full
-# rows+schema+hash green (the non-green: q201 r4 hash — oracle typing,
-# fixed this round; q46/q85 rows-only BY DESIGN, their closed-form
-# companions q134/q135 are full green r4).
+# round 5: ALL 220 registry queries have a driver row (the r4
+# attestation debt is cleared); 216 latest-full-green. The non-green:
+# q46/q85 rows-only BY DESIGN (closed-form companions q134/q135 full
+# green r4) and q145/q148 (r5 hash-fail — their DECIMAL(38,0) final
+# columns render engine-differently in the driver hash even with
+# values exact at three SFs; both re-emitted BIGINT/VARCHAR in round 6
+# and the LIMIT-0 type audit now rejects any DECIMAL output).
 #
-# The ROUND-5 window below executes the r4 verdict's plan verbatim
-# ("spend the r5 window exactly as drafted — clear the attestation
-# debt first"; registry growth FROZEN at 220 this round):
-#   1. the 43 queries that have never been in a driver window
-#      (registry grew 131→220 against the 50-slot/round budget) —
-#      all exact-value green in the local harness at sf0.001 AND
-#      sf0.01 (tests/test_oracle_queries.py), but local evidence is
-#      not driver evidence until this round;
-#   2. q201 (oracle's windowed SUM now CAST ... AS BIGINT — DuckDB
-#      HUGEINT vs Spark LONG broke the r4 driver hash; values were
-#      already exact on both engines);
-#   3. q202 (same audit: its knn_mean_{a,b}_ppm were the only other
-#      HUGEINT-typed oracle outputs registry-wide — cast, re-attest);
-#   4. q31 (execution path changed in round 5: the registered plan is
-#      now the stop-shingle-guarded default; the old unguarded plan
-#      moved to q133, itself in set 1);
-#   5. the 4 oldest r1-stale re-attestations that fit (q01–q04); the
-#      rest of the r1-stale list (q06–q10, q12–q13, q15, q17–q18,
-#      q20–q30, q33–q37, q40–q43, q46, q50) leads the r6 window.
+# The ROUND-6 window below executes the r5 verdict's plan verbatim
+# (registry still FROZEN at 220 — from round 6 the window's job is
+# FRESHNESS, not debt):
+#   1. q145/q148 — readout types fixed this round (digest now a
+#      modular BIGINT sum; iterate now VARCHAR on both engines),
+#      re-attest first;
+#   2. q167 — execution path changed this round (the singleton
+#      anti-join dropped its forced broadcast; AQE sizes it), so its
+#      r5 green row no longer describes the registered plan;
+#   3. the 32 remaining r1-stale re-attestations (q06-q10, q12-q13,
+#      q15, q17-q18, q20-q30, q33-q37, q40-q43, q46, q50) — their
+#      only driver-green rows are from round 1, verified against the
+#      computed union of CORRECTNESS_r01-r05;
+#   4. the 15 lowest-numbered r2-stale queries (q05, q11, q32, q44,
+#      q47, q52-q54, q56-q57, q59-q62, q66) to fill the window —
+#      after this round no green row in the registry predates r2.
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
-    # --- 1. never driver-attested (43; registry order) ---
-    "q39_lsh_bucket_stats",
-    "q133_allpairs_jaccard_exact",  # role-swapped with q31 in r5
-    "q138_pq_encode",
-    "q139_segment_scrub",
-    "q140_embedding_gram",
-    "q141_source_mixture",
-    "q142_pq_adc_topk",
-    "q143_snapshot_diff",
-    "q144_stratified_split",
+    # --- 1. readout types fixed in r6 (DECIMAL ban) ---
     "q145_table_fingerprint",
-    "q146_variant_extract",
-    "q147_approx_percentile_bound",
     "q148_power_iteration",
-    "q149_ivf_pq_topk",
-    "q150_cms_heavy_hitters",
-    "q151_winsorized_stats",
-    "q152_count_sketch",
-    "q153_bloom_membership",
-    "q154_hard_negatives",
-    "q155_ewma_smoothing",
-    "q156_ab_test_stats",
-    "q157_pq_lloyd_update",
-    "q158_pareto_frontier",
-    "q159_pps_sample",
-    "q160_label_gini",
-    "q161_chi_square",
-    "q162_k_anonymity",
-    "q163_column_profile",
-    "q164_referential_integrity",
-    "q165_group_mode",
-    "q166_dedup_weights",
-    "q167_cluster_size_histogram",  # r5: singleton mass now relational
-    "q170_markov_transitions",
-    "q171_minhash_accuracy",
-    "q172_weighted_median",
-    "q173_event_debounce",
-    "q174_expectations_report",
-    "q175_oov_rate",
-    "q176_source_overlap_matrix",
-    "q177_token_diversity",
-    "q178_quality_calibration",
-    "q181_time_weighted_avg",
-    "q182_mad_outliers",
-    # --- 2./3. oracle typing fixed in r5 (HUGEINT→BIGINT casts) ---
-    "q201_cusum_changepoint",
-    "q202_mutual_nn_margin",
-    # --- 4. execution path changed in r5 ---
-    "q31_ngram_jaccard_pairs",  # registered plan now the guarded tier
-    # --- 5. oldest r1-stale re-attestations (remaining stale set
-    # --- leads the r6 window, see header comment) ---
-    "q01_pricing_summary",
-    "q02_shipping_priority",
-    "q03_region_revenue",
-    "q04_order_priority",
-    # Everything else is r2–r4-driver-attested and unchanged this
+    # --- 2. execution path changed in r6 (broadcast hint dropped) ---
+    "q167_cluster_size_histogram",
+    # --- 3. r1-stale re-attestations (32; registry order) ---
+    "q06_top_customers_per_nation",
+    "q07_running_order_totals",
+    "q08_rollup_order_stats",
+    "q09_cube_event_stats",
+    "q10_distinct_aggregates",
+    "q12_json_extraction",
+    "q13_daily_event_rollup",
+    "q15_sliding_windows",
+    "q17_pivot_order_status",
+    "q18_date_arithmetic",
+    "q20_normalize_terms",
+    "q21_generate_uri",
+    "q22_convert_name",
+    "q23_range_join",
+    "q24_theta_join",
+    "q25_unpivot",
+    "q26_array_ops",
+    "q27_string_funcs",
+    "q28_exact_stats",
+    "q29_subqueries",
+    "q30_exact_dedup",
+    "q33_simhash",
+    "q34_grouping_sets",
+    "q35_percentiles",
+    "q36_rank_with_ties",
+    "q37_window_frames",
+    "q40_token_stats",
+    "q41_quality_score",
+    "q42_lang_id",
+    "q43_fingerprint",
+    "q46_approx_distinct",
+    "q50_cosine_topk",
+    # --- 4. oldest r2-stale re-attestations (15; registry order) ---
+    "q05_customers_without_orders",
+    "q11_set_operations",
+    "q32_minhash_lsh_pairs",
+    "q44_rolling_hash",
+    "q47_ivf_ann",
+    "q52_pandas_udf_score",
+    "q53_applyinpandas_topk",
+    "q54_stream_dedup_batch",
+    "q56_deterministic_sample",
+    "q57_stratified_sample",
+    "q59_correlated_subquery",
+    "q60_classify_terms",
+    "q61_graph_nodes",
+    "q62_graph_edges",
+    "q66_lsh_verified_near_dups",
+    # Everything else is r3-r5-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
 ]
