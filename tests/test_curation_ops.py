@@ -193,9 +193,17 @@ def test_table_fingerprint_is_mergeable(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"]
     whole = table_fingerprint(li, "l_orderkey", cols)
-    h1 = table_fingerprint(li.where("l_partkey % 2 = 0"), "l_orderkey", cols)
-    h2 = table_fingerprint(li.where("l_partkey % 2 = 1"), "l_orderkey", cols)
-    merged = merge_fingerprints(h1.unionByName(h2))
+    # three-way split: >2 partials per bucket exercises the
+    # DECIMAL-sum-then-remod path beyond a single pairwise fold
+    parts = [
+        table_fingerprint(
+            li.where(f"l_partkey % 3 = {i}"), "l_orderkey", cols
+        )
+        for i in range(3)
+    ]
+    merged = merge_fingerprints(
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
     w = {(r.bucket, r.n_rows, int(r.digest)) for r in whole.collect()}
     m = {(r.bucket, r.n_rows, int(r.digest)) for r in merged.collect()}
     assert w == m
