@@ -62,6 +62,26 @@ def test_registry_names_are_well_formed():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_attestation_window_is_well_formed():
+    """The driver attests only the first 50 registered queries, ordered
+    by the hand-rotated _ATTESTATION_PRIORITY list. A typo during
+    rotation would NOT fail anything by itself — the misspelled name
+    just never matches, ranks as unlisted, and some alphabetical query
+    silently takes the slot — so pin the invariants: exactly 50
+    entries, no duplicates, every entry a registered query name."""
+    from oculus_data_pipeline_spark.queries import _ATTESTATION_PRIORITY
+
+    assert len(_ATTESTATION_PRIORITY) == 50, (
+        f"window has {len(_ATTESTATION_PRIORITY)} slots, driver attests 50"
+    )
+    dupes = {
+        n for n in _ATTESTATION_PRIORITY if _ATTESTATION_PRIORITY.count(n) > 1
+    }
+    assert not dupes, f"duplicate window slots: {sorted(dupes)}"
+    unknown = set(_ATTESTATION_PRIORITY) - set(QUERIES)
+    assert not unknown, f"window entries not in the registry: {sorted(unknown)}"
+
+
 def test_oracle_output_types_are_hash_portable(conn):
     """Registry-wide kill of the HUGEINT class (r4: q201's windowed
     SUM, r5 audit also caught q202's knn_mean ppm columns): an oracle
