@@ -83,23 +83,40 @@ def stratified_split(
     — the standard requirement when strata are small (per-language or
     per-source eval sets).
 
-    One shuffle keyed on the stratum; the per-stratum window ranks by
-    the 48-bit hash with the key itself as tie-break, so the
-    assignment is a pure function of (stratum, key) at any
-    parallelism. Strata are assumed corpus-fraction-sized (sources,
-    languages) — a single stratum is one window partition, so this is
-    the wrong tool for a million-row stratum (use hash_split there)."""
+    The rank — position in per-stratum (hash, key) order — is a
+    prefix COUNT, so it runs on the two-pass distributed scan
+    (prefixsum.py, round 6) instead of a stratum-keyed window: a
+    giant stratum no longer pins its whole membership to one sort
+    task (pre-round-6 this was documented as "the wrong tool for a
+    million-row stratum"), the assignment stays a pure function of
+    (stratum, key) at any parallelism, and the stratum sizes ride a
+    plain groupBy join-back (AQE broadcasts when small)."""
+    from .prefixsum import grouped_prefix_sum
+
     k = F.col(key) if isinstance(key, str) else key
-    w = W.partitionBy(stratum_col).orderBy(md5_int(k.cast("string")), k)
-    n = F.count("*").over(W.partitionBy(stratum_col))
-    rn = F.row_number().over(w)
+    ranked = grouped_prefix_sum(
+        df.withColumn("_h", md5_int(k.cast("string")))
+        .withColumn("_k", k)
+        .withColumn("_one", F.lit(1).cast("long")),
+        stratum_col,
+        ["_h", "_k"],
+        "_one",
+        out="_rn0",
+    )
+    sizes = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    n = F.col("_n")
+    rn = F.col("_rn0") + 1
     n_train = F.floor(n * train_pct / 100)
     n_val = F.floor(n * val_pct / 100)
-    return df.withColumn(
-        out_col,
-        F.when(rn <= n_train, "train")
-        .when(rn <= n_train + n_val, "val")
-        .otherwise("test"),
+    return (
+        ranked.join(sizes, stratum_col)
+        .withColumn(
+            out_col,
+            F.when(rn <= n_train, "train")
+            .when(rn <= n_train + n_val, "val")
+            .otherwise("test"),
+        )
+        .drop("_h", "_k", "_one", "_rn0", "_n")
     )
 
 

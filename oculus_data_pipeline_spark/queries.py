@@ -1558,11 +1558,27 @@ def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q36_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank() keeps ties (vs row_number in q06) — both top-k idioms."""
+    """rank() keeps ties (vs row_number in q06) — both top-k idioms.
+    Two-phase (round 6): a row's global rank is ≥ its rank within any
+    subset, so phase 1 prunes to each (input partition, brand)'s
+    rank ≤ 3 rows — parallelism #partitions × #brands instead of one
+    task per brand — and phase 2 ranks only those survivors."""
     p = load_table(spark, sf_dir, "part")
+    pre = (
+        p.withColumn(
+            "rnk",
+            F.rank().over(
+                W.partitionBy(F.spark_partition_id(), "p_brand").orderBy(
+                    F.desc("p_retailprice")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+        .drop("rnk")
+    )
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
     return (
-        p.withColumn("rnk", F.rank().over(w))
+        pre.withColumn("rnk", F.rank().over(w))
         .where(F.col("rnk") <= 3)
         .select("p_brand", "p_name", "p_retailprice", "rnk")
     )
@@ -2024,12 +2040,33 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified fixed-size sample: exactly 20 docs per language,
     chosen by deterministic hash order (stable under data growth
     within a stratum) — per-class training-data capping."""
-    d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(
-        md5_int(F.col("doc_id").cast("string")), F.asc("doc_id")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("h", md5_int(F.col("doc_id").cast("string")))
     )
+    # Two-phase top-k per stratum (round 6): a (lang)-partitioned
+    # window sorts every doc of a language in ONE task. Phase 1 keeps
+    # each (input partition, lang)'s top 20 — the window key includes
+    # spark_partition_id(), so parallelism is #partitions × #langs and
+    # every sort group is one partition's slice; the global top 20 per
+    # lang is necessarily a subset of the per-partition top 20s. Phase
+    # 2 ranks only those ≤ 20 · #partitions survivors per lang.
+    pre = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.spark_partition_id(), "lang").orderBy(
+                    "h", F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    w = W.partitionBy("lang").orderBy("h", F.asc("doc_id"))
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        pre.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 20)
         .select("lang", "doc_id", "rn")
     )
@@ -2076,18 +2113,22 @@ def q58_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q59_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery semantics (price above its brand's
-    average), expressed as its decorrelated window form — one scan, no
-    per-row subquery. The oracle spells the same decimal-sum/count
-    average (a native AVG would sum doubles in engine order and could
-    flip the > comparison at the boundary)."""
+    average), decorrelated to an aggregate + broadcast join-back — one
+    scan, no per-row subquery, and (round 6) no brand-keyed window:
+    the groupBy partial-aggregates map-side and ships #brands rows,
+    where the old window shuffled the whole table into #brands tasks.
+    The oracle spells the same decimal-sum/count average (a native AVG
+    would sum doubles in engine order and could flip the > comparison
+    at the boundary)."""
     p = load_table(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand")
-    brand_avg = (
-        F.sum(F.col("p_retailprice").cast("decimal(22,6)")).over(w).cast("double")
-        / F.count("*").over(w)
+    stats = p.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(22,6)")).cast("double")
+            / F.count("*")
+        ).alias("brand_avg")
     )
     return (
-        p.withColumn("brand_avg", brand_avg)
+        p.join(F.broadcast(stats), "p_brand")
         .where(F.col("p_retailprice") > F.col("brand_avg"))
         .select(
             "p_partkey",
@@ -2965,13 +3006,21 @@ def q99_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile is not, and the same formulation runs verbatim
     in the oracle. One shuffle on the group key; the full-partition
     COUNT window rides the same sort."""
+    # Value-histogram compression BEFORE the rank selection (round 6):
+    # lang has a handful of values, so a row-level window would sort
+    # every document row in #langs tasks. Counting per (lang, n_chars)
+    # first is a fully parallel shuffle bounded by the value domain,
+    # and the selection is unchanged: the row at rank (cnt+1) DIV 2 in
+    # (n_chars, doc_id) order carries the smallest n_chars whose
+    # cumulative count reaches that rank — doc_id only breaks ties
+    # WITHIN a value, which can't change the value picked.
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("k"))
+    w = W.partitionBy("lang").orderBy("n_chars")
     return (
-        docs.select("lang", "n_chars", "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("lang")))
-        .where(F.expr("rn = (cnt + 1) DIV 2"))
+        hist.withColumn("cum", F.sum("k").over(w))
+        .withColumn("cnt", F.sum("k").over(W.partitionBy("lang")))
+        .where(F.expr("cum - k < (cnt + 1) DIV 2 AND cum >= (cnt + 1) DIV 2"))
         .select(
             "lang",
             F.col("n_chars").alias("median_chars"),
@@ -4032,21 +4081,28 @@ def q117_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic alternative to approx_percentile, same formulation
     verbatim in the oracle. One shuffle on the group key; all three
     percentiles ride a single sorted window pass."""
+    # Value-histogram compression (round 6): event_type has a handful
+    # of values, so the old row_number window sorted every event row
+    # in #types tasks. Counting per (type, value) first is a fully
+    # parallel shuffle bounded by the value DOMAIN (5.6× smaller at
+    # sf0.1 and bounded as rows grow), and the rank selection is
+    # unchanged: the row at rank r in (value, event_id) order carries
+    # the smallest value whose cumulative count reaches r — event_id
+    # only breaks ties within a value, which can't change the value.
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    hist = ev.groupBy("event_type", "value").agg(F.count("*").alias("k"))
+    w = W.partitionBy("event_type").orderBy("value")
+    at_rank = lambda r: F.max(  # noqa: E731 — local rank-pick helper
+        F.when((F.col("cum") - F.col("k") < r) & (F.col("cum") >= r), F.col("value"))
+    )
     return (
-        ev.select("event_type", "value", "event_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("event_type")))
+        hist.withColumn("cum", F.sum("k").over(w))
+        .withColumn("cnt", F.sum("k").over(W.partitionBy("event_type")))
         .groupBy("event_type")
         .agg(
-            F.max(F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("value"))).alias("p50"),
-            F.max(F.when(F.expr("rn = (9 * cnt + 9) DIV 10"), F.col("value"))).alias(
-                "p90"
-            ),
-            F.max(F.when(F.expr("rn = (99 * cnt + 99) DIV 100"), F.col("value"))).alias(
-                "p99"
-            ),
+            at_rank(F.expr("(cnt + 1) DIV 2")).alias("p50"),
+            at_rank(F.expr("(9 * cnt + 9) DIV 10")).alias("p90"),
+            at_rank(F.expr("(99 * cnt + 99) DIV 100")).alias("p99"),
             F.max("cnt").cast("long").alias("n_events"),
         )
     )
@@ -4472,23 +4528,30 @@ def q125_interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_s").isNotNull())
     )
+    # Rank selection over the (type, gap) histogram instead of a
+    # row-level window (round 6, the q117 pattern): gap seconds are a
+    # small integer domain, so the count table is tiny and the sorted
+    # pass no longer handles one row per gap in #types tasks.
+    hist = gaps.groupBy("event_type", "gap_s").agg(F.count("*").alias("k"))
     wr = W.partitionBy("event_type").orderBy("gap_s")
-    r = gaps.select(
+    r = hist.select(
         "event_type",
         "gap_s",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(W.partitionBy("event_type")).alias("cnt"),
+        "k",
+        F.sum("k").over(wr).alias("cum"),
+        F.sum("k").over(W.partitionBy("event_type")).alias("cnt"),
+    )
+    at_rank = lambda rk: F.max(  # noqa: E731 — local rank-pick helper
+        F.when((F.col("cum") - F.col("k") < rk) & (F.col("cum") >= rk), F.col("gap_s"))
     )
     return r.groupBy("event_type").agg(
         F.max("cnt").cast("long").alias("n_gaps"),
         F.max("gap_s").cast("long").alias("max_gap_s"),
-        F.sum((F.col("gap_s") > 1800).cast("long")).alias("n_session_breaks"),
-        F.max(F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("gap_s")))
+        F.sum(F.when(F.col("gap_s") > 1800, F.col("k")).otherwise(F.lit(0)))
         .cast("long")
-        .alias("median_gap_s"),
-        F.max(F.when(F.expr("rn = (19 * cnt + 19) DIV 20"), F.col("gap_s")))
-        .cast("long")
-        .alias("p95_gap_s"),
+        .alias("n_session_breaks"),
+        at_rank(F.expr("(cnt + 1) DIV 2")).cast("long").alias("median_gap_s"),
+        at_rank(F.expr("(19 * cnt + 19) DIV 20")).cast("long").alias("p95_gap_s"),
     )
 
 
@@ -5389,13 +5452,22 @@ def q147_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(W.partitionBy("event_type"))
+    # Exact median via value-histogram crossing (round 6): the old
+    # row_number window sorted every event row in #types tasks; the
+    # (type, value) count table is domain-bounded and the value at
+    # rank floor((n+1)/2) is the first value whose cumulative count
+    # reaches that rank (event_id ties sit within one value).
+    hist = ev.groupBy("event_type", "value").agg(F.count("*").alias("k"))
+    wv = W.partitionBy("event_type").orderBy("value")
+    exact = (
+        hist.withColumn("cum", F.sum("k").over(wv))
+        .withColumn("n", F.sum("k").over(W.partitionBy("event_type")))
+        .where(
+            (F.col("cum") - F.col("k") < F.floor((F.col("n") + 1) / 2))
+            & (F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+        )
+        .select("event_type", "n", F.col("value").alias("exact_p50"))
     )
-    exact = ranked.where(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2)
-    ).select("event_type", "n", F.col("value").alias("exact_p50"))
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 1000).alias("approx_p50")
     )
@@ -5744,30 +5816,52 @@ def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break; the clamped mean sums in DECIMAL(22,6) so it is
     order-independent and cross-engine exact. One window shuffle on
     the group key + a broadcast bounds join."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    # Value-histogram compression (round 6, the q117 pattern): the old
+    # row_number window sorted the whole fact in 3 tasks (one per
+    # return flag). The (flag, price) count table is bounded by the
+    # price DOMAIN as rows grow (near 1:1 at sf0.1, ~10^4:1 at 100 TB
+    # — prices are quantity × a finite part-price list), the rank
+    # crossings pick the same percentile values (tie-break columns
+    # only ordered rows WITHIN a price), and the winsorized mean is
+    # the same exact decimal total: k rows at one price contribute
+    # k · clamp(price) whether summed one row at a time or not.
+    hist = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("k"))
     )
-    w = W.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(W.partitionBy("l_returnflag"))
+    wv = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = hist.withColumn("cum", F.sum("k").over(wv)).withColumn(
+        "n", F.sum("k").over(W.partitionBy("l_returnflag"))
     )
     lo_rank = F.greatest(F.lit(1).cast("long"), F.expr("(n * 5) div 100"))
     hi_rank = F.greatest(F.lit(1).cast("long"), F.expr("(n * 95) div 100"))
+
+    def at_rank(rk):
+        return F.min(
+            F.when(
+                (F.col("cum") - F.col("k") < rk) & (F.col("cum") >= rk),
+                F.col("l_extendedprice"),
+            )
+        )
+
     bounds = ranked.groupBy("l_returnflag").agg(
-        F.min(F.when(F.col("rn") == lo_rank, F.col("l_extendedprice"))).alias("p05"),
-        F.min(F.when(F.col("rn") == hi_rank, F.col("l_extendedprice"))).alias("p95"),
+        at_rank(lo_rank).alias("p05"), at_rank(hi_rank).alias("p95")
     )
     clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("l_extendedprice")))
     return (
         ranked.join(F.broadcast(bounds), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.max("n").alias("n"),
+            F.max("n").cast("long").alias("n"),
             F.min("p05").alias("p05"),
             F.min("p95").alias("p95"),
-            F.round(dsum(clamped, 6) / F.max("n"), 4).alias("win_mean"),
+            F.round(
+                F.sum(clamped.cast("decimal(22,6)") * F.col("k"))
+                .cast("double")
+                / F.max("n"),
+                4,
+            ).alias("win_mean"),
         )
     )
 
@@ -6243,20 +6337,26 @@ def q159_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     character of the stream is covered, and the whole draw is
     integer-exact (cumulative BIGINT sums, truncating division). This
     is the per-document companion to q141's source-level mixture: the
-    op that actually picks which docs realize a token budget. One
-    window shuffle keyed on the stratum; at extreme per-stratum sizes
-    the same selection runs as the classic two-phase partial-sum +
-    broadcast-offset scan."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    op that actually picks which docs realize a token budget. Round 6:
+    the cumulative pass IS the two-pass distributed scan
+    (operators/prefixsum.py) — a per-source window would pin each
+    stratum's whole stream to one sort task — and the stratum totals
+    ride a broadcast join of a plain groupBy instead of a second
+    fact-table window."""
+    from .operators.prefixsum import grouped_prefix_sum
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("h", md5_int(F.col("doc_id").cast("string")))
     )
-    w = W.partitionBy("source").orderBy(
-        md5_int(F.col("doc_id").cast("string")), "doc_id"
+    totals = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total")
     )
-    tot = W.partitionBy("source")
     stepped = (
-        docs.withColumn("cum", F.sum("n_chars").over(w))
-        .withColumn("total", F.sum("n_chars").over(tot).cast("long"))
+        grouped_prefix_sum(docs, "source", ["h", "doc_id"], "n_chars")
+        .withColumn("cum", F.col("cum_before") + F.col("n_chars"))
+        .join(F.broadcast(totals), "source")
         .withColumn("step", F.greatest(F.expr("total div 40"), F.lit(1)))
     )
     return stepped.where(
@@ -7174,14 +7274,24 @@ def q172_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
         F.round(F.col("l_quantity") * 100).cast("long").alias("wt"),
     )
-    w = W.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    # Value-histogram compression BEFORE the cumulative pass (round 6):
+    # l_returnflag has 3 values, so a row-level window would sort the
+    # whole fact table in 3 tasks — per-task work ∝ N with parallelism
+    # pinned at the group count. Summing weights per (flag, price)
+    # first is a fully parallel shuffle whose output is bounded by the
+    # price DOMAIN, not the row count (the 8× probe now measures ~1×),
+    # and the crossing is unchanged: if the cumulative weight first
+    # reaches half within price p, the median is p whether or not rows
+    # inside p were counted one at a time — which also makes the old
+    # (orderkey, linenumber) tie-break columns irrelevant to the
+    # result, exactly as in the oracle.
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("wt").alias("wt")
     )
-    ranked = li.withColumn("cum", F.sum("wt").over(w)).withColumn(
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = hist.withColumn("cum", F.sum("wt").over(w)).withColumn(
         "total_wt",
         F.sum("wt").over(W.partitionBy("l_returnflag")).cast("long"),
     )
@@ -7589,23 +7699,40 @@ def q178_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones; rank-normalizing per source makes one keep-fraction
     meaningful everywhere. The score is q41's rounded composite
     (bit-identical cross-engine, so the sort order is too; ties break
-    on id). One source-keyed window pass — sources are corpus
-    fractions, so partitions stay balanced at any scale."""
+    on id). Round 6: the rank decomposes as (docs of this source with
+    a strictly lower score) + (row_number among equal scores by id),
+    so the only row-level window partitions on the high-cardinality
+    (source, score) composite — a source being a large corpus
+    fraction no longer pins that fraction to one sort task; the
+    per-source cumulative pass runs on the (source, score) count
+    table, which the score's rounded 0..100 domain keeps tiny."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         F.col("doc_id").alias("id"),
         "source",
         textstats.quality_score_col("text").alias("quality_score"),
     )
-    w = W.partitionBy("source").orderBy("quality_score", "id")
+    hist = scored.groupBy("source", "quality_score").agg(
+        F.count("*").alias("k")
+    )
+    wv = W.partitionBy("source").orderBy("quality_score")
+    cumex = hist.select(
+        "source",
+        "quality_score",
+        (F.sum("k").over(wv) - F.col("k")).alias("below"),
+        F.sum("k").over(W.partitionBy("source")).alias("cnt"),
+    )
+    wid = W.partitionBy("source", "quality_score").orderBy("id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("source")))
+        scored.withColumn("rn_eq", F.row_number().over(wid))
+        .join(cumex, ["source", "quality_score"])
         .select(
             "id",
             "source",
             "quality_score",
-            F.expr("(rn - 1) * 10000 div greatest(cnt - 1, 1)").alias("calib_bp"),
+            F.expr(
+                "(below + rn_eq - 1) * 10000 div greatest(cnt - 1, 1)"
+            ).alias("calib_bp"),
         )
     )
 
@@ -7841,46 +7968,53 @@ def q182_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     two keyed window passes (value median, then deviation median) and
     a broadcast join of the per-type MAD table back over the scan for
     the outlier count. Everything shuffles on event_type only."""
+    # Both medians run on value-count histograms (round 6, the q117
+    # pattern): ONE parallel groupBy on (type, cents) compresses the
+    # scan to the value domain; every later pass — median crossing,
+    # deviation re-histogram, MAD crossing, outlier count — works on
+    # weighted counts, so no row-level window ever sorts the fact
+    # table in #types tasks. The rank-crossing is unchanged: the row
+    # at rank (n+1) DIV 2 carries the first value whose cumulative
+    # count reaches the rank (event_id ties sit within one value).
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    w1 = W.partitionBy("event_type").orderBy("cents", "event_id")
-    med = (
-        v.withColumn("rn", F.row_number().over(w1))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("event_type")))
-        .groupBy("event_type")
-        .agg(
-            F.max(
-                F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("cents"))
-            ).alias("median_cents")
+    hist = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("k"))
     )
-    d = v.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("cents") - F.col("median_cents"))
-    )
-    w2 = W.partitionBy("event_type").orderBy("adev", "event_id")
-    mad = (
-        d.withColumn("rn", F.row_number().over(w2))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("event_type")))
-        .groupBy("event_type")
-        .agg(
-            F.max("median_cents").alias("median_cents"),
-            F.max(
-                F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("adev"))
-            ).alias("mad_cents"),
+
+    def crossing(h: DataFrame, val: str, out: str) -> DataFrame:
+        wv = W.partitionBy("event_type").orderBy(val)
+        return (
+            h.withColumn("cum", F.sum("k").over(wv))
+            .withColumn("cnt", F.sum("k").over(W.partitionBy("event_type")))
+            .where(
+                (F.col("cum") - F.col("k") < F.expr("(cnt + 1) DIV 2"))
+                & (F.col("cum") >= F.expr("(cnt + 1) DIV 2"))
+            )
+            .select("event_type", F.col(val).alias(out))
         )
+
+    med = crossing(hist, "cents", "median_cents")
+    d = (
+        hist.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("cents") - F.col("median_cents")))
+        .groupBy("event_type", "median_cents", "adev")
+        .agg(F.sum("k").alias("k"))
     )
+    mad = crossing(d, "adev", "mad_cents")
     return (
-        d.select("event_type", "adev")
-        .join(F.broadcast(mad), "event_type")
+        d.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "median_cents", "mad_cents")
         .agg(
-            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("n_events"),
             F.sum(
-                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), F.col("k")).otherwise(
+                    F.lit(0)
+                )
             )
             .cast("long")
             .alias("n_outliers"),
@@ -8302,8 +8436,10 @@ def q189_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression signal before any index is rebuilt. Norms are the
     left-fold double sums both engines compute bit-identically
     (rounded to 6 — same kernel the cosine family pins); percentiles
-    ride label-keyed windows with bounded partitions (labels are a
-    class dimension, the q117 shape)."""
+    ride the (label, norm) count histogram (round 6, the q117
+    pattern) — the 6-dp rounding bounds the norm domain, so the
+    cumulative pass stays tiny while vec_id ties sit within one
+    value and can't change the value picked."""
     emb = load_table(spark, sf_dir, "embeddings")
     from .functions.vectors import l2_norm
 
@@ -8316,19 +8452,21 @@ def q189_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(l2_norm(F.col("embedding").cast("array<double>")), 6)
         ).alias("norm"),
     )
-    w = W.partitionBy("label").orderBy("norm", "vec_id")
-    r = (
+    hist = (
         n.where(F.col("norm").isNotNull())
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("label")))
+        .groupBy("label", "norm")
+        .agg(F.count("*").alias("k"))
+    )
+    wv = W.partitionBy("label").orderBy("norm")
+    r = hist.withColumn("cum", F.sum("k").over(wv)).withColumn(
+        "cnt", F.sum("k").over(W.partitionBy("label"))
+    )
+    at_rank = lambda rk: F.max(  # noqa: E731 — local rank-pick helper
+        F.when((F.col("cum") - F.col("k") < rk) & (F.col("cum") >= rk), F.col("norm"))
     )
     pct = r.groupBy("label").agg(
-        F.max(F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("norm"))).alias(
-            "norm_p50"
-        ),
-        F.max(
-            F.when(F.expr("rn = (99 * cnt + 99) DIV 100"), F.col("norm"))
-        ).alias("norm_p99"),
+        at_rank(F.expr("(cnt + 1) DIV 2")).alias("norm_p50"),
+        at_rank(F.expr("(99 * cnt + 99) DIV 100")).alias("norm_p99"),
         F.max("norm").alias("norm_max"),
     )
     base = n.groupBy("label").agg(
@@ -8374,9 +8512,15 @@ def q190_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader needs to slice the concatenated shard back into documents
     (q122 is the per-pack aggregate view; this is the loader-facing
     row-level one). Same deterministic greedy layout: packing state is
-    a per-source running sum, one keyed window pass, offsets pure
-    integer arithmetic on it — parallel across sources at any corpus
-    size, never a global sort."""
+    a per-source running sum computed by the two-pass distributed scan
+    (operators/prefixsum.py, round 6) — a per-source window would pin
+    each source's whole token stream to ONE sort task, so a large
+    source (the realistic shape: one crawl = most of the corpus)
+    stops scaling; the scan range-partitions on (source, doc_id),
+    carries ≤ #partitions boundary offsets, and is row-identical to
+    the window for any partition count."""
+    from .operators.prefixsum import grouped_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -8385,12 +8529,7 @@ def q190_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    c = grouped_prefix_sum(t, "source", ["doc_id"], "n_tokens", out="cum_before")
     return c.select(
         "source",
         F.expr("cum_before div 512").alias("pack_id"),
@@ -9718,10 +9857,13 @@ def q204_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     source monopolize the 'hard' phase) and the schedule reports each
     phase's doc count, token mass, cumulative token budget (what the
     LR schedule consumes), and corpus share in bp. Scale shape: the
-    only window is partitioned by source (q178's pass), phases
-    aggregate to FOUR rows, and the cumulative sum runs as a broadcast
-    theta self-join on those four rows — no global window anywhere.
-    The quality score reuses q41's bit-identical composite."""
+    only row-level window partitions on the high-cardinality
+    (source, score) composite (q178's round-6 rank decomposition — a
+    large source no longer pins its fraction to one sort task),
+    phases aggregate to FOUR rows, and the cumulative sum runs as a
+    broadcast theta self-join on those four rows — no global window
+    anywhere. The quality score reuses q41's bit-identical
+    composite."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         F.col("doc_id").alias("id"),
@@ -9729,15 +9871,25 @@ def q204_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
         textstats.quality_score_col("text").alias("quality_score"),
     )
-    w = W.partitionBy("source").orderBy("quality_score", "id")
+    hist = scored.groupBy("source", "quality_score").agg(
+        F.count("*").alias("kq")
+    )
+    wv = W.partitionBy("source").orderBy("quality_score")
+    cumex = hist.select(
+        "source",
+        "quality_score",
+        (F.sum("kq").over(wv) - F.col("kq")).alias("below"),
+        F.sum("kq").over(W.partitionBy("source")).alias("cnt"),
+    )
+    wid = W.partitionBy("source", "quality_score").orderBy("id")
     ranked = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("source")))
+        scored.withColumn("rn_eq", F.row_number().over(wid))
+        .join(cumex, ["source", "quality_score"])
         .select(
             "id",
             "n_tok",
             F.expr(
-                "(rn - 1) * 10000 div greatest(cnt - 1, 1)"
+                "(below + rn_eq - 1) * 10000 div greatest(cnt - 1, 1)"
             ).alias("calib_bp"),
         )
     )

@@ -237,14 +237,23 @@ if __name__ == "__main__":
             # 7.2×-at-8× read "sub-linear" while the prose below
             # correctly calls it the known super-linear opt-in tier
             # (r5 verdict item 2). alpha = log(ratio)/log(K) estimates
-            # t ~ N^alpha; <= 1/3 is overhead-dominated flat, <= 0.85
-            # tracks the data (~linear at worst), beyond that the
-            # measured growth itself is super-linear.
+            # t ~ N^alpha. Tier semantics carry their plain meaning:
+            # on FIXED resources t ∝ N (alpha = 1) is ideal
+            # proportional scaling, so SUPER-LINEAR — the quadratic-
+            # term flag — starts only beyond linear plus this box's
+            # noise (±30% per query shifts alpha by log(1.3)/log(8)
+            # ≈ 0.13, hence the 1.1 cutoff). <= 1/3 is overhead-
+            # dominated flat; <= 0.85 tracks the data with overhead
+            # still amortizing; <= 1.1 is ≈ proportional.
             alpha = math.log(max(ratio, 0.01)) / math.log(K)
             verdict = (
                 "sub-linear"
                 if alpha <= 1 / 3
-                else ("~linear" if alpha <= 0.85 else "SUPER-LINEAR")
+                else (
+                    "~linear"
+                    if alpha <= 0.85
+                    else ("linear" if alpha <= 1.1 else "SUPER-LINEAR")
+                )
             )
             lines.append(
                 f"| {name} | {t1:.2f} | {tk:.2f} | {ratio:.1f}× |"
@@ -288,6 +297,15 @@ if __name__ == "__main__":
             "auto-sizes P ~ log2(N/32) from a one-pass count so bucket",
             "occupancy — hence candidates per vector — stays constant",
             "as N grows (fixed P would be N^2/2^(P+1) per table).",
+            "",
+            "q202 (mutual-NN margin) rides the same pinned-P=6 LSH",
+            "bucket self-join as the q51 oracle variant, so its probe",
+            "candidates grow N^2/2^7 by construction — the 'linear'-",
+            "tier reading (alpha near 1) is that pinned-P oracle",
+            "variant entering its quadratic regime, not the production",
+            "path, which auto-sizes P exactly like q38/q51. q172's",
+            "alpha ~0.87 is a global sort crossing from overhead- to",
+            "data-dominated (N log N, no quadratic term).",
         ]
         out = "\n".join(lines) + "\n"
         # preserve the marker-delimited salted-join section written by
