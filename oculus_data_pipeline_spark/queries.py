@@ -4353,10 +4353,14 @@ def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the LLM pre-training batch-prep step: docs
     are greedily packed, in deterministic doc_id order, into ~512-token
     shards; pack_id = (running token count before this doc) DIV budget.
-    The running sum is windowed PER SOURCE, so packing parallelizes
-    across sources at scale instead of forcing one global sort
-    partition — the two-level packing layout real trainers use
-    (shard within file/domain). Returns per-pack manifests."""
+    The running sum is the two-pass distributed scan
+    (operators/prefixsum.py, round 6 — same layout as q190's
+    loader-facing manifest): packing parallelizes WITHIN a source,
+    not just across sources, so the realistic one-giant-crawl corpus
+    doesn't serialize into a single sort task. Returns per-pack
+    manifests."""
+    from .operators.prefixsum import grouped_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -4365,8 +4369,7 @@ def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    c = grouped_prefix_sum(t, "source", ["doc_id"], "n_tokens", out="cum_before")
     packed = c.withColumn("pack_id", F.expr("cum_before div 512"))
     return packed.groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"),
