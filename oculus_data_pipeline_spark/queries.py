@@ -11587,9 +11587,9 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-7 LEAD LIST (changed execution paths in round 6, AFTER this
 # window was frozen — their existing green rows describe the OLD
-# plans): q99, q117, q125, q144, q147, q151, q159, q172, q178, q182,
-# q189, q190, q204 (the window-scaling sweep: value-histogram rank
-# crossings, two-phase top-k, distributed prefix scan). q36/q57/q59
+# plans): q99, q117, q122, q125, q144, q147, q151, q159, q172, q178,
+# q182, q189, q190, q204 (the window-scaling sweep: value-histogram
+# rank crossings, two-phase top-k, distributed prefix scan). q36/q57/q59
 # changed in the same sweep but sit IN this window, so round 6
 # attests their new plans directly. After the 13, fill with the
 # oldest-stale rows from tools_attestation_status.py's union.

@@ -65,6 +65,16 @@ PROBES = [
     "q127_part_cooccurrence",
     "q128_gap_sessionization",
     "q125_interevent_gap_stats",
+    # round-6 window-scaling sweep members not already probed: the
+    # value-histogram crossings (q36/q57/q59/q99/q117/q147) and the
+    # second distributed-prefix-scan consumer (q122)
+    "q36_rank_with_ties",
+    "q57_stratified_sample",
+    "q59_correlated_subquery",
+    "q99_group_median",
+    "q117_group_percentiles",
+    "q122_sequence_packing",
+    "q147_approx_percentile_bound",
     "q129_gap_fill_forward",
     "q130_incremental_agg_merge",
     "q138_pq_encode",
