@@ -26,6 +26,19 @@ from oculus_data_pipeline_spark.sources.tables import TABLES, load_table
 
 K = int(os.environ.get("SCALE_K", "8"))
 SRC = "/root/testdata/sf0.1"
+
+# Plans whose asymptotic growth is known from their construction,
+# independent of what this box measures at this fixture size.
+KNOWN_ASYMPTOTES = {
+    "q133_allpairs_jaccard_exact": (
+        "known Σdf² QUADRATIC asymptote (unguarded all-pairs, opt-in "
+        "QA tier; q31/q32/q66 are the scale paths)"
+    ),
+    "q202_mutual_nn_margin": (
+        "pinned-P=6 oracle variant: N²/2⁷ candidate asymptote "
+        "(production auto-sizes P like q38/q51)"
+    ),
+}
 PROBES = [
     "q01_pricing_summary",
     "q03_region_revenue",
@@ -265,6 +278,13 @@ if __name__ == "__main__":
                     else ("linear" if alpha <= 1.1 else "SUPER-LINEAR")
                 )
             )
+            # Known-by-construction asymptotes stay in the table even
+            # when the measured exponent wobbles across a tier cutoff
+            # (q133 measured 7.2× / 12.6× / 7.9× across three runs of
+            # the same plan): the measurement stays, the annotation
+            # keeps the table from contradicting what the code does.
+            if name in KNOWN_ASYMPTOTES:
+                verdict += f" — {KNOWN_ASYMPTOTES[name]}"
             lines.append(
                 f"| {name} | {t1:.2f} | {tk:.2f} | {ratio:.1f}× |"
                 f" α≈{alpha:.2f} {verdict} |"
