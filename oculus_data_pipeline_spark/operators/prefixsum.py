@@ -19,9 +19,16 @@ distributed scan instead, kept entirely JVM-side:
    ``(partition_id, group)`` composite (parallelism #partitions ×
    #groups, never one task per group) plus a broadcast left join of
    the tiny carry table — whole-stage codegen end to end, no Python
-   pass. The partials job and the window re-read the same range
-   shuffle (stage reuse), so the fact is shuffled twice total (range +
-   window hash exchange) and never persisted.
+   pass.
+
+The range-partitioned data is materialized ONCE via a lazy
+``localCheckpoint`` before either pass reads it: Spark's range
+partitioner samples its bounds with an RDD-id-derived seed, so two
+independent executions of the same plan may split rows differently —
+carries keyed by pass-1 partition ids would silently mis-offset
+pass-2 rows. Small inputs mask this (the bound sample is exhaustive);
+the sf0.1 oracle harness caught it. Storage cost is one copy of the
+projected columns — callers select only what they need first.
 
 The result is row-identical to the single-task window for any
 partition count: a prefix sum over a fixed total order does not depend
@@ -64,8 +71,20 @@ def grouped_prefix_sum(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    d = df.repartitionByRange(n_part, group, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # CRITICAL: materialize the range partitioning ONCE. Spark's range
+    # partitioner samples its bounds with a seed derived from the RDD
+    # id, so two separate actions over the same plan can land rows in
+    # DIFFERENT partitions — pass-1 carries keyed by pass-1 pids would
+    # then be applied to pass-2 pids. Small inputs hide this (the
+    # sample sees every row, so bounds coincide); at scale it is a
+    # silent-wrong-offsets bug. The lazy localCheckpoint pins one
+    # partitioning that both the carry collect and the window job
+    # read; its storage cost is one pass of the PROJECTED columns —
+    # callers should select the columns they need before calling.
+    d = (
+        df.repartitionByRange(n_part, group, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     # Pass 1: per-(partition, group) totals — tiny after map-side
