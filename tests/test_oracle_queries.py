@@ -39,14 +39,23 @@ def test_rows_only(name, spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_oracle_not_vacuous(name, conn):
+def test_oracle_not_vacuous(name, conn, sf_dir):
     """Registry-wide guard against vacuous green: a query whose oracle
     returns 0 rows at sf0.001 'hash-matches' an empty result and proves
     nothing (this class slipped through in rounds 1 and 3 — q05/q11/q51
     and then q68).  Uses the DuckDB oracle alone, so the whole sweep is
-    cheap; a hash-matching Spark side necessarily has the same count."""
+    cheap; a hash-matching Spark side necessarily has the same count.
+
+    The guard is an sf0.001/sf0.01 FIXTURE invariant, not a query
+    property: at other scale factors a selective filter can be
+    legitimately empty on both engines (q162's k-anonymity violations
+    and q69's qualifying stock vanish at sf0.1), so the sweep skips
+    there — non-vacuousness is already proven at the two SFs where
+    the fixture guarantees rows."""
+    if not sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        pytest.skip("vacuous-guard is an sf0.001/sf0.01 fixture invariant")
     n = len(conn.execute(ORACLE[name]).fetchall())
-    assert n > 0, f"{name} oracle returns 0 rows at sf0.001 — vacuous pass"
+    assert n > 0, f"{name} oracle returns 0 rows at {sf_dir} — vacuous pass"
 
 
 def test_registry_names_are_well_formed():
