@@ -158,6 +158,25 @@ HEADLINE = [
     "q220_watermark_lateness",
 ]
 
+# Queries whose EXECUTION PATH changed this round — emitted in the
+# bench JSON so a driver-side round-over-round timing swing on these
+# names is attributable to a re-plan, not noise or a regression
+# (r6 verdict item 3: BENCH_r06's deliberate ~12% sweep cost was only
+# explained in LOCAL_HARNESS prose). Maintained by hand each round,
+# next to the plan changes themselves.
+REPLANNED = [
+    # round 7: prefix-scan internals (pass-1 collect bounded to
+    # boundary-spanning groups in the plan; null-safe carry join) —
+    # every grouped_prefix_sum consumer re-plans:
+    "q122_sequence_packing",
+    "q144_stratified_split",
+    "q159_pps_sample",
+    "q190_pack_manifest",
+    # round 7: LSH plane count de-pinned — auto-sized from COUNT(*)
+    # in both engines (was pinned P=6):
+    "q202_mutual_nn_margin",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,6 +220,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "unpartitioned_window_warnings": window_warnings,
+                "replanned": REPLANNED,
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "value": total,

@@ -11,10 +11,16 @@ distributed scan instead, kept entirely JVM-side:
    which is what makes per-partition carries meaningful;
 2. per-(partition, group) partial sums: a map-side-combined aggregate.
    Because slices are contiguous, each partition BOUNDARY cuts at most
-   one group, so only ≤ #partitions (partition, group) pairs need a
-   nonzero carry — the collect is bounded by the partition count, the
-   same bounded-driver-pull contract as the IVF centroid loops
-   (operators/ivf.py);
+   one group, so at most #partitions−1 groups SPAN a boundary — and
+   only spanning groups can need a carry. The aggregate is filtered to
+   those groups (count-per-group > 1 over the tiny partials table)
+   BEFORE the collect, so the driver pull is ≤ 2·#partitions rows
+   regardless of group cardinality — the same bounded-driver-pull
+   contract as the IVF centroid loops (operators/ivf.py). (Round 7:
+   previously the filter was driver-side, so a high-cardinality group
+   column — reachable via stratified_split's arbitrary stratum_col —
+   made the collect O(#groups); the bound is now enforced in the
+   plan.);
 3. the within-slice running sum is a window over the HIGH-CARDINALITY
    ``(partition_id, group)`` composite (parallelism #partitions ×
    #groups, never one task per group) plus a broadcast left join of
@@ -36,7 +42,11 @@ on where the slices fall. ``(group, *order)`` must totally order each
 group's rows (the same requirement the plain window has — value ties
 would make any running sum order-dependent). Values must be integral;
 the carry arithmetic is exact int64 (Python ints driver-side, BIGINT
-in the plan).
+in the plan). NULLs are first-class: a NULL group key is a real group
+(the carry join is null-safe, matching the window semantics of
+``W.partitionBy`` which also groups NULLs together), and an all-NULL
+value slice contributes a 0 partial rather than poisoning the carry
+chain.
 
 Reference semantics: none (the reference's single-process scripts get
 running offsets for free from serial iteration, e.g. json_to_db.py's
@@ -88,12 +98,28 @@ def grouped_prefix_sum(
     )
 
     # Pass 1: per-(partition, group) totals — tiny after map-side
-    # combine; ordering by _pid in the driver builds each spanning
-    # group's carry chain (range partitioning makes pid order agree
-    # with the (group, order) order inside each group).
+    # combine. Only groups that SPAN a partition boundary can need a
+    # carry, and range partitioning bounds those at #partitions−1, so
+    # the collect is filtered to spanning groups IN THE PLAN (a window
+    # count over the already-tiny partials table) — the driver pull is
+    # ≤ 2·#partitions rows even when the group column is
+    # high-cardinality (stratified_split routes arbitrary stratum
+    # columns here). Sums are coalesced to 0 so an all-NULL value
+    # slice can't poison the int carry chain; NULL group keys are kept
+    # (they're a real group, ordered first by the range partitioner).
+    # Ordering by _pid in the driver builds each spanning group's
+    # carry chain (range partitioning makes pid order agree with the
+    # (group, order) order inside each group).
     partials = (
         d.groupBy("_pid", group)
-        .agg(F.sum(F.col(value).cast("long")).alias("_s"))
+        .agg(
+            F.coalesce(F.sum(F.col(value).cast("long")), F.lit(0).cast("long")).alias(
+                "_s"
+            )
+        )
+        .withColumn("_nspan", F.count(F.lit(1)).over(W.partitionBy(group)))
+        .where(F.col("_nspan") > 1)
+        .select("_pid", group, "_s")
         .collect()
     )
     by_group: dict = {}
@@ -109,7 +135,10 @@ def grouped_prefix_sum(
             run += s
 
     # Pass 2: window over the high-cardinality (_pid, group) composite
-    # + broadcast carry join — all codegen, no Python.
+    # + broadcast carry join — all codegen, no Python. The join is
+    # null-safe on the group column so a NULL group spanning a
+    # boundary still receives its carry (a plain equi-join would
+    # silently leave those rows un-offset).
     w = (
         W.partitionBy("_pid", group)
         .orderBy(*order)
@@ -121,9 +150,16 @@ def grouped_prefix_sum(
     if carry_rows:
         gtype = dict(df.dtypes)[group]
         carries = spark.createDataFrame(
-            carry_rows, f"_pid int, {group} {gtype}, _carry long"
+            carry_rows, f"_cpid int, _cgrp {gtype}, _carry long"
         )
-        local = local.join(F.broadcast(carries), ["_pid", group], "left").withColumn(
-            out, F.col(out) + F.coalesce(F.col("_carry"), F.lit(0))
-        ).drop("_carry")
+        local = (
+            local.join(
+                F.broadcast(carries),
+                (F.col("_pid") == F.col("_cpid"))
+                & F.col(group).eqNullSafe(F.col("_cgrp")),
+                "left",
+            )
+            .withColumn(out, F.col(out) + F.coalesce(F.col("_carry"), F.lit(0)))
+            .drop("_cpid", "_cgrp", "_carry")
+        )
     return local.select(*df.columns, out)

@@ -90,7 +90,10 @@ def stratified_split(
     task (pre-round-6 this was documented as "the wrong tool for a
     million-row stratum"), the assignment stays a pure function of
     (stratum, key) at any parallelism, and the stratum sizes ride a
-    plain groupBy join-back (AQE broadcasts when small)."""
+    null-safe groupBy join-back (AQE broadcasts when small). A NULL
+    stratum is a real stratum — it gets its own exact quota rather
+    than being dropped, matching the pre-round-6 window semantics
+    (``W.partitionBy`` groups NULLs together)."""
     from .prefixsum import grouped_prefix_sum
 
     k = F.col(key) if isinstance(key, str) else key
@@ -103,13 +106,20 @@ def stratified_split(
         "_one",
         out="_rn0",
     )
-    sizes = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    sizes = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumnRenamed(stratum_col, "_sz_stratum")
+    )
     n = F.col("_n")
     rn = F.col("_rn0") + 1
     n_train = F.floor(n * train_pct / 100)
     n_val = F.floor(n * val_pct / 100)
     return (
-        ranked.join(sizes, stratum_col)
+        ranked.join(
+            sizes, F.col(stratum_col).eqNullSafe(F.col("_sz_stratum"))
+        )
+        .drop("_sz_stratum")
         .withColumn(
             out_col,
             F.when(rn <= n_train, "train")

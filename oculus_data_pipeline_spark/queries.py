@@ -7708,7 +7708,13 @@ def q178_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, score) composite — a source being a large corpus
     fraction no longer pins that fraction to one sort task; the
     per-source cumulative pass runs on the (source, score) count
-    table, which the score's rounded 0..100 domain keeps tiny."""
+    table, which the score's rounded 0..100 domain keeps tiny.
+    Contract: (source, quality_score) must be non-null — the score is
+    total on non-null text and the fixture guarantees both; a NULL key
+    would drop at the histogram join-back here while DuckDB's window
+    (NULLS LAST) would keep it, so nullable inputs must be filtered or
+    imputed upstream (same contract as stratified_split pre-round-7,
+    which now handles NULL strata null-safely at the operator level)."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         F.col("doc_id").alias("id"),
@@ -9584,22 +9590,42 @@ def q201_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mutual_nn_oracle(k: int = 4, dim: int = EMB_DIM, n_planes: int = 6) -> str:
+def _mutual_nn_oracle(k: int = 4, dim: int = EMB_DIM, p_max: int = 16) -> str:
+    """Static SQL that AUTO-SIZES the LSH plane count from COUNT(*),
+    exactly mirroring the Spark plan's integer formula (round 7 — the
+    r6 verdict's one `weak` was the previous pinned-P=6 variant whose
+    N²/2⁷ candidate volume was the registry's last quadratic
+    asymptote): P = min(p_max, max(4, bit_length(N // 32))), i.e.
+    target ~32 vectors per bucket at any N. ``length(bin(x))`` is
+    DuckDB's exact integer bit_length for x ≥ 1 (the x = 0 case is
+    absorbed by the GREATEST(4,…) clamp), so both engines compute the
+    SAME P with no floating-point log. The SQL inlines all ``p_max``
+    plane dot products and gates plane j ≥ 4 on ``j < P`` — a static
+    string can't vary its plane set, so the clamp at p_max = 16 bounds
+    the text (16 planes ≈ 32-per-bucket up to 2M vectors; the Spark
+    side clamps identically so the engines never diverge)."""
     from .operators.similarity import hyperplane
 
     def bucket_sql(vec: str) -> str:
         parts = []
-        for j in range(n_planes):
+        for j in range(p_max):
             plane = hyperplane(dim, j)
             dot = "0.0"
             for d, wgt in enumerate(plane):
                 dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
-            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+            on = f"{dot} > 0" if j < 4 else f"{j} < np.p AND {dot} > 0"
+            parts.append(f"(CASE WHEN {on} THEN {1 << j} ELSE 0 END)")
         return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    np AS (
+      SELECT LEAST({p_max}, GREATEST(4,
+               CASE WHEN COUNT(*) // 32 = 0 THEN 0
+                    ELSE length(bin(COUNT(*) // 32)) END)) AS p
+      FROM e
+    ),
+    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e, np),
     scored AS (
       SELECT a.vec_id AS qa, c.vec_id AS qb,
              CAST(ROUND(ROUND({{cos}}, 6) * 1000000, 0) AS BIGINT) AS ppm
@@ -9647,9 +9673,14 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair cosine by the mean of both sides' k-NN cosines — mutual
     agreement plus a local-density correction, which plain top-k
     (q38/q50) and threshold pairs (q51) don't give. Candidates come
-    from the LSH bucket self-join (pinned 6 planes here to match the
-    static oracle; production auto-sizes planes — same policy as
-    q38/q51), the k-NN table is computed ONCE behind a lazy
+    from the LSH bucket self-join with the plane count AUTO-SIZED from
+    a one-pass COUNT(*) — P = min(16, max(4, bit_length(N // 32))),
+    the production policy of similarity.cosine_near_dup_pairs, and the
+    SAME integer formula the static oracle computes in SQL (round 7:
+    this de-pins the r6 registry variant's fixed P = 6, whose N²/2⁷
+    candidate volume was the last quadratic asymptote in a registered
+    plan; bucket occupancy now stays ~32 as N grows, so candidates per
+    vector are constant). The k-NN table is computed ONCE behind a lazy
     localCheckpoint and feeds all four consumers (both top-1 sides and
     both k-NN means), and every similarity is an integer ppm
     (cos rounded to 6 dp, scaled), so ordering, floor-divisions, and
@@ -9662,7 +9693,10 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = _as_double(emb.select("vec_id", "embedding"), "embedding")
-    b = e.withColumn("bucket", lsh_bucket_expr("embedding", EMB_DIM, 6))
+    # one metadata-cheap count sizes the planes; the oracle SQL
+    # recomputes the identical integer formula from its own COUNT(*)
+    n_planes = min(16, max(4, (e.count() // 32).bit_length()))
+    b = e.withColumn("bucket", lsh_bucket_expr("embedding", EMB_DIM, n_planes))
     from .functions.vectors import cosine_similarity
 
     scored = (
@@ -9866,7 +9900,9 @@ def q204_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     phases aggregate to FOUR rows, and the cumulative sum runs as a
     broadcast theta self-join on those four rows — no global window
     anywhere. The quality score reuses q41's bit-identical
-    composite."""
+    composite. Same non-null (source, quality_score) contract as
+    q178 (see its docstring): the histogram join-back drops NULL
+    keys, which the fixture rules out."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         F.col("doc_id").alias("id"),
@@ -11566,89 +11602,91 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values exact at three SFs; both re-emitted BIGINT/VARCHAR in round 6
 # and the LIMIT-0 type audit now rejects any DECIMAL output).
 #
-# The ROUND-6 window below executes the r5 verdict's plan verbatim
-# (registry still FROZEN at 220 — from round 6 the window's job is
-# FRESHNESS, not debt):
-#   1. q145/q148 — readout types fixed this round (digest now a
-#      modular BIGINT sum; iterate now VARCHAR on both engines),
-#      re-attest first;
-#   2. q167 — execution path changed this round (the singleton
-#      anti-join dropped its forced broadcast; AQE sizes it), so its
-#      r5 green row no longer describes the registered plan;
-#   3. the 32 remaining r1-stale re-attestations (q06-q10, q12-q13,
-#      q15, q17-q18, q20-q30, q33-q37, q40-q43, q46, q50) — their
-#      only driver-green rows are from round 1, verified against the
-#      computed union of CORRECTNESS_r01-r05;
-#   4. the 15 lowest-numbered r2-stale queries (q05, q11, q32, q44,
-#      q47, q52-q54, q56-q57, q59-q62, q66) to fill the window —
-#      after this round no green row in the registry predates r2.
+# The ROUND-7 window below executes the r6 verdict's plan verbatim
+# (registry still FROZEN at 220 — the window's job is FRESHNESS, not
+# debt; the round-6 window re-attested the 32 r1-stale + 15 oldest
+# r2-stale rows plus the q145/q148 type fixes and q167's re-plan, all
+# 49 oracle-checked slots full green in CORRECTNESS_r06):
+#   1. the 14 queries whose execution paths changed in the ROUND-6
+#      window-scaling sweep AFTER the r6 window was frozen
+#      (value-histogram rank crossings, two-phase top-k, distributed
+#      prefix scan): q99, q117, q122, q125, q144, q147, q151, q159,
+#      q172, q178, q182, q189, q190, q204 — their green rows describe
+#      the pre-sweep plans (q36/q57/q59 changed in the same sweep but
+#      sat IN the r6 window, so their new plans are attested r6).
+#      Four of them (q122/q144/q159/q190) changed again in ROUND 7:
+#      the prefix scan's pass-1 collect is now plan-side bounded to
+#      boundary-spanning groups and its carry join is null-safe
+#      (r6 advisor items), so this window attests the final shape;
+#   2. q202 — its oracle-registered plan was DE-PINNED in round 7:
+#      the LSH plane count is now derived from COUNT(*) in both
+#      engines (the r6 verdict's one `weak`), a changed execution
+#      path and changed oracle;
+#   3. the 27 remaining r2-stale re-attestations (q99 is the 28th but
+#      leads in group 1), verified against the computed union of
+#      CORRECTNESS_r01-r06 via tools_attestation_status.py;
+#   4. the 8 lowest-numbered r3-stale queries not already above
+#      (q101, q102, q106, q107, q108, q110, q111, q112) to fill the
+#      window — after this round no green row predates r3 except the
+#      r3 block itself, which round 8 continues to rotate through.
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
-#
-# ROUND-7 LEAD LIST (changed execution paths in round 6, AFTER this
-# window was frozen — their existing green rows describe the OLD
-# plans): q99, q117, q122, q125, q144, q147, q151, q159, q172, q178,
-# q182, q189, q190, q204 (the window-scaling sweep: value-histogram
-# rank crossings, two-phase top-k, distributed prefix scan). q36/q57/q59
-# changed in the same sweep but sit IN this window, so round 6
-# attests their new plans directly. After the 13, fill with the
-# oldest-stale rows from tools_attestation_status.py's union.
 _ATTESTATION_PRIORITY = [
-    # --- 1. readout types fixed in r6 (DECIMAL ban) ---
-    "q145_table_fingerprint",
-    "q148_power_iteration",
-    # --- 2. execution path changed in r6 (broadcast hint dropped) ---
-    "q167_cluster_size_histogram",
-    # --- 3. r1-stale re-attestations (32; registry order) ---
-    "q06_top_customers_per_nation",
-    "q07_running_order_totals",
-    "q08_rollup_order_stats",
-    "q09_cube_event_stats",
-    "q10_distinct_aggregates",
-    "q12_json_extraction",
-    "q13_daily_event_rollup",
-    "q15_sliding_windows",
-    "q17_pivot_order_status",
-    "q18_date_arithmetic",
-    "q20_normalize_terms",
-    "q21_generate_uri",
-    "q22_convert_name",
-    "q23_range_join",
-    "q24_theta_join",
-    "q25_unpivot",
-    "q26_array_ops",
-    "q27_string_funcs",
-    "q28_exact_stats",
-    "q29_subqueries",
-    "q30_exact_dedup",
-    "q33_simhash",
-    "q34_grouping_sets",
-    "q35_percentiles",
-    "q36_rank_with_ties",
-    "q37_window_frames",
-    "q40_token_stats",
-    "q41_quality_score",
-    "q42_lang_id",
-    "q43_fingerprint",
-    "q46_approx_distinct",
-    "q50_cosine_topk",
-    # --- 4. oldest r2-stale re-attestations (15; registry order) ---
-    "q05_customers_without_orders",
-    "q11_set_operations",
-    "q32_minhash_lsh_pairs",
-    "q44_rolling_hash",
-    "q47_ivf_ann",
-    "q52_pandas_udf_score",
-    "q53_applyinpandas_topk",
-    "q54_stream_dedup_batch",
-    "q56_deterministic_sample",
-    "q57_stratified_sample",
-    "q59_correlated_subquery",
-    "q60_classify_terms",
-    "q61_graph_nodes",
-    "q62_graph_edges",
-    "q66_lsh_verified_near_dups",
-    # Everything else is r3-r5-driver-attested and unchanged this
+    # --- 1. execution path changed in the r6 sweep (14) ---
+    "q99_group_median",
+    "q117_group_percentiles",
+    "q122_sequence_packing",
+    "q125_interevent_gap_stats",
+    "q144_stratified_split",
+    "q147_approx_percentile_bound",
+    "q151_winsorized_stats",
+    "q159_pps_sample",
+    "q172_weighted_median",
+    "q178_quality_calibration",
+    "q182_mad_outliers",
+    "q189_embedding_norm_profile",
+    "q190_pack_manifest",
+    "q204_curriculum_schedule",
+    # --- 2. de-pinned oracle in r7 (auto-sized LSH planes) ---
+    "q202_mutual_nn_margin",
+    # --- 3. r2-stale re-attestations (27; registry order) ---
+    "q70_curation_pipeline",
+    "q73_ordered_string_agg",
+    "q74_scd2_apply",
+    "q77_graph_degree",
+    "q78_media_features",
+    "q79_from_json_typed",
+    "q80_higher_order_predicates",
+    "q81_forecast_revenue_change",
+    "q82_promo_revenue_ratio",
+    "q83_disjunctive_predicates",
+    "q84_image_decode",
+    "q86_simhash_near_dups",
+    "q87_cdc_apply",
+    "q88_multires_rollup",
+    "q89_blocked_edit_distance",
+    "q90_sole_late_supplier",
+    "q91_funnel",
+    "q92_two_hop_candidates",
+    "q93_pagerank",
+    "q94_tfidf_top_terms",
+    "q95_train_val_test_split",
+    "q96_containment_pairs",
+    "q98_value_outliers",
+    "q100_boilerplate_shingles",
+    "q103_decontamination",
+    "q104_repetition_stats",
+    "q105_audio_decode",
+    # --- 4. oldest r3-stale re-attestations (8; registry order) ---
+    "q101_chunk_documents",
+    "q102_data_quality_report",
+    "q106_triangle_counts",
+    "q107_pii_redaction",
+    "q108_salted_join",
+    "q110_retention_cohorts",
+    "q111_inverted_index",
+    "q112_canonical_docs",
+    # Everything else is r3-r6-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
 ]

@@ -110,7 +110,10 @@ class XmlDirReader(DataSourceReader):
                     root = elem
                 if elem.tag == "document" and depth == 0:
                     depth = 1
-                elif depth and elem is not root:
+                elif depth:
+                    # (the root can never reach this arm: its start
+                    # event is the only one at depth 0 with root unset,
+                    # handled above — no identity guard needed)
                     depth += 1
             else:
                 if depth:

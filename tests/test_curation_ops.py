@@ -233,3 +233,26 @@ def test_stratified_split_exact_quotas(spark, sf_dir):
     a = {(r.doc_id, r.split) for r in out.collect()}
     b = {(r.doc_id, r.split) for r in stratified_split(docs, "source", "doc_id").collect()}
     assert a == b
+
+
+def test_stratified_split_null_stratum_retained(spark):
+    """A NULL stratum is a real stratum: it keeps its rows and gets its
+    own exact quota (round-7 fix — the sizes join is null-safe; the
+    previous equi-join silently dropped NULL-stratum rows that the
+    pre-round-6 window implementation retained)."""
+    from oculus_data_pipeline_spark.operators.split import stratified_split
+    from pyspark.sql import functions as F
+
+    rows = [(None, f"k{i:03d}") for i in range(50)]
+    rows += [("s", f"m{i:03d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "stratum string, key string")
+    out = stratified_split(df, "stratum", "key")
+    assert out.count() == 70  # no rows lost
+    null_counts = {
+        r.split: r.n
+        for r in out.where(F.col("stratum").isNull())
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert null_counts == {"train": 40, "val": 5, "test": 5}

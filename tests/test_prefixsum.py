@@ -71,3 +71,61 @@ def test_custom_out_column_and_schema(spark, fixture_df):
     got = grouped_prefix_sum(fixture_df, "g", ["i"], "v", out="offset")
     assert got.columns == ["g", "i", "v", "offset"]
     assert dict(got.dtypes)["offset"] == "bigint"
+
+
+def test_null_group_spanning_partitions(spark):
+    # A NULL group key is a real group (window semantics: partitionBy
+    # groups NULLs together). Forced through 8 partitions the NULL
+    # group spans boundaries, so its carries must flow through the
+    # null-safe join — the round-7 fix; a plain equi-join left these
+    # rows silently un-offset.
+    rows = [(None, i, i % 5 + 1) for i in range(300)]
+    rows += [("z", i, 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = grouped_prefix_sum(df, "g", ["i"], "v", num_partitions=8)
+    null_rows = {r.i: r.cum_before for r in got.where(F.col("g").isNull()).collect()}
+    run = 0
+    for i in range(300):
+        assert null_rows[i] == run, f"null-group row {i}: {null_rows[i]} != {run}"
+        run += i % 5 + 1
+    z_rows = {r.i: r.cum_before for r in got.where(F.col("g") == "z").collect()}
+    assert z_rows == {i: 2 * i for i in range(20)}
+
+
+def test_all_null_value_slice_contributes_zero(spark):
+    # An all-NULL value slice used to make the driver-side carry math
+    # raise (None += int); it must instead contribute a 0 partial and
+    # leave later rows' offsets exact. NULL values inside a group are
+    # skipped by SUM on both the window and the scan path.
+    rows = [("a", 0, 5), ("a", 1, None), ("a", 2, None), ("a", 3, 7), ("a", 4, 1)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = {
+        r.i: r.cum_before
+        for r in grouped_prefix_sum(df, "g", ["i"], "v", num_partitions=5).collect()
+    }
+    assert got == {0: 0, 1: 5, 2: 5, 3: 5, 4: 12}
+
+
+def test_high_cardinality_group_collect_is_bounded(spark):
+    # 2000 distinct groups through 4 partitions: at most 3 groups span
+    # a boundary, so the pass-1 collect must stay O(#partitions), not
+    # O(#groups) — asserted by counting rows surviving the spanning
+    # filter (the round-7 plan-side bound), plus full value equality.
+    rows = [(f"g{i:05d}", j, j + 1) for i in range(2000) for j in range(3)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    n_part = 4
+    d = (
+        df.repartitionByRange(n_part, "g", "i")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    survivors = (
+        d.groupBy("_pid", "g")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_nspan", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .where(F.col("_nspan") > 1)
+        .count()
+    )
+    assert survivors <= 2 * n_part
+    got = grouped_prefix_sum(df, "g", ["i"], "v", num_partitions=n_part)
+    bad = got.where(F.col("cum_before") != F.col("i") * (F.col("i") + 1) / 2).count()
+    assert bad == 0

@@ -34,10 +34,6 @@ KNOWN_ASYMPTOTES = {
         "known Σdf² QUADRATIC asymptote (unguarded all-pairs, opt-in "
         "QA tier; q31/q32/q66 are the scale paths)"
     ),
-    "q202_mutual_nn_margin": (
-        "pinned-P=6 oracle variant: N²/2⁷ candidate asymptote "
-        "(production auto-sizes P like q38/q51)"
-    ),
 }
 PROBES = [
     "q01_pricing_summary",
@@ -328,25 +324,28 @@ if __name__ == "__main__":
             "occupancy — hence candidates per vector — stays constant",
             "as N grows (fixed P would be N^2/2^(P+1) per table).",
             "",
-            "q202 (mutual-NN margin) rides the same pinned-P=6 LSH",
-            "bucket self-join as the q51 oracle variant, so its probe",
-            "candidates grow N^2/2^7 by construction — the 'linear'-",
-            "tier reading (alpha near 1) is that pinned-P oracle",
-            "variant entering its quadratic regime, not the production",
-            "path, which auto-sizes P exactly like q38/q51. q172's",
+            "q202 (mutual-NN margin) auto-sizes its LSH plane count",
+            "from COUNT(*) since round 7 — P = min(16, max(4,",
+            "bit_length(N//32))), the same integer formula in the",
+            "Spark plan and the DuckDB oracle — so bucket occupancy",
+            "(hence candidates per vector) stays ~32 as N grows; the",
+            "pre-r7 registry variant pinned P=6 and grew N^2/2^7 (the",
+            "r6 SCALING row's 8.4x at 8x was that pinned regime).",
+            "q172's",
             "alpha ~0.87 is a global sort crossing from overhead- to",
             "data-dominated (N log N, no quadratic term).",
         ]
         out = "\n".join(lines) + "\n"
-        # preserve the marker-delimited salted-join section written by
-        # tools_skew_probe.py across regenerations
+        # preserve the marker-delimited sections written by
+        # tools_skew_probe.py / tools_giant_group_probe.py across
+        # regenerations
         if os.path.exists("SCALING.md"):
             old = open("SCALING.md").read()
-            if "<!-- skew-probe -->" in old and "<!-- /skew-probe -->" in old:
-                kept = old.split("<!-- skew-probe -->")[1].split(
-                    "<!-- /skew-probe -->"
-                )[0]
-                out += "\n<!-- skew-probe -->" + kept + "<!-- /skew-probe -->\n"
+            for mark in ("skew-probe", "giant-group-probe"):
+                ms, me = f"<!-- {mark} -->", f"<!-- /{mark} -->"
+                if ms in old and me in old:
+                    kept = old.split(ms)[1].split(me)[0]
+                    out += "\n" + ms + kept + me + "\n"
         with open("SCALING.md", "w") as f:
             f.write(out)
         print("SCALING.md written")
