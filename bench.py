@@ -172,9 +172,17 @@ REPLANNED = [
     "q144_stratified_split",
     "q159_pps_sample",
     "q190_pack_manifest",
-    # round 7: LSH plane count de-pinned — auto-sized from COUNT(*)
-    # in both engines (was pinned P=6):
+    # round 7: LSH plane counts de-pinned — auto-sized from COUNT(*)
+    # in both engines over gated static planes at a fixed per-table
+    # index stride (was pinned P=6 everywhere):
     "q202_mutual_nn_margin",
+    "q38_lsh_ann_topk",
+    "q39_lsh_bucket_stats",
+    "q51_cosine_near_dup_pairs",
+    "q97_semantic_clusters",
+    "q118_embedding_decontamination",
+    "q119_lsh_recall_report",
+    "q121_hybrid_near_dup_report",
 ]
 
 

@@ -133,6 +133,18 @@ def _bucket_from_planes(vec_col: str, planes2d, n_planes: int):
     )
 
 
+# Plane-index stride between hash tables: table t's plane j is
+# hyperplane(dim, t*PLANE_STRIDE + j). A FIXED stride (round 7;
+# previously t*n_planes + j) makes each table's plane SET independent
+# of the plane COUNT — the property that lets a static SQL oracle
+# inline every possible plane and gate on a data-dependent P computed
+# from COUNT(*) (see queries._gated_bucket_sql). 32 covers any
+# realistic auto-sized P (P = 32 ⇒ 2^32 buckets ⇒ ~137 B vectors at
+# the 32-per-bucket target); table 0 keeps indices 0..P-1 either way,
+# so single-table consumers (q38/q202) were never affected by stride.
+PLANE_STRIDE = 32
+
+
 def _planes2d_expr(dim: int, n_planes: int, table: int = 0):
     """P×dim plane literal built as ONE parsed SQL expression instead of
     P·dim ``F.lit`` py4j round-trips — plan *construction* was ~1.9 s
@@ -140,20 +152,41 @@ def _planes2d_expr(dim: int, n_planes: int, table: int = 0):
     ``repr(float)`` is shortest-round-trip, so the parsed double is
     bit-identical to the Python value; the ``D`` suffix keeps the SQL
     parser from reading the literal as DECIMAL."""
+    if n_planes > PLANE_STRIDE:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds PLANE_STRIDE={PLANE_STRIDE}: "
+            "per-table plane sets would overlap; raise PLANE_STRIDE "
+            "(one constant, mirrored by the oracle builders' p_max)"
+        )
     rows = ",".join(
-        "array(" + ",".join(f"{w!r}D" for w in hyperplane(dim, table * n_planes + j)) + ")"
+        "array("
+        + ",".join(f"{w!r}D" for w in hyperplane(dim, table * PLANE_STRIDE + j))
+        + ")"
         for j in range(n_planes)
     )
     return F.expr(f"array({rows})")
+
+
+def auto_planes(n: int, target_bucket_size: int = 32, p_max: int | None = None) -> int:
+    """The plane-count policy: P = max(4, bit_length(N // target)) —
+    one more plane per corpus doubling, holding expected bucket
+    occupancy (and with it candidates-per-vector) constant as N grows.
+    Exact integer math so any SQL engine reproduces it from COUNT(*)
+    (DuckDB: ``length(bin(x))`` = bit_length for x ≥ 1). ``p_max``
+    optionally clamps — oracle-checked registry queries pass the gated
+    oracle's inlined plane budget (16); production callers leave it
+    None."""
+    p = max(4, (max(n, 1) // max(target_bucket_size, 1)).bit_length())
+    return p if p_max is None else min(p_max, p)
 
 
 def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int = 0):
     """Sign-bit bucket id for a vector column: Σ 2^j·[v·p_j > 0].
 
     ``table`` selects an independent plane set (plane indices
-    ``table*n_planes + j``) so multiple hash tables can be derived from
-    the one deterministic recurrence — table 0 reproduces the original
-    single-table buckets exactly.
+    ``table*PLANE_STRIDE + j``) so multiple hash tables can be derived
+    from the one deterministic recurrence — table 0 reproduces the
+    original single-table buckets exactly.
     """
     return _bucket_from_planes(vec_col, _planes2d_expr(dim, n_planes, table), n_planes)
 
@@ -167,6 +200,7 @@ def lsh_near_dup_pairs(
     n_planes: int | None = None,
     n_tables: int = 4,
     target_bucket_size: int = 32,
+    p_max: int | None = None,
 ) -> DataFrame:
     """THE default near-dup pair path: multi-table hyperplane LSH
     candidates + exact cosine verification — sub-quadratic, unlike
@@ -187,16 +221,18 @@ def lsh_near_dup_pairs(
     (``n_planes=None``) therefore sizes P ≈ log2(N / target_bucket
     _size) from a one-pass count, holding expected bucket occupancy —
     and thus candidates-per-vector — constant as N grows: total work
-    Θ(N·target_bucket_size·T). Pass an explicit ``n_planes`` only when
-    a deterministic, count-independent plan is required (the oracle-
-    checked registry query pins P=6 at test scale).
+    Θ(N·target_bucket_size·T). ``p_max`` clamps the auto-size when the
+    caller's oracle has a fixed inlined plane budget (the registry
+    queries pass 16; production leaves it None — the previous
+    pinned-P=6 registry variant is gone since round 7, both engines
+    now size P from COUNT(*)).
     """
     e = _as_double(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
     )
     if n_planes is None:
-        n = e.count()  # one cheap columnar count to size the index
-        n_planes = max(4, (max(n, 1) // max(target_bucket_size, 1)).bit_length())
+        # one cheap columnar count to size the index
+        n_planes = auto_planes(e.count(), target_bucket_size, p_max)
     tables = F.array(
         *[
             F.struct(
@@ -249,6 +285,7 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int | None = None,
     target_bucket_size: int = 32,
+    p_max: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket, then exact
     cosine re-rank within the bucket. Equi-join on the bucket key
@@ -257,9 +294,8 @@ def lsh_ann_topk(
     Same plane-count policy as :func:`lsh_near_dup_pairs`: by default
     P is sized ≈ log2(|corpus| / target_bucket_size) so per-query
     candidate work stays ~constant as the corpus grows (a fixed P
-    leaves buckets of N/2^P — linear per query). Pin ``n_planes``
-    for a deterministic count-independent plan (the registry query
-    does, to match its static SQL oracle)."""
+    leaves buckets of N/2^P — linear per query). ``p_max`` clamps to
+    an oracle's inlined plane budget (registry queries pass 16)."""
     from pyspark.sql import Window as W
 
     q = _as_double(
@@ -269,8 +305,7 @@ def lsh_ann_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv"
     )
     if n_planes is None:
-        n = c.count()
-        n_planes = max(4, (max(n, 1) // max(target_bucket_size, 1)).bit_length())
+        n_planes = auto_planes(c.count(), target_bucket_size, p_max)
     q = q.withColumn("bucket", lsh_bucket_expr("qv", dim, n_planes))
     c = c.withColumn("bucket", lsh_bucket_expr("cv", dim, n_planes))
     scored = (
@@ -297,8 +332,10 @@ def lsh_bipartite_matches(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 4,
+    target_bucket_size: int = 32,
+    p_max: int | None = None,
 ) -> DataFrame:
     """Cross-corpus embedding matches (corpus row ~ benchmark row with
     cosine ≥ threshold) via the multi-table LSH bucket join — the
@@ -313,7 +350,14 @@ def lsh_bipartite_matches(
     benchmark side is typically tiny → its keyed triples broadcast,
     so the corpus never shuffles at all.
     Returns (corpus_id, bench_id, cos_sim).
+
+    Plane count auto-sizes from the CORPUS count by default (round 7
+    — the side whose bucket occupancy drives candidate volume; the
+    bench side is small and rides whatever buckets the corpus uses).
     """
+    if n_planes is None:
+        n_planes = auto_planes(corpus.count(), target_bucket_size, p_max)
+
     def _keyed(df: DataFrame, out_id: str) -> DataFrame:
         e = _as_double(
             df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v")), "v"
@@ -361,8 +405,9 @@ def lsh_recall_report(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 4,
+    p_max: int | None = None,
 ) -> DataFrame:
     """Recall evaluation of the LSH near-dup path against exact ground
     truth: one row (n_exact, n_lsh, n_common, recall_bp) where
@@ -375,7 +420,7 @@ def lsh_recall_report(
     """
     exact = cosine_pairs(emb, id_col, vec_col, threshold).select("id_a", "id_b")
     lsh = lsh_near_dup_pairs(
-        emb, id_col, vec_col, threshold, dim, n_planes, n_tables
+        emb, id_col, vec_col, threshold, dim, n_planes, n_tables, p_max=p_max
     ).select("id_a", "id_b")
     common = exact.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
@@ -464,8 +509,10 @@ def lsh_bucket_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 4,
+    target_bucket_size: int = 32,
+    p_max: int | None = None,
 ) -> DataFrame:
     """Bucket-occupancy histogram of the hyperplane-LSH tables:
     (tbl, bucket_size, n_buckets) — the diagnostic that justifies the
@@ -474,8 +521,12 @@ def lsh_bucket_stats(
     the statistic the production default P ≈ log2(N/bucket) keeps
     flat as N grows). Two bounded aggregations over (tbl, bucket)
     keys; vectors never shuffle — the bucket id is computed in the
-    projection."""
+    projection. By default the histogram reports the AUTO-SIZED index
+    (the one production actually builds, round 7); pin ``n_planes``
+    to diagnose a specific configuration."""
     e = _as_double(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
+    if n_planes is None:
+        n_planes = auto_planes(e.count(), target_bucket_size, p_max)
     # all T bucket ids in ONE projection + a narrow explode — a
     # per-table union would rescan the corpus T times
     tagged = F.array(

@@ -998,6 +998,45 @@ def _cosine_sql(a: str, b: str, dim: int) -> str:
 EMB_DIM = 64
 
 
+def _auto_planes_sql(cnt: str, p_max: int = 16) -> str:
+    """DuckDB mirror of ``similarity.auto_planes(n, 32, p_max)``:
+    P = min(p_max, max(4, bit_length(cnt // 32))). ``length(bin(x))``
+    is DuckDB's exact integer bit_length for x ≥ 1; the x = 0 case is
+    absorbed by GREATEST(4, …) — no floating-point log anywhere, so
+    both engines compute the identical plane count from the identical
+    COUNT(*)."""
+    return (
+        f"LEAST({p_max}, GREATEST(4, CASE WHEN ({cnt}) // 32 = 0 THEN 0 "
+        f"ELSE length(bin(({cnt}) // 32)) END))"
+    )
+
+
+def _gated_bucket_sql(
+    vec: str, table: int = 0, p_max: int = 16, dim: int = EMB_DIM
+) -> str:
+    """Sign-bit LSH bucket id in static SQL with a DATA-DEPENDENT
+    plane count: all ``p_max`` plane dot products for ``table`` are
+    inlined (plane j = hyperplane(dim, table*PLANE_STRIDE + j) — the
+    fixed stride is what keeps each table's plane set independent of
+    P), and plane j ≥ 4 contributes only when ``j < np.p`` where
+    ``np`` is the one-row CTE holding the :func:`_auto_planes_sql`
+    plane count. A static string can't vary its plane set, so p_max
+    bounds the inlined text; the Spark side clamps identically
+    (p_max=16 ⇒ exact up to ~2 M vectors at the 32-per-bucket
+    target — far past every oracle SF)."""
+    from .operators.similarity import PLANE_STRIDE, hyperplane
+
+    parts = []
+    for j in range(p_max):
+        plane = hyperplane(dim, table * PLANE_STRIDE + j)
+        dot = "0.0"
+        for d, wgt in enumerate(plane):
+            dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
+        on = f"{dot} > 0" if j < 4 else f"{j} < np.p AND {dot} > 0"
+        parts.append(f"(CASE WHEN {on} THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
 @query(
     "q50_cosine_topk",
     f"""
@@ -1023,26 +1062,21 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_oracle(
-    threshold: float = 0.4, dim: int = 64, n_planes: int = 6, n_tables: int = 4
+    threshold: float = 0.4, n_tables: int = 4, p_max: int = 16
 ) -> str:
-    from .operators.similarity import hyperplane
-
-    def bucket_sql(vec: str, table: int) -> str:
-        parts = []
-        for j in range(n_planes):
-            plane = hyperplane(dim, table * n_planes + j)
-            dot = "0.0"
-            for d, wgt in enumerate(plane):
-                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
-            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
-
+    """Multi-table LSH near-dup pairs with the plane count AUTO-SIZED
+    from COUNT(*) in SQL (round 7 — previously pinned P=6, an N²/2⁷
+    per-table candidate asymptote): each table's p_max planes are
+    inlined at the fixed PLANE_STRIDE indices and gated on the
+    ``np``-CTE plane count, mirroring the Spark operator exactly."""
     buckets = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {bucket_sql('v', t)} AS bucket FROM e"
+        f"SELECT vec_id, {t} AS tbl, {_gated_bucket_sql('v', t, p_max)} AS bucket"
+        f" FROM e, np"
         for t in range(n_tables)
     )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    np AS (SELECT {_auto_planes_sql('COUNT(*)', p_max)} AS p FROM e),
     b AS ({buckets}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1059,15 +1093,15 @@ def _lsh_pairs_oracle(
 @query("q51_cosine_near_dup_pairs", _lsh_pairs_oracle())
 def q51_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at cosine ≥ 0.4 via the DEFAULT
-    sub-quadratic path: 4-table × 6-plane LSH candidates + exact cosine
-    verification (similarity.lsh_near_dup_pairs). The all-pairs exact
-    tier (similarity.cosine_pairs) stays available behind its own
-    function for small inputs / recall baselines."""
+    sub-quadratic path: 4-table LSH candidates + exact cosine
+    verification (similarity.lsh_near_dup_pairs), with the plane count
+    auto-sized from COUNT(*) in BOTH engines (round 7 — P = min(16,
+    max(4, bit_length(N // 32))); the pre-r7 variant pinned P=6, an
+    N²/2⁷ per-table asymptote). The all-pairs exact tier
+    (similarity.cosine_pairs) stays available behind its own function
+    for small inputs / recall baselines."""
     return similarity.lsh_near_dup_pairs(
-        # P pinned to 6 so the static SQL oracle derives the same
-        # buckets; production default (n_planes=None) auto-sizes P to
-        # the corpus so candidate volume stays linear — see operator
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, p_max=16
     )
 
 
@@ -1621,22 +1655,16 @@ def q37_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_ann_oracle(k: int = 5, dim: int = EMB_DIM, n_planes: int = 6) -> str:
-    from .operators.similarity import hyperplane
-
-    def bucket_sql(vec: str) -> str:
-        parts = []
-        for j in range(n_planes):
-            plane = hyperplane(dim, j)
-            dot = "0.0"
-            for d, wgt in enumerate(plane):
-                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
-            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
-
+def _lsh_ann_oracle(k: int = 5, dim: int = EMB_DIM, p_max: int = 16) -> str:
+    """Single-table LSH ANN with the plane count auto-sized from the
+    corpus COUNT(*) (round 7 — previously pinned P=6; the query set is
+    bounded so fixed P was linear-in-N rather than quadratic, but
+    auto-sizing makes per-query candidate work ~constant instead)."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    np AS (SELECT {_auto_planes_sql('COUNT(*)', p_max)} AS p FROM e),
+    b AS (SELECT vec_id, v, {_gated_bucket_sql('v', 0, p_max, dim)} AS bucket
+          FROM e, np),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -1653,12 +1681,14 @@ def _lsh_ann_oracle(k: int = 5, dim: int = EMB_DIM, n_planes: int = 6) -> str:
 
 @query("q38_lsh_ann_topk", _lsh_ann_oracle())
 def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: 6-bit random-hyperplane LSH
-    buckets + exact re-rank within bucket — the sub-linear scale path
-    next to q50's exact baseline."""
+    """Approximate nearest neighbors: random-hyperplane LSH buckets +
+    exact re-rank within bucket — the sub-linear scale path next to
+    q50's exact baseline. The plane count auto-sizes from the corpus
+    COUNT(*) in both engines (round 7; was pinned P=6), so per-query
+    candidate work stays ~constant as the corpus grows."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
-        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=6
+        emb.where(F.col("vec_id") < 10), emb, k=5, p_max=16
     )
 
 
@@ -2937,7 +2967,7 @@ def q97_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph_algo import connected_components
 
     pairs = similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, p_max=16
     )
     return connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
@@ -4109,27 +4139,21 @@ def q117_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bipartite_oracle(
-    threshold: float = 0.3, dim: int = 64, n_planes: int = 6,
-    n_tables: int = 4, mod: int = 5,
+    threshold: float = 0.3, n_tables: int = 4, mod: int = 5, p_max: int = 16
 ) -> str:
-    from .operators.similarity import hyperplane
-
-    def bucket_sql(vec: str, table: int) -> str:
-        parts = []
-        for j in range(n_planes):
-            plane = hyperplane(dim, table * n_planes + j)
-            dot = "0.0"
-            for d, wgt in enumerate(plane):
-                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
-            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
-
+    """Bipartite LSH decontamination with the plane count auto-sized
+    from the CORPUS-side COUNT(*) — the side whose bucket occupancy
+    drives candidate volume — mirroring
+    similarity.lsh_bipartite_matches (round 7; was pinned P=6)."""
     buckets = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {bucket_sql('v', t)} AS bucket FROM e"
+        f"SELECT vec_id, {t} AS tbl, {_gated_bucket_sql('v', t, p_max)} AS bucket"
+        f" FROM e, np"
         for t in range(n_tables)
     )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    np AS (SELECT {_auto_planes_sql('COUNT(*)', p_max)} AS p
+           FROM e WHERE vec_id % {mod} <> 0),
     b AS ({buckets}),
     cand AS (
       SELECT DISTINCT c.vec_id AS corpus_id, s.vec_id AS bench_id
@@ -4152,11 +4176,15 @@ def q118_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     (vec_id % 5 = 0) and verify at cosine ≥ 0.3 are flagged, with the
     matching benchmark id. Bipartite bucket join, benchmark side
     broadcast — the corpus never shuffles
-    (similarity.lsh_bipartite_matches)."""
+    (similarity.lsh_bipartite_matches). Plane count auto-sizes from
+    the corpus-side COUNT(*) in both engines (round 7; was pinned
+    P=6)."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 5 != 0)
     bench = emb.where(F.col("vec_id") % 5 == 0)
-    return similarity.lsh_bipartite_matches(corpus, bench, threshold=0.3)
+    return similarity.lsh_bipartite_matches(
+        corpus, bench, threshold=0.3, p_max=16
+    )
 
 
 def _lsh_recall_oracle(threshold: float = 0.4) -> str:
@@ -4188,9 +4216,11 @@ def q119_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs ground truth as one integer-exact row (n_exact, n_lsh,
     n_common, recall_bp). The exact tier is quadratic by construction
     — an EVALUATION operator for samples, never the production pair
-    path (similarity.lsh_recall_report)."""
+    path (similarity.lsh_recall_report). The LSH side auto-sizes its
+    plane count from COUNT(*) in both engines (round 7; was pinned
+    P=6), so the recall this reports is the production index's."""
     return similarity.lsh_recall_report(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, p_max=16
     )
 
 
@@ -4307,7 +4337,7 @@ def q121_hybrid_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     jac = dedup.lsh_verified_near_dups(docs)
-    cos = similarity.lsh_near_dup_pairs(emb, threshold=0.3, n_planes=6)
+    cos = similarity.lsh_near_dup_pairs(emb, threshold=0.3, p_max=16)
     return (
         jac.join(cos, ["id_a", "id_b"], "full_outer")
         .select(
@@ -6651,27 +6681,18 @@ def q165_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_stats_oracle(
-    dim: int = EMB_DIM, n_planes: int = 6, n_tables: int = 4
-) -> str:
-    from .operators.similarity import hyperplane
-
-    def bucket_sql(vec: str, table: int) -> str:
-        parts = []
-        for j in range(n_planes):
-            plane = hyperplane(dim, table * n_planes + j)
-            dot = "0.0"
-            for d, wgt in enumerate(plane):
-                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
-            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
-
+def _lsh_bucket_stats_oracle(n_tables: int = 4, p_max: int = 16) -> str:
+    """Bucket-occupancy histogram of the AUTO-SIZED index — the one
+    production actually builds (round 7; was pinned P=6) — plane count
+    from COUNT(*), gated static planes at the fixed stride."""
     per_table = "\n      UNION ALL ".join(
-        f"SELECT {t} AS tbl, {bucket_sql('v', t)} AS bucket FROM e"
+        f"SELECT {t} AS tbl, {_gated_bucket_sql('v', t, p_max)} AS bucket"
+        f" FROM e, np"
         for t in range(n_tables)
     )
     return f"""
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    np AS (SELECT {_auto_planes_sql('COUNT(*)', p_max)} AS p FROM e),
     b AS ({per_table}),
     sizes AS (
       SELECT tbl, bucket, COUNT(*) AS bucket_size FROM b GROUP BY tbl, bucket
@@ -6689,13 +6710,16 @@ def q39_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     these buckets, so a fat bucket IS the quadratic term the
     P ≈ log2(N/bucket) rule keeps flat as N grows. All T bucket ids
     compute in ONE scan-speed projection (per-table union would
-    rescan the corpus); two bounded aggregations follow. Fills the
-    formerly unallocated q39 slot in the similarity block."""
+    rescan the corpus); two bounded aggregations follow. Since round 7
+    the histogram reports the AUTO-SIZED index (plane count from
+    COUNT(*) in both engines; was pinned P=6) — the occupancy profile
+    of the index production actually builds. Fills the formerly
+    unallocated q39 slot in the similarity block."""
     from .operators.similarity import lsh_bucket_stats
 
     return lsh_bucket_stats(
         load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM,
-        n_planes=6, n_tables=4,
+        n_tables=4, p_max=16,
     )
 
 
@@ -9603,29 +9627,14 @@ def _mutual_nn_oracle(k: int = 4, dim: int = EMB_DIM, p_max: int = 16) -> str:
     plane dot products and gates plane j ≥ 4 on ``j < P`` — a static
     string can't vary its plane set, so the clamp at p_max = 16 bounds
     the text (16 planes ≈ 32-per-bucket up to 2M vectors; the Spark
-    side clamps identically so the engines never diverge)."""
-    from .operators.similarity import hyperplane
-
-    def bucket_sql(vec: str) -> str:
-        parts = []
-        for j in range(p_max):
-            plane = hyperplane(dim, j)
-            dot = "0.0"
-            for d, wgt in enumerate(plane):
-                dot = f"({dot} + {vec}[{d + 1}] * {wgt!r})"
-            on = f"{dot} > 0" if j < 4 else f"{j} < np.p AND {dot} > 0"
-            parts.append(f"(CASE WHEN {on} THEN {1 << j} ELSE 0 END)")
-        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
-
+    side clamps identically so the engines never diverge). Shares
+    :func:`_gated_bucket_sql` / :func:`_auto_planes_sql` with the
+    whole de-pinned LSH family (q38/q39/q51/q97/q118/q119/q121)."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    np AS (
-      SELECT LEAST({p_max}, GREATEST(4,
-               CASE WHEN COUNT(*) // 32 = 0 THEN 0
-                    ELSE length(bin(COUNT(*) // 32)) END)) AS p
-      FROM e
-    ),
-    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e, np),
+    np AS (SELECT {_auto_planes_sql('COUNT(*)', p_max)} AS p FROM e),
+    b AS (SELECT vec_id, v, {_gated_bucket_sql('v', 0, p_max, dim)} AS bucket
+          FROM e, np),
     scored AS (
       SELECT a.vec_id AS qa, c.vec_id AS qb,
              CAST(ROUND(ROUND({{cos}}, 6) * 1000000, 0) AS BIGINT) AS ppm
@@ -11618,17 +11627,21 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the prefix scan's pass-1 collect is now plan-side bounded to
 #      boundary-spanning groups and its carry join is null-safe
 #      (r6 advisor items), so this window attests the final shape;
-#   2. q202 — its oracle-registered plan was DE-PINNED in round 7:
-#      the LSH plane count is now derived from COUNT(*) in both
-#      engines (the r6 verdict's one `weak`), a changed execution
-#      path and changed oracle;
+#   2. the ENTIRE LSH-plane family, DE-PINNED in round 7: q202 (the
+#      r6 verdict's one `weak` — its pinned P=6 gave the registry's
+#      last N²/2^P asymptote) plus q38/q39/q51/q97/q118/q119/q121,
+#      whose plane counts are now derived from COUNT(*) with the same
+#      integer formula in both engines (similarity.auto_planes /
+#      _auto_planes_sql) over gated static planes at a fixed
+#      per-table index stride (PLANE_STRIDE) — changed execution
+#      paths AND changed oracles for all eight;
 #   3. the 27 remaining r2-stale re-attestations (q99 is the 28th but
 #      leads in group 1), verified against the computed union of
 #      CORRECTNESS_r01-r06 via tools_attestation_status.py;
-#   4. the 8 lowest-numbered r3-stale queries not already above
-#      (q101, q102, q106, q107, q108, q110, q111, q112) to fill the
-#      window — after this round no green row predates r3 except the
-#      r3 block itself, which round 8 continues to rotate through.
+#   4. one r3-stale slot (q101) to fill the window to exactly 50 —
+#      the 7 displaced r3-stale queries (q102, q106, q107, q108,
+#      q110, q111, q112) lead the round-8 re-attestation list, after
+#      any round-8 changed paths.
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
@@ -11647,8 +11660,15 @@ _ATTESTATION_PRIORITY = [
     "q189_embedding_norm_profile",
     "q190_pack_manifest",
     "q204_curriculum_schedule",
-    # --- 2. de-pinned oracle in r7 (auto-sized LSH planes) ---
+    # --- 2. de-pinned oracles in r7 (auto-sized LSH planes, 8) ---
     "q202_mutual_nn_margin",
+    "q38_lsh_ann_topk",
+    "q39_lsh_bucket_stats",
+    "q51_cosine_near_dup_pairs",
+    "q97_semantic_clusters",
+    "q118_embedding_decontamination",
+    "q119_lsh_recall_report",
+    "q121_hybrid_near_dup_report",
     # --- 3. r2-stale re-attestations (27; registry order) ---
     "q70_curation_pipeline",
     "q73_ordered_string_agg",
@@ -11677,15 +11697,9 @@ _ATTESTATION_PRIORITY = [
     "q103_decontamination",
     "q104_repetition_stats",
     "q105_audio_decode",
-    # --- 4. oldest r3-stale re-attestations (8; registry order) ---
+    # --- 4. oldest r3-stale re-attestation (1; the 7 displaced ---
+    # --- r3-stale q102/q106/q107/q108/q110/q111/q112 lead round 8) ---
     "q101_chunk_documents",
-    "q102_data_quality_report",
-    "q106_triangle_counts",
-    "q107_pii_redaction",
-    "q108_salted_join",
-    "q110_retention_cohorts",
-    "q111_inverted_index",
-    "q112_canonical_docs",
     # Everything else is r3-r6-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.

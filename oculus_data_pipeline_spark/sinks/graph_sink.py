@@ -36,7 +36,8 @@ def write_graph_delta_merge(
     but last-writer-wins at the file level), concurrent pipelines and
     incremental re-ingest stay consistent.
 
-    Gated on the Delta jars. Probe note (2026-08-14, round 5): this
+    Gated on the Delta jars. Probe note (2026-08-15, round 7 — same
+    result as the 2026-08-14 round-5 probe): this
     container has no delta-spark package, no io.delta jars under the
     pyspark distribution, and no network to resolve
     spark.jars.packages, so the gate is the honest default here —
@@ -54,7 +55,7 @@ def write_graph_delta_merge(
         )
     except Exception as e:
         raise NotImplementedError(
-            "Delta Lake is not on the classpath (probed 2026-08-14: no "
+            "Delta Lake is not on the classpath (probed 2026-08-15: no "
             "delta-spark package, no io.delta jars, no network in this "
             "container); use write_graph_parquet (default sink) or add "
             "io.delta:delta-spark_2.13 to spark.jars.packages and set "

@@ -318,19 +318,17 @@ if __name__ == "__main__":
             "bucketed candidates + exact cosine re-rank (all-pairs is",
             "opt-in via exact=True); replica embeddings are rotated so",
             "the probe measures algorithmic growth, not manufactured",
-            "identity clusters. The registry query pins P=6 planes for",
-            "oracle determinism; the operator's production default",
-            "auto-sizes P ~ log2(N/32) from a one-pass count so bucket",
-            "occupancy — hence candidates per vector — stays constant",
-            "as N grows (fixed P would be N^2/2^(P+1) per table).",
-            "",
-            "q202 (mutual-NN margin) auto-sizes its LSH plane count",
-            "from COUNT(*) since round 7 — P = min(16, max(4,",
-            "bit_length(N//32))), the same integer formula in the",
-            "Spark plan and the DuckDB oracle — so bucket occupancy",
-            "(hence candidates per vector) stays ~32 as N grows; the",
-            "pre-r7 registry variant pinned P=6 and grew N^2/2^7 (the",
-            "r6 SCALING row's 8.4x at 8x was that pinned regime).",
+            "identity clusters. Since round 7 the ENTIRE registered",
+            "LSH family (q38/q39/q51/q97/q118/q119/q121/q202)",
+            "auto-sizes its plane count from COUNT(*) — P = min(16,",
+            "max(4, bit_length(N//32))), the same integer formula in",
+            "the Spark plan and the DuckDB oracle, over gated static",
+            "planes at a fixed per-table index stride — so bucket",
+            "occupancy (hence candidates per vector) stays ~32 as N",
+            "grows. The pre-r7 variants pinned P=6: an N^2/2^7",
+            "per-table candidate asymptote for the self-join family",
+            "(q202's 8.4x at 8x in the r6 SCALING table was that",
+            "pinned regime entering its quadratic phase).",
             "q172's",
             "alpha ~0.87 is a global sort crossing from overhead- to",
             "data-dominated (N log N, no quadratic term).",
