@@ -1,0 +1,104 @@
+"""Cross-engine parity of the gated LSH bucket SQL at plane counts the
+fixture SFs never reach.
+
+The registered LSH family auto-sizes P from COUNT(*), so the oracle
+compares at sf0.001/0.01/0.1 only exercise P = 4 and P = 6 — planes
+7..15 of the gated static SQL (queries._gated_bucket_sql) and the
+fixed per-table index stride (similarity.PLANE_STRIDE) would go
+untested against the Spark expression until a bigger corpus hit them
+(the 8× probe regime auto-sizes P = 9 but runs no oracle). These
+tests pin bucket-id equality directly: same synthetic vectors through
+``lsh_bucket_expr`` and through the gated SQL with the plane-count
+CTE forced to high P values, at table 0 and a non-zero table (the
+stride case the round-7 de-pin introduced).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from oculus_data_pipeline_spark.operators.similarity import (
+    PLANE_STRIDE,
+    auto_planes,
+    lsh_bucket_expr,
+)
+from oculus_data_pipeline_spark.queries import _auto_planes_sql, _gated_bucket_sql
+
+DIM = 64
+N = 64
+
+
+@pytest.fixture(scope="module")
+def vec_parquet(spark, tmp_path_factory):
+    """Deterministic synthetic vectors, written once, read by BOTH
+    engines from the same parquet file (identical float64 bits)."""
+    path = str(tmp_path_factory.mktemp("gated") / "vecs.parquet")
+    rows = spark.range(N).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), "
+            "d -> cast(pmod(xxhash64(id, d), 2001) - 1000 as double) / 997.0)"
+        ).alias("v"),
+    )
+    rows.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.mark.parametrize(
+    ("n_planes", "table"),
+    [(12, 0), (12, 2), (16, 1), (9, 3), (4, 0)],
+)
+def test_bucket_ids_match_duckdb_at_high_p(spark, vec_parquet, n_planes, table):
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in spark.read.parquet(vec_parquet)
+        .select("vec_id", lsh_bucket_expr("v", DIM, n_planes, table).alias("bucket"))
+        .collect()
+    }
+    sql = f"""
+    WITH e AS (SELECT vec_id, v FROM read_parquet('{vec_parquet}/*.parquet')),
+    np AS (SELECT {n_planes} AS p)
+    SELECT vec_id, {_gated_bucket_sql('v', table, 16, DIM)} AS bucket
+    FROM e, np
+    """
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want
+    # at high P the ids must actually spread (a constant-zero bucket
+    # column would also "match"). Sign-bit buckets are NOT uniform
+    # hashes — correlated vectors collide by design — so this only
+    # guards degeneracy, not birthday-bound uniformity (measured ~51
+    # distinct of 64 at P=9 on this fixture).
+    if n_planes >= 9:
+        assert len(set(got.values())) >= N // 2
+
+
+def test_auto_planes_formula_matches_duckdb():
+    """similarity.auto_planes == _auto_planes_sql for counts crossing
+    every clamp and bit-length boundary."""
+    conn = duckdb.connect()
+    for n in [0, 1, 31, 32, 63, 64, 127, 128, 500, 2000, 2047, 2048,
+              16_000, 65_535, 65_536, 2_000_000, 10_000_000]:
+        sql_p = conn.execute(
+            f"SELECT {_auto_planes_sql(str(n), 16)}"
+        ).fetchone()[0]
+        assert sql_p == auto_planes(n, 32, 16), n
+
+
+def test_stride_bounds_enforced():
+    """A plane count above PLANE_STRIDE must fail loudly — per-table
+    plane sets would silently overlap otherwise."""
+    with pytest.raises(ValueError, match="PLANE_STRIDE"):
+        lsh_bucket_expr("v", DIM, PLANE_STRIDE + 1)
+
+
+def test_spark_parquet_dir_glob(vec_parquet):
+    # read_parquet('<dir>/*.parquet') must actually see the file the
+    # Spark writer produced (guards the fixture, not the engines)
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{vec_parquet}/*.parquet')"
+    ).fetchone()[0]
+    assert n == N
