@@ -163,7 +163,8 @@ HEADLINE = [
 # names is attributable to a re-plan, not noise or a regression
 # (r6 verdict item 3: BENCH_r06's deliberate ~12% sweep cost was only
 # explained in LOCAL_HARNESS prose). Maintained by hand each round,
-# next to the plan changes themselves.
+# next to the plan changes themselves — RESET the list at the start
+# of every round; stale entries would mis-attribute noise to re-plans.
 REPLANNED = [
     # round 7: prefix-scan internals (pass-1 collect bounded to
     # boundary-spanning groups in the plan; null-safe carry join) —

@@ -9698,13 +9698,14 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates, DuckDB `//` floors — they only agree on non-negatives).
     Shuffles carry (bucket, id, ppm) — never raw vectors — and all
     windows are partitioned per query id."""
-    from .operators.similarity import _as_double, lsh_bucket_expr
+    from .operators.similarity import _as_double, auto_planes, lsh_bucket_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = _as_double(emb.select("vec_id", "embedding"), "embedding")
-    # one metadata-cheap count sizes the planes; the oracle SQL
-    # recomputes the identical integer formula from its own COUNT(*)
-    n_planes = min(16, max(4, (e.count() // 32).bit_length()))
+    # one metadata-cheap count sizes the planes via the ONE shared
+    # policy (similarity.auto_planes); the oracle SQL recomputes the
+    # identical integer formula from its own COUNT(*)
+    n_planes = auto_planes(e.count(), 32, 16)
     b = e.withColumn("bucket", lsh_bucket_expr("embedding", EMB_DIM, n_planes))
     from .functions.vectors import cosine_similarity
 

@@ -101,21 +101,29 @@ def verdict(alpha: float) -> str:
 
 
 def main() -> None:
-    spark = get_spark("giant-group-probe")
-    qs = get_queries()
-    tmp = tempfile.mkdtemp(prefix="giant_group_")
-    base_dir = os.path.join(tmp, "base")
-    big_dir = os.path.join(tmp, f"x{K}")
-    # capture fd 2 so the JVM's log4j output is scannable for the
-    # unpartitioned-window warning (same mechanism as bench.py)
+    # capture fd 2 BEFORE creating the session: the JVM subprocess
+    # inherits fd 2 at launch, so a dup2 after get_spark would leave
+    # log4j writing to the real terminal and the warning count below
+    # would be vacuously 0 no matter what the plans did (bench.py
+    # orders these the same way, and a round-7 self-review caught this
+    # probe getting it backwards)
     orig_err = os.dup(2)
     cap = tempfile.NamedTemporaryFile(prefix="giant_stderr_", delete=False)
     os.dup2(cap.fileno(), 2)
+    tmp = tempfile.mkdtemp(prefix="giant_group_")
+    base_dir = os.path.join(tmp, "base")
+    big_dir = os.path.join(tmp, f"x{K}")
     try:
+        spark = get_spark("giant-group-probe")
+        qs = get_queries()
         build_fixtures(spark, base_dir, big_dir)
         rows = []
         for name in PROBES:
-            time_query(spark, qs, name, base_dir)  # warm
+            # warm BOTH directories identically: the Kx side would
+            # otherwise pay first-touch parquet/footer costs the 1x
+            # side never pays, biasing alpha upward near tier edges
+            time_query(spark, qs, name, base_dir)
+            time_query(spark, qs, name, big_dir)
             t1 = time_query(spark, qs, name, base_dir)
             tk = time_query(spark, qs, name, big_dir)
             alpha = math.log(max(tk, 1e-9) / max(t1, 1e-9)) / math.log(K)
