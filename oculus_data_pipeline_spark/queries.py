@@ -1023,7 +1023,15 @@ def _gated_bucket_sql(
     plane count. A static string can't vary its plane set, so p_max
     bounds the inlined text; the Spark side clamps identically
     (p_max=16 ⇒ exact up to ~2 M vectors at the 32-per-bucket
-    target — far past every oracle SF)."""
+    target — far past every oracle SF).
+
+    PRECONDITION: ``np.p >= 4``. Planes j < 4 are inlined UNGATED
+    (they fire unconditionally) because :func:`_auto_planes_sql`
+    wraps its count in ``GREATEST(4, …)`` — the floor is part of the
+    shared policy, not an accident. A caller wiring a custom ``np``
+    CTE with p < 4 would silently diverge from the Spark expression;
+    ``tests/test_gated_bucket_parity.py::test_auto_planes_sql_floor``
+    pins the invariant so the only legal ``np`` source keeps it."""
     from .operators.similarity import PLANE_STRIDE, hyperplane
 
     parts = []
@@ -9684,7 +9692,8 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q38/q50) and threshold pairs (q51) don't give. Candidates come
     from the LSH bucket self-join with the plane count AUTO-SIZED from
     a one-pass COUNT(*) — P = min(16, max(4, bit_length(N // 32))),
-    the production policy of similarity.cosine_near_dup_pairs, and the
+    the production policy of similarity.lsh_near_dup_pairs (via
+    similarity.auto_planes), and the
     SAME integer formula the static oracle computes in SQL (round 7:
     this de-pins the r6 registry variant's fixed P = 6, whose N²/2⁷
     candidate volume was the last quadratic asymptote in a registered

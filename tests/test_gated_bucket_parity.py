@@ -88,6 +88,26 @@ def test_auto_planes_formula_matches_duckdb():
         assert sql_p == auto_planes(n, 32, 16), n
 
 
+def test_auto_planes_sql_floor():
+    """_gated_bucket_sql precondition: its only legal ``np`` source,
+    _auto_planes_sql, can NEVER produce p < 4 (planes j < 4 are
+    inlined ungated on that floor) — and the Spark policy agrees."""
+    conn = duckdb.connect()
+    for n in [0, 1, 2, 3, 31, 32, 63]:
+        sql_p = conn.execute(f"SELECT {_auto_planes_sql(str(n), 16)}").fetchone()[0]
+        assert sql_p >= 4, n
+        assert auto_planes(n, 32, 16) >= 4, n
+
+
+def test_auto_planes_none_pmax_clamps_to_stride():
+    """Production callers (p_max=None) must degrade to PLANE_STRIDE at
+    absurd N, never hand _planes2d_expr a plan-build ValueError."""
+    assert auto_planes(2**60) == PLANE_STRIDE
+    assert auto_planes(32 * (2**31), target_bucket_size=32) == PLANE_STRIDE
+    # unchanged below the ceiling
+    assert auto_planes(2000) == auto_planes(2000, 32, 16)
+
+
 def test_stride_bounds_enforced():
     """A plane count above PLANE_STRIDE must fail loudly — per-table
     plane sets would silently overlap otherwise."""
