@@ -162,29 +162,20 @@ HEADLINE = [
 # bench JSON so a driver-side round-over-round timing swing on these
 # names is attributable to a re-plan, not noise or a regression
 # (r6 verdict item 3: BENCH_r06's deliberate ~12% sweep cost was only
-# explained in LOCAL_HARNESS prose). Maintained by hand each round,
-# next to the plan changes themselves — RESET the list at the start
-# of every round; stale entries would mis-attribute noise to re-plans.
-REPLANNED = [
-    # round 7: prefix-scan internals (pass-1 collect bounded to
-    # boundary-spanning groups in the plan; null-safe carry join) —
-    # every grouped_prefix_sum consumer re-plans:
-    "q122_sequence_packing",
-    "q144_stratified_split",
-    "q159_pps_sample",
-    "q190_pack_manifest",
-    # round 7: LSH plane counts de-pinned — auto-sized from COUNT(*)
-    # in both engines over gated static planes at a fixed per-table
-    # index stride (was pinned P=6 everywhere):
-    "q202_mutual_nn_margin",
-    "q38_lsh_ann_topk",
-    "q39_lsh_bucket_stats",
-    "q51_cosine_near_dup_pairs",
-    "q97_semantic_clusters",
-    "q118_embedding_decontamination",
-    "q119_lsh_recall_report",
-    "q121_hybrid_near_dup_report",
-]
+# explained in LOCAL_HARNESS prose). MACHINE-DERIVED since round 8
+# (r7 verdict item 3: the hand-maintained list had no reset
+# enforcement): the diff of the two newest committed
+# PLAN_FINGERPRINTS_r*.json snapshots — per-query sha256 of the
+# NORMALIZED optimized logical plan at a fixed SF (expression ids /
+# JVM addresses / plan ids stripped), regenerated each round on the
+# final tree via `python tools_plan_fingerprints.py --round N` and
+# verified against the tree by tests/test_plan_fingerprints.py
+# (gate: SPARK_GRAFT_FP_CHECK=1). A forgotten regeneration now
+# surfaces as a snapshot-vs-tree diff, not a silently stale list.
+def replanned_queries() -> list[str]:
+    from tools_plan_fingerprints import derive_replanned
+
+    return derive_replanned()
 
 
 def main() -> None:
@@ -229,7 +220,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "unpartitioned_window_warnings": window_warnings,
-                "replanned": REPLANNED,
+                "replanned": replanned_queries(),
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "value": total,

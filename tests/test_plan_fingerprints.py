@@ -1,0 +1,109 @@
+"""Guards for the machine-derived bench ``"replanned"`` key (r7
+verdict item 3): the key is the diff of the two newest committed
+PLAN_FINGERPRINTS_r*.json snapshots, so these tests pin (a) the plan
+normalization that makes fingerprints process-stable, (b) the
+snapshot-diff derivation itself, (c) that bench.py actually emits the
+derivation and not a hand list, and (d) — env-gated, because it
+builds all 220 plans (~3 min) — that the NEWEST committed snapshot
+matches the current tree, which is the check that turns a forgotten
+end-of-round regeneration into a test failure instead of a silently
+misleading bench JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tools_plan_fingerprints as fp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_normalize_strips_run_varying_tokens():
+    """Expression ids, JVM addresses, plan ids, RDD numbers, and
+    whitespace wrapping all vary run-to-run for an UNCHANGED plan —
+    normalization must erase exactly those."""
+    a = (
+        "Project [id#123L, v#124]\n"
+        "+- LogicalRDD MapPartitionsRDD[42] org.apache.x@1a2b3c4d "
+        "[plan_id=7]"
+    )
+    b = (
+        "Project [id#991L,   v#992]\n"
+        "+- LogicalRDD MapPartitionsRDD[77] org.apache.x@99ffee00 "
+        "[plan_id=31]"
+    )
+    assert fp.normalize_plan(a) == fp.normalize_plan(b)
+    # but a REAL plan change (different operator/expression) survives
+    c = a.replace("Project", "Filter")
+    assert fp.normalize_plan(a) != fp.normalize_plan(c)
+
+
+def test_derive_replanned_diffs_two_newest(tmp_path):
+    """replanned == queries whose fingerprint differs between the two
+    newest snapshots; new queries count; with <2 snapshots nothing is
+    claimed."""
+    def snap(rnd, fps):
+        p = tmp_path / f"PLAN_FINGERPRINTS_r{rnd}.json"
+        p.write_text(json.dumps({"round": rnd, "fingerprints": fps}))
+
+    snap(3, {"q1": "aa", "q2": "bb"})
+    assert fp.derive_replanned(str(tmp_path)) == []  # only one snapshot
+    snap(4, {"q1": "aa", "q2": "CHANGED", "q3": "new"})
+    assert fp.derive_replanned(str(tmp_path)) == ["q2", "q3"]
+    # round 10 sorts AFTER round 4 numerically (not lexically)
+    snap(10, {"q1": "aa", "q2": "CHANGED", "q3": "new"})
+    assert fp.derive_replanned(str(tmp_path)) == []
+
+
+def test_bench_emits_the_derivation():
+    """bench.py's replanned key is the derivation, byte-for-byte — no
+    hand-maintained list left to forget resetting."""
+    import bench
+
+    assert bench.replanned_queries() == fp.derive_replanned()
+
+
+def test_newest_snapshot_covers_registry():
+    """The newest committed snapshot names EXACTLY the registered
+    queries, with no plan-build errors recorded — a partial or
+    error-bearing snapshot would make the replanned diff lie."""
+    snaps = fp.committed_snapshots(REPO)
+    assert snaps, "no committed PLAN_FINGERPRINTS_r*.json"
+    with open(snaps[-1][1]) as f:
+        fps = json.load(f)["fingerprints"]
+    from oculus_data_pipeline_spark.queries import get_queries
+
+    assert sorted(fps) == sorted(get_queries())
+    bad = {q: h for q, h in fps.items() if h.startswith("ERROR")}
+    assert not bad, f"snapshot carries plan-build errors: {bad}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FP_CHECK") != "1",
+    reason="builds all registry plans (~3 min) — set SPARK_GRAFT_FP_CHECK=1",
+)
+def test_snapshot_matches_tree():
+    """End-of-round gate: the newest committed snapshot must equal a
+    fresh recomputation on this tree. Run on the final tree after
+    `python tools_plan_fingerprints.py --round N`."""
+    snaps = fp.committed_snapshots(REPO)
+    assert snaps, "no committed PLAN_FINGERPRINTS_r*.json"
+    with open(snaps[-1][1]) as f:
+        committed = json.load(f)["fingerprints"]
+    fresh = fp.compute_all()
+    diff = sorted(
+        q
+        for q in set(fresh) | set(committed)
+        if fresh.get(q) != committed.get(q)
+    )
+    assert diff == [], (
+        f"snapshot {snaps[-1][1]} is stale vs the tree — regenerate "
+        f"with tools_plan_fingerprints.py --round <N>: {diff}"
+    )
