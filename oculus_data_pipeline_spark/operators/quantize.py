@@ -820,6 +820,278 @@ def opq_rotation(
     ]
 
 
+# ---------------------------------------------------------------------------
+# Trained IVF+PQ — MULTI-STEP Lloyd on both quantizer levels (round 8).
+#
+# The r7 registry's one remaining pinned plan ran exactly ONE Lloyd step
+# per level because exact means compounded DECIMAL depth across steps.
+# De-pinned the same way the LSH family was: a deterministic integer
+# formula that both engines compute identically at EVERY iteration —
+#
+#   * vectors are quantized ONCE to a fixed integer grid:
+#     xs[t] = CAST(round(x[t] * TRAIN_SCALE) AS BIGINT)  (TRAIN_SCALE=10⁴)
+#   * every centroid update re-enters the SAME grid via floor division:
+#     mu = (Σ xs + cnt·TRAIN_OFFSET) div cnt − TRAIN_OFFSET
+#     The TRAIN_OFFSET shift keeps the numerator non-negative (components
+#     are bounded by TRAIN_OFFSET/TRAIN_SCALE = 100 in absolute value —
+#     the corpus lives in ±0.6), where Spark `div` on DECIMAL(38,0) and
+#     DuckDB `//` on HUGEINT both truncate = floor, the q185/q180
+#     discipline. Floor-vs-round drift against true Lloyd is < 10⁻⁴ per
+#     component per step; determinism is what the oracle needs.
+#   * all distances are BIGINT sums of squared integer differences —
+#     order-free, tie-broken on centroid id, no float compare anywhere.
+#
+# Scale shape: each Lloyd step is ONE corpus scan (argmin projection
+# against a broadcast codebook + a bounded ≤ k·dim-row mean aggregate);
+# the per-step codebooks are tiny and lazily localCheckpoint-ed so the
+# logical plan stays LINEAR in n_steps (each step's centroids are
+# referenced twice — by the next assignment and by the empty-cluster
+# COALESCE — which would otherwise double the plan per step).
+# ---------------------------------------------------------------------------
+
+TRAIN_SCALE = 10_000
+TRAIN_OFFSET = 1_000_000
+
+
+def _int_sqdist(vcol, ccol):
+    """Squared L2 between two integer-grid vectors as a BIGINT fold —
+    exact and order-free (integer addition commutes), so the oracle's
+    unrolled term chain matches bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(vcol, ccol, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _floor_mean_expr(off: int) -> str:
+    """The shared centroid-update formula over aliased ``sq``
+    (DECIMAL(38,0) sum) and ``cnt`` columns — floor(Σ/cnt) computed as
+    a truncating division on a shifted non-negative numerator."""
+    return f"CAST((sq + cnt * {off}) div cnt - {off} AS BIGINT)"
+
+
+def _coarse_cands(k_coarse: int):
+    """array<struct(d BIGINT, cid)> of distances from this row's ``xs``
+    to every coarse centroid in the broadcast ``ccs`` array — argmin
+    via array_min with (d, cid) tie-break, exactly the oracle's
+    ROW_NUMBER(ORDER BY d, c0)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_coarse - 1)),
+        lambda c: F.struct(
+            _int_sqdist(
+                F.col("xs"), F.element_at(F.col("ccs"), (c + 1).cast("int"))
+            ).alias("d"),
+            c.cast("long").alias("cid"),
+        ),
+    )
+
+
+def _cent_row(cent: DataFrame) -> DataFrame:
+    """ONE broadcastable row: ccs[c0+1] = that cluster's centroid."""
+    return cent.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c0", "cvec"))),
+            lambda s: s.cvec,
+        ).alias("ccs")
+    )
+
+
+def _cb_row(cb: DataFrame) -> DataFrame:
+    """ONE broadcastable row: mm[m+1][code+1] = that subspace
+    centroid's slice."""
+    return (
+        cb.groupBy("m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "cvec"))),
+                lambda s: s.cvec,
+            ).alias("row")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "row"))),
+                lambda s: s.row,
+            ).alias("mm")
+        )
+    )
+
+
+def train_coarse_quantizer(
+    e: DataFrame, k_coarse: int, n_steps: int, off: int = TRAIN_OFFSET
+) -> list[DataFrame]:
+    """Lloyd-train the coarse quantizer on integer-grid vectors
+    ``e(id, xs)``; returns the centroid table (c0, cvec) AFTER each
+    step, index 0 = the lowest-id init. Each step: one corpus scan
+    (broadcast argmin + ≤ k_coarse·dim-row mean aggregate); empty
+    clusters keep their previous position (COALESCE)."""
+    cents = [
+        e.where(F.col("id") < k_coarse)
+        .select(F.col("id").alias("c0"), F.col("xs").alias("cvec"))
+        .localCheckpoint(eager=False)
+    ]
+    for _ in range(n_steps):
+        assigned = (
+            e.crossJoin(F.broadcast(_cent_row(cents[-1])))
+            .select("xs", F.array_min(_coarse_cands(k_coarse)).cid.alias("c0"))
+        )
+        means = (
+            assigned.select("c0", F.posexplode("xs").alias("t", "xq"))
+            .groupBy("c0", "t")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
+            )
+            .select("c0", "t", F.expr(_floor_mean_expr(off)).alias("mu"))
+        )
+        cents.append(
+            cents[-1]
+            .select("c0", F.posexplode("cvec").alias("t", "prev"))
+            .join(means, ["c0", "t"], "left")
+            .select("c0", "t", F.coalesce("mu", "prev").alias("mu"))
+            .groupBy("c0")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "mu"))),
+                    lambda s: s.mu,
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def train_pq_codebook(
+    resid: DataFrame,
+    k: int,
+    n_subspaces: int,
+    sub: int,
+    k_coarse: int,
+    n_steps: int,
+    off: int = TRAIN_OFFSET,
+) -> list[DataFrame]:
+    """Lloyd-train the residual PQ codebook on integer residuals
+    ``resid(id, list_id, r)``; returns the codebook table
+    (m, code, cvec) AFTER each step, index 0 = the next-k-ids init.
+    Codes for ALL subspaces are computed in one projection against the
+    broadcast nested codebook row (no per-subspace shuffle)."""
+    cbs = [
+        resid.where(
+            (F.col("id") >= k_coarse) & (F.col("id") < k_coarse + k)
+        )
+        .select(
+            (F.col("id") - k_coarse).alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias(
+                "mi"
+            ),
+            "r",
+        )
+        .select(
+            F.col("mi").cast("long").alias("m"),
+            "code",
+            F.slice(
+                F.col("r"), (F.col("mi") * sub + 1).cast("int"), sub
+            ).alias("cvec"),
+        )
+        .localCheckpoint(eager=False)
+    ]
+    for _ in range(n_steps):
+        coded = (
+            resid.crossJoin(F.broadcast(_cb_row(cbs[-1])))
+            .select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+                ).alias("mi"),
+                "r",
+                "mm",
+            )
+            .select(
+                F.col("mi").cast("long").alias("m"),
+                F.slice(
+                    F.col("r"), (F.col("mi") * sub + 1).cast("int"), sub
+                ).alias("rs"),
+                "mm",
+            )
+            .select(
+                "m",
+                "rs",
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda j: F.struct(
+                            _int_sqdist(
+                                F.col("rs"),
+                                F.element_at(
+                                    F.element_at(
+                                        F.col("mm"),
+                                        (F.col("m") + 1).cast("int"),
+                                    ),
+                                    (j + 1).cast("int"),
+                                ),
+                            ).alias("d"),
+                            j.cast("long").alias("cid"),
+                        ),
+                    )
+                ).cid.alias("code"),
+            )
+        )
+        means = (
+            coded.select("m", "code", F.posexplode("rs").alias("t", "xq"))
+            .groupBy("m", "code", "t")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
+            )
+            .select("m", "code", "t", F.expr(_floor_mean_expr(off)).alias("mu"))
+        )
+        cbs.append(
+            cbs[-1]
+            .select("m", "code", F.posexplode("cvec").alias("t", "prev"))
+            .join(means, ["m", "code", "t"], "left")
+            .select("m", "code", "t", F.coalesce("mu", "prev").alias("mu"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "mu"))),
+                    lambda s: s.mu,
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cbs
+
+
+def _int_corpus(
+    emb: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("xs"),
+    )
+
+
+def _residuals(e: DataFrame, crow: DataFrame, k_coarse: int) -> DataFrame:
+    """(id, list_id, r) — integer residuals vs the trained coarse
+    quantizer; a scan-speed projection against ONE broadcast row."""
+    return (
+        e.crossJoin(F.broadcast(crow))
+        .withColumn("list_id", F.array_min(_coarse_cands(k_coarse)).cid)
+        .select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "xs",
+                F.element_at(F.col("ccs"), (F.col("list_id") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("r"),
+        )
+    )
+
+
 def ivf_pq_trained_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -831,251 +1103,119 @@ def ivf_pq_trained_topk(
     k_coarse: int = 4,
     nprobe: int = 2,
     dim: int = 64,
-    scale: int = 1_000_000,
+    scale: int = TRAIN_SCALE,
+    n_steps: int = 3,
 ) -> DataFrame:
-    """IVF+PQ with BOTH codebooks Lloyd-trained one exact step — the
-    capstone composition: q135's assignment step + q157's exact-mean
-    update applied to the coarse quantizer (full-dim) AND the residual
-    PQ codebook (per subspace), then q149's probed ADC search runs
-    against the trained index. Every stage stays cross-engine
-    bit-exact: assignments are left-fold argmins with id tie-breaks,
-    centroid updates are decimal sums over quantized components with
-    one double division, distances fold in fixed order, and ADC
-    partials round to DECIMAL(28,9) before the order-free Σ.
+    """IVF+PQ with BOTH codebooks Lloyd-trained ``n_steps`` exact
+    integer steps (default 3 — de-pinned from the r7 single step), then
+    the probed ADC search against the trained index: q135's assignment
+    + the integer-rescale update (module header) iterated on the coarse
+    quantizer (full-dim) AND the residual PQ codebook (per subspace),
+    composing q149's probed search. Every stage is cross-engine
+    bit-exact: one up-front ×10⁴ quantization, BIGINT distance folds
+    with id tie-breaks, floor-division means that re-enter the same
+    integer grid each iteration, and a BIGINT ADC sum (``adc_dist`` is
+    squared L2 in the scaled domain — divide by scale² for the float
+    reading).
 
-    Scale shape — identical to the fixed-seed pieces it composes: the
-    corpus is scanned for (a) coarse assignment + residual encoding
-    (projection against TWO broadcast one-row codebooks) and (b) the
-    two bounded centroid-update aggregations (≤ k_coarse·dim and
-    k·dim rows per task); the search side touches codes only, with
-    the n_queries·nprobe·M·k distance table broadcast."""
+    Scale shape: n_steps+1 corpus scans for coarse training +
+    n_steps+1 for PQ training (each a broadcast-argmin projection plus
+    a mean aggregate bounded at k·dim rows per task — Lloyd's inherent
+    per-iteration cost), then the search touches codes only with the
+    n_queries·nprobe·M·k distance table broadcast. Codebooks are
+    lazily localCheckpoint-ed per step, keeping the plan linear in
+    n_steps and pinning ONE materialization per step (the r6
+    range-partitioner lesson).
+    """
     sub = dim // n_subspaces
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    # ---- coarse: init = lowest ids, one exact Lloyd update ----
-    coarse0 = (
-        e.where(F.col("id") < k_coarse)
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("id", "v"))), lambda s: s.v
-            ).alias("ccs")
-        )
-    )
-
-    def coarse_cands():
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(k_coarse - 1)),
-            lambda c: F.struct(
-                _full_sqdist(
-                    F.col("v"), F.element_at(F.col("ccs"), (c + 1).cast("int"))
-                ).alias("d"),
-                c.cast("long").alias("cid"),
-            ),
-        )
-
-    assigned0 = (
-        e.crossJoin(F.broadcast(coarse0))
-        .withColumn("c0", F.array_min(coarse_cands()).cid)
-        .select("id", "v", "c0")
-    )
-    qv = F.transform("v", lambda x: F.round(x * scale).cast("long"))
-    cmeans = (
-        assigned0.select("c0", F.posexplode(qv).alias("t", "xq"))
-        .groupBy("c0", "t")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
-        )
-        .select(
-            "c0",
-            "t",
-            (F.col("sq").cast("double") / F.col("cnt") / F.lit(float(scale))).alias(
-                "mu"
-            ),
-        )
-    )
-    init_c = (
-        coarse0.select(F.posexplode("ccs").alias("cpos", "cv"))
-        .select(
-            F.col("cpos").cast("long").alias("c0"),
-            F.posexplode("cv").alias("t", "init_mu"),
-        )
-    )
-    cent1row = (
-        init_c.join(cmeans, ["c0", "t"], "left")
-        .select("c0", "t", F.coalesce("mu", "init_mu").alias("mu"))
-        .groupBy("c0")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "mu"))), lambda s: s.mu
-            ).alias("cvec")
-        )
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("c0", "cvec"))),
-                lambda s: s.cvec,
-            ).alias("ccs")
-        )
-    )
-    # ---- re-assign against trained coarse; residuals ----
-    assigned1 = (
-        e.crossJoin(F.broadcast(cent1row))
-        .withColumn("list_id", F.array_min(coarse_cands()).cid)
-        .select(
-            "id",
-            "list_id",
-            F.zip_with(
-                "v",
-                F.element_at(F.col("ccs"), (F.col("list_id") + 1).cast("int")),
-                lambda x, c: x - c,
-            ).alias("r"),
-            "v",
-        )
-    )
-    # ---- residual codebook: init = residuals of next-k ids, one update ----
-    cb0 = (
-        assigned1.where(
-            (F.col("id") >= k_coarse) & (F.col("id") < k_coarse + k)
-        )
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("id", "r"))), lambda s: s.r
-            ).alias("cvs")
-        )
-    )
-    codes0 = (
-        assigned1.crossJoin(F.broadcast(cb0))
-        .select(
-            "id",
-            "list_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
-            "r",
-            "cvs",
-        )
-        .select(
-            "id",
-            "list_id",
-            F.col("m").cast("long").alias("m"),
-            "r",
-            F.array_min(_subspace_candidates(sub, k, vec="r")).cid.alias("code"),
-        )
-    )
-    qslice = F.transform(
-        F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub),
-        lambda x: F.round(x * scale).cast("long"),
-    )
-    rmeans = (
-        codes0.select("m", "code", F.posexplode(qslice).alias("t", "xq"))
-        .groupBy("m", "code", "t")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
-        )
-        .select(
-            "m",
-            "code",
-            "t",
-            (F.col("sq").cast("double") / F.col("cnt") / F.lit(float(scale))).alias(
-                "mu"
-            ),
-        )
-    )
-    init_r = (
-        cb0.select(F.posexplode("cvs").alias("cpos", "cv"))
-        .select(
-            F.col("cpos").cast("long").alias("code"),
-            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
-            "cv",
-        )
-        .select(
-            F.col("m").cast("long").alias("m"),
-            "code",
-            F.posexplode(
-                F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub)
-            ).alias("t", "init_mu"),
-        )
-    )
-    cb1 = (
-        init_r.join(rmeans, ["m", "code", "t"], "left")
-        .select("m", "code", F.col("t"), F.coalesce("mu", "init_mu").alias("mu"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "mu"))), lambda s: s.mu
-            ).alias("cvec")
-        )
-    )
-    # ---- final codes vs trained residual codebook ----
-    vslice = F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub)
-    d_final = F.aggregate(
-        F.zip_with(vslice, F.col("cvec"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
+    e = _int_corpus(emb, id_col, vec_col, scale)
+    cent = train_coarse_quantizer(e, k_coarse, n_steps)[-1]
+    crow = _cent_row(cent)
+    resid = _residuals(e, crow, k_coarse)
+    cb = train_pq_codebook(resid, k, n_subspaces, sub, k_coarse, n_steps)[-1]
+    # ---- final codes vs the trained residual codebook ----
     codes = (
-        codes0.select("id", "list_id", "m", "r")
-        .join(F.broadcast(cb1.withColumnRenamed("code", "cid")), "m")
+        resid.crossJoin(F.broadcast(_cb_row(cb)))
         .select(
             "id",
             "list_id",
-            "m",
-            F.struct(d_final.alias("d"), F.col("cid").alias("cid")).alias("cand"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                    lambda mi: F.array_min(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(k - 1)),
+                            lambda j: F.struct(
+                                _int_sqdist(
+                                    F.slice(
+                                        F.col("r"),
+                                        (mi * sub + 1).cast("int"),
+                                        sub,
+                                    ),
+                                    F.element_at(
+                                        F.element_at(
+                                            F.col("mm"),
+                                            (mi + 1).cast("int"),
+                                        ),
+                                        (j + 1).cast("int"),
+                                    ),
+                                ).alias("d"),
+                                j.cast("long").alias("cid"),
+                            ),
+                        )
+                    ).cid,
+                )
+            ).alias("mpos", "code"),
         )
-        .groupBy("id", "list_id", "m")
-        .agg(F.min("cand").alias("best"))
-        .select("id", "list_id", "m", F.col("best.cid").alias("code"))
+        .select(
+            "id",
+            "list_id",
+            F.col("mpos").cast("long").alias("m"),
+            "code",
+        )
     )
     # ---- query side: probe trained lists, dtable vs trained codebook ----
     probes = (
         e.where(F.col("id") < n_queries)
         .withColumnRenamed("id", "query_id")
-        .crossJoin(F.broadcast(cent1row))
+        .crossJoin(F.broadcast(crow))
         .select(
             "query_id",
-            "v",
+            "xs",
             "ccs",
-            F.explode(F.slice(F.array_sort(coarse_cands()), 1, nprobe)).alias(
-                "probe"
-            ),
+            F.explode(
+                F.slice(F.array_sort(_coarse_cands(k_coarse)), 1, nprobe)
+            ).alias("probe"),
         )
         .select(
             "query_id",
             F.col("probe.cid").alias("list_id"),
             F.zip_with(
-                "v",
-                F.element_at(F.col("ccs"), (F.col("probe.cid") + 1).cast("int")),
+                "xs",
+                F.element_at(
+                    F.col("ccs"), (F.col("probe.cid") + 1).cast("int")
+                ),
                 lambda x, c: x - c,
             ).alias("rq"),
         )
     )
-    rq_slice = F.slice(F.col("rq"), (F.col("m") * sub + 1).cast("int"), sub)
-    d_q = F.aggregate(
-        F.zip_with(rq_slice, F.col("cvec"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    dtable = (
-        probes.crossJoin(F.broadcast(cb1))
-        .select(
-            "query_id",
-            "list_id",
-            F.col("m").cast("long").alias("m"),
-            "code",
-            F.round(d_q, 9).cast("decimal(28,9)").alias("pd"),
-        )
+    dtable = probes.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "list_id",
+        "m",
+        "code",
+        _int_sqdist(
+            F.slice(F.col("rq"), (F.col("m") * sub + 1).cast("int"), sub),
+            F.col("cvec"),
+        ).alias("pd"),
     )
     agg = (
         codes.join(F.broadcast(dtable), ["list_id", "m", "code"])
         .where(F.col("id") != F.col("query_id"))
         .groupBy("query_id", "id")
-        .agg(F.min("list_id").alias("list_id"), F.sum("pd").alias("adc_dec"))
+        .agg(F.min("list_id").alias("list_id"), F.sum("pd").alias("adc"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
@@ -1083,7 +1223,95 @@ def ivf_pq_trained_topk(
             "query_id",
             F.col("id").alias("neighbor_id"),
             "list_id",
-            F.round(F.col("adc_dec").cast("double"), 6).alias("adc_dist"),
+            F.col("adc").alias("adc_dist"),
             "rank",
         )
     )
+
+
+def ivf_pq_train_objectives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    k: int = 8,
+    k_coarse: int = 4,
+    dim: int = 64,
+    scale: int = TRAIN_SCALE,
+    n_steps: int = 3,
+) -> DataFrame:
+    """Per-step Lloyd objectives for descent attestation: rows
+    (level, m, step, sse) where ``sse`` is the corpus total of the
+    MINIMUM squared integer distance to that step's codebook — coarse
+    level reports m = -1 over full vectors; the pq level reports each
+    subspace m separately. Lloyd guarantees sse is non-increasing in
+    ``step`` for exact means; the ×10⁴ floor-division grid perturbs
+    each mean by < 1 grid unit per component, preserving descent at
+    the magnitudes the corpus spans (test-pinned)."""
+    sub = dim // n_subspaces
+    e = _int_corpus(emb, id_col, vec_col, scale)
+    cents = train_coarse_quantizer(e, k_coarse, n_steps)
+    parts = []
+    for step, cent in enumerate(cents):
+        parts.append(
+            e.crossJoin(F.broadcast(_cent_row(cent)))
+            .select(F.array_min(_coarse_cands(k_coarse)).d.alias("d"))
+            .groupBy()
+            .agg(F.sum("d").alias("sse"))
+            .select(
+                F.lit("coarse").alias("level"),
+                F.lit(-1).cast("long").alias("m"),
+                F.lit(step).alias("step"),
+                "sse",
+            )
+        )
+    resid = _residuals(e, _cent_row(cents[-1]), k_coarse)
+    cbs = train_pq_codebook(resid, k, n_subspaces, sub, k_coarse, n_steps)
+    for step, cb in enumerate(cbs):
+        parts.append(
+            resid.crossJoin(F.broadcast(_cb_row(cb)))
+            .select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+                ).alias("mi"),
+                "r",
+                "mm",
+            )
+            .select(
+                F.col("mi").cast("long").alias("m"),
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda j: F.struct(
+                            _int_sqdist(
+                                F.slice(
+                                    F.col("r"),
+                                    (F.col("mi") * sub + 1).cast("int"),
+                                    sub,
+                                ),
+                                F.element_at(
+                                    F.element_at(
+                                        F.col("mm"),
+                                        (F.col("mi") + 1).cast("int"),
+                                    ),
+                                    (j + 1).cast("int"),
+                                ),
+                            ).alias("d"),
+                            j.cast("long").alias("cid"),
+                        ),
+                    )
+                ).d.alias("d"),
+            )
+            .groupBy("m")
+            .agg(F.sum("d").alias("sse"))
+            .select(
+                F.lit("pq").alias("level"),
+                "m",
+                F.lit(step).alias("step"),
+                "sse",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -340,9 +340,10 @@ def test_full_eigenbasis_opq_rotation_wins_on_multicomponent_data(spark):
 
 def test_trained_ivf_pq_has_no_degenerate_zero_distances(spark, sf_dir):
     """q149's fixed-seed index ranks code-colliding vectors at ADC 0
-    because raw data points ARE codebook entries; after one Lloyd step
-    every centroid is a mean, so top-ranked ADC distances are strictly
-    positive and the ranking discriminates."""
+    because raw data points ARE codebook entries; after Lloyd training
+    (3 integer-grid steps per level since round 8) every centroid is a
+    mean, so top-ranked ADC distances are strictly positive and the
+    ranking discriminates."""
     from oculus_data_pipeline_spark.operators.quantize import (
         ivf_pq_trained_topk,
     )
