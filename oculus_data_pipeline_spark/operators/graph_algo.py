@@ -26,9 +26,16 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns (id, component) for every node appearing in ``edges``;
-    component = min node id reachable (deterministic canonical)."""
+    component = min node id reachable (deterministic canonical).
+
+    If ``stats`` is passed, records ``stats["iterations"]`` = the
+    number of propagation rounds RUN (including the final no-change
+    round that proves quiescence) — the O(diameter) factor that,
+    multiplied by per-job fixed latency, is this operator's cost floor
+    (see SCALING.md's cc-rounds section for the measured counts)."""
     # symmetrize via explode, not self-union: a union evaluates the
     # upstream edge plan twice before the persist materializes — for
     # derived edge sets (LSH near-dup pairs) that upstream plan IS the
@@ -55,7 +62,9 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        if stats is not None:
+            stats["iterations"] = it + 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")

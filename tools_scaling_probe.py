@@ -69,6 +69,10 @@ PROBES = [
     "q114_bucketed_range_join",
     "q118_embedding_decontamination",
     "q120_prepare_corpus",
+    # the one registered LSH-family member previously missing a probe
+    # row — added r8 so every de-pinned auto-sized-P plan has a
+    # measured exponent on the shipped tree (r7 verdict item 4)
+    "q121_hybrid_near_dup_report",
     "q124_point_in_time_join",
     "q126_entity_resolution",
     "q127_part_cooccurrence",
@@ -333,10 +337,49 @@ if __name__ == "__main__":
             "alpha ~0.87 is a global sort crossing from overhead- to",
             "data-dominated (N log N, no quadratic term).",
         ]
+        # q97's cost floor is per-job fixed latency × O(diameter) CC
+        # rounds (README "known floors") — record the MEASURED round
+        # count at both scales so the committed exponent carries its
+        # iteration factor (r7 verdict item 4). Rounds include the
+        # final no-change round that proves quiescence.
+        from oculus_data_pipeline_spark.operators.graph_algo import (
+            connected_components,
+        )
+        from oculus_data_pipeline_spark.operators import similarity
+
+        cc_lines = ["", "<!-- cc-rounds -->", ""]
+        for label, d in (("1×", SRC), (f"{K}×", tmp)):
+            pairs = similarity.lsh_near_dup_pairs(
+                load_table(spark, d, "embeddings"), threshold=0.4, p_max=16
+            )
+            st: dict = {}
+            n_edges = pairs.count()
+            connected_components(
+                pairs, src="id_a", dst="id_b", stats=st
+            ).write.format("noop").mode("overwrite").save()
+            cc_lines.append(
+                f"q97 CC at {label}: {n_edges} near-dup edges, "
+                f"{st['iterations']} propagation rounds (incl. the "
+                f"quiescence-proof round)"
+            )
+        cc_lines += [
+            "",
+            "Rounds track the near-dup graph DIAMETER (shallow at any",
+            "corpus size — duplicates cluster tightly), not the corpus",
+            "row count: the per-round cost is one shuffle-join, so",
+            "q97's wall clock is rounds × per-job latency at toy scale",
+            "and rounds × shuffle-of-|edges| at cluster scale.",
+            "<!-- /cc-rounds -->",
+        ]
+        lines += cc_lines
+        for ln in cc_lines:
+            print(ln)
         out = "\n".join(lines) + "\n"
         # preserve the marker-delimited sections written by
         # tools_skew_probe.py / tools_giant_group_probe.py across
-        # regenerations
+        # regenerations (cc-rounds is regenerated above, so it is NOT
+        # in the preserve list — a stale copy would shadow the fresh
+        # measurement)
         if os.path.exists("SCALING.md"):
             old = open("SCALING.md").read()
             for mark in ("skew-probe", "giant-group-probe"):
