@@ -163,3 +163,22 @@ def test_ivf_pq_trained_more_steps_never_worsen_the_quantizer(spark, sf_dir):
     assert step1 != step3
     # both rows remain broadcastable single-row codebooks
     assert _cent_row(cents[3]).count() == 1
+
+
+def test_q168_oracle_ctes_are_materialized():
+    """Every CTE in q168's oracle must carry AS MATERIALIZED: DuckDB
+    inlines CTEs, and the per-step cent_i/cb_j are each referenced
+    twice (next assignment + empty-cluster COALESCE), so an inlined
+    chain expands exponentially in n_steps — observed as an
+    OutOfMemory abort, which on the driver would read as a q168
+    correctness error, not a perf nit."""
+    import re
+
+    from oculus_data_pipeline_spark.queries import ORACLE
+
+    sql = ORACLE["q168_ivf_pq_trained"]
+    bare = re.findall(r"\w+ AS \(", sql)
+    assert bare == [], f"unmaterialized CTEs: {bare}"
+    # the chain really is multi-step: 3 coarse (asg/cm/cent) + 3 pq
+    # (pasg/pm/cb) triples plus the fixed head/tail CTEs
+    assert len(re.findall(r"AS MATERIALIZED \(", sql)) >= 24
