@@ -33,9 +33,20 @@ def connected_components(
 
     If ``stats`` is passed, records ``stats["iterations"]`` = the
     number of propagation rounds RUN (including the final no-change
-    round that proves quiescence) — the O(diameter) factor that,
-    multiplied by per-job fixed latency, is this operator's cost floor
-    (see SCALING.md's cc-rounds section for the measured counts)."""
+    round that proves quiescence) — the round count ×  per-job fixed
+    latency is this operator's cost floor (see SCALING.md's cc-rounds
+    section for the measured counts).
+
+    Each round combines the neighbor-min step with POINTER JUMPING
+    (adopt the label OF my updated label), so convergence takes
+    O(log diameter) rounds, not O(diameter). The r8 scaling probe
+    caught the plain neighbor-min variant SILENTLY hitting the
+    20-round cap on the 8× fixture (its loose-threshold near-dup
+    graph has diameter > 20) — unconverged components are wrong
+    results, so exhausting ``max_iterations`` without quiescence now
+    raises instead of returning; with jumping, 20 rounds cover
+    diameters beyond 2^20, so the guard is unreachable on any graph
+    this engine will meet."""
     # symmetrize via explode, not self-union: a union evaluates the
     # upstream edge plan twice before the persist materializes — for
     # derived edge sets (LSH near-dup pairs) that upstream plan IS the
@@ -62,6 +73,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    changed = 1
     for it in range(max_iterations):
         if stats is not None:
             stats["iterations"] = it + 1
@@ -70,16 +82,36 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.a, "left"
+        ).select(
+            "id",
+            "comp",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
+                "mid"
+            ),
+        )
+        # pointer jump: adopt the label OF my updated label. Every
+        # label value is a node id inside the same component (labels
+        # only ever propagate along edges), so the jump is monotone
+        # and preserves the fixpoint while (at least) halving label-
+        # chain depth per round — O(log diameter) rounds overall.
+        jump = labels.select(
+            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+        )
         # the convergence flag rides the checkpointed row — detecting
         # quiescence is then a scan of in-memory data, not a self-join
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            stepped.join(jump, stepped.mid == jump.jid, "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
+                F.least(F.col("mid"), F.coalesce("jcomp", F.col("mid"))).alias(
                     "new_comp"
                 ),
-                (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("chg"),
+                (
+                    F.least(F.col("mid"), F.coalesce("jcomp", F.col("mid")))
+                    < F.col("comp")
+                ).alias("chg"),
             )
             # lazy checkpoint: lineage is cut at the first materialization,
             # which the convergence probe below triggers anyway — one job
@@ -91,6 +123,13 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — with pointer jumping that means a graph of "
+            "diameter beyond 2^max_iterations or a bug; refusing to "
+            "return unconverged (silently wrong) components"
+        )
     return labels.select("id", "comp")
 
 

@@ -11635,12 +11635,20 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # debt; the round-7 window went 50/50 full green in CORRECTNESS_r07,
 # re-attesting the 14 r6-sweep queries, the 8 de-pinned LSH-family
 # queries, the 27 remaining r2-stale rows, and q101):
-#   1. the one round-8 changed execution path AND changed oracle:
-#      q168, DE-PINNED from its single-Lloyd-step limitation — both
-#      quantizer levels now train THREE steps on a ×10⁴ integer grid
-#      with floor-division means identical in Spark `div` and DuckDB
-#      `//` (operators/quantize.py module header; per-step descent
-#      attested per subspace in tests/test_ivf_kmeans.py);
+#   1. the round-8 changed execution paths (changed oracle only for
+#      q168): q168, DE-PINNED from its single-Lloyd-step limitation —
+#      both quantizer levels now train THREE steps on a ×10⁴ integer
+#      grid with floor-division means identical in Spark `div` and
+#      DuckDB `//` (operators/quantize.py module header; per-step
+#      descent attested per subspace in tests/test_ivf_kmeans.py);
+#      plus the four connected_components consumers NOT already in
+#      this window — q97, q166, q167, q210 — whose plans changed when
+#      the r8 scaling probe caught plain neighbor-min CC silently
+#      hitting its 20-round cap on the 8× fixture (diameter > 20 ⇒
+#      unconverged = wrong): CC now POINTER-JUMPS (O(log diameter)
+#      rounds) and raises on non-convergence. Same fixpoint, same
+#      oracles; all 8 consumers re-verified exact at sf0.001/0.01/0.1
+#      (the other four — q76, q112, q120, q126 — sit in group 2);
 #   2. all 37 r3-stale re-attestations — the whole remaining r3
 #      cohort fits this window, so after CORRECTNESS_r08 no registry
 #      row predates r4. The 7 queries the r7 LSH de-pin displaced
@@ -11648,14 +11656,19 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      committed round-8 plan; the rest follow in registry order
 #      (computed from the CORRECTNESS_r01-r07 union via
 #      tools_attestation_status.py — not a hand list);
-#   3. the 12 oldest r4-stale rows to fill the window to exactly 50
-#      (q109, q132, q134-q137, q169, q179, q180, q183-q185; q168
-#      also belongs to the r4 cohort but leads in group 1).
+#   3. the 8 oldest r4-stale rows to fill the window to exactly 50
+#      (q109, q132, q134-q137, q169, q179; q180/q183-q185 were
+#      displaced by the four CC re-plans and lead the r9 stale list;
+#      q168 also belongs to the r4 cohort but leads in group 1).
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
-    # --- 1. execution path + oracle changed in round 8 (1) ---
+    # --- 1. execution path changed in round 8 (5) ---
     "q168_ivf_pq_trained",
+    "q97_semantic_clusters",
+    "q166_dedup_weights",
+    "q167_cluster_size_histogram",
+    "q210_drop_waterfall",
     # --- 2a. the 7 r3-stale rows displaced by the r7 LSH de-pin ---
     "q102_data_quality_report",
     "q106_triangle_counts",
@@ -11695,7 +11708,7 @@ _ATTESTATION_PRIORITY = [
     "q129_gap_fill_forward",
     "q130_incremental_agg_merge",
     "q131_nearest_event_join",
-    # --- 3. the 12 oldest r4-stale rows (fill to exactly 50) ---
+    # --- 3. the 8 oldest r4-stale rows (fill to exactly 50) ---
     "q109_unigram_rarity",
     "q132_revenue_share",
     "q134_hll_error_report",
@@ -11704,10 +11717,6 @@ _ATTESTATION_PRIORITY = [
     "q137_frame_sample",
     "q169_label_propagation",
     "q179_group_aware_split",
-    "q180_key_skew_profile",
-    "q183_rolling_active_users",
-    "q184_compression_ratio",
-    "q185_collocations",
     # Everything else is r4-r7-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.

@@ -256,3 +256,28 @@ def test_stratified_split_null_stratum_retained(spark):
         .collect()
     }
     assert null_counts == {"train": 40, "val": 5, "test": 5}
+
+
+def test_connected_components_converges_on_deep_path_graphs(spark):
+    """Regression for the r8 scaling-probe finding: plain neighbor-min
+    propagation needs O(diameter) rounds and SILENTLY hit the 20-round
+    cap on the 8× fixture's loose-threshold near-dup graph (diameter
+    > 20) — unconverged components are wrong results. With pointer
+    jumping a 200-node path (diameter 199, 10× the cap) must converge
+    inside the default 20 rounds to the exact min-label answer; the
+    operator now raises rather than return unconverged."""
+    from oculus_data_pipeline_spark.operators.graph_algo import (
+        connected_components,
+    )
+
+    n = 200
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(path, stats=stats).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["iterations"] <= 12  # O(log d), nowhere near the cap
