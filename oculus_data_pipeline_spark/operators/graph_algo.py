@@ -37,16 +37,21 @@ def connected_components(
     latency is this operator's cost floor (see SCALING.md's cc-rounds
     section for the measured counts).
 
-    Each round combines the neighbor-min step with POINTER JUMPING
-    (adopt the label OF my updated label), so convergence takes
-    O(log diameter) rounds, not O(diameter). The r8 scaling probe
-    caught the plain neighbor-min variant SILENTLY hitting the
-    20-round cap on the 8× fixture (its loose-threshold near-dup
-    graph has diameter > 20) — unconverged components are wrong
-    results, so exhausting ``max_iterations`` without quiescence now
-    raises instead of returning; with jumping, 20 rounds cover
-    diameters beyond 2^20, so the guard is unreachable on any graph
-    this engine will meet."""
+    Each round is Shiloach-Vishkin-style: neighbor-min step, then
+    ROOT HOOKING (the minimum candidate seen ANYWHERE in a current
+    label-region relabels the whole region — a groupBy on the label
+    value joined back), then a pointer jump (adopt the label of my
+    updated label). Label-regions MERGE every round, so convergence
+    takes O(log n) rounds, not O(diameter). History pinned by the r8
+    scaling probe: plain neighbor-min SILENTLY hit the 20-round cap on
+    the 8× fixture (its loose-threshold near-dup graph has diameter
+    > 20 — unconverged components are wrong results, not slow ones),
+    and neighbor-min + jump WITHOUT hooking stalled there too (a jump
+    through an interior local-minimum label gains nothing: comp[u]=u,
+    so a wrongly-labeled region collapses only one hop per round from
+    its boundary; a path graph hides this — it has no interior local
+    minima). Exhausting ``max_iterations`` without quiescence raises
+    instead of returning."""
     # symmetrize via explode, not self-union: a union evaluates the
     # upstream edge plan twice before the persist materializes — for
     # derived edge sets (LSH near-dup pairs) that upstream plan IS the
@@ -91,25 +96,32 @@ def connected_components(
                 "mid"
             ),
         )
-        # pointer jump: adopt the label OF my updated label. Every
-        # label value is a node id inside the same component (labels
-        # only ever propagate along edges), so the jump is monotone
-        # and preserves the fixpoint while (at least) halving label-
-        # chain depth per round — O(log diameter) rounds overall.
+        # root hook: group the candidates by CURRENT label — the best
+        # candidate any member of a label-region saw relabels the
+        # whole region this round (without this, a region whose label
+        # is an interior local minimum shrinks one hop per round).
+        # Every candidate is a node id inside the same component
+        # (labels only propagate along edges), so hook and jump are
+        # monotone and fixpoint-preserving.
+        hooks = stepped.groupBy("comp").agg(F.min("mid").alias("hmin"))
+        hooked = stepped.join(hooks, "comp").select(
+            "id", "comp", F.least("mid", "hmin").alias("mid2")
+        )
+        # pointer jump: adopt the label OF my updated label.
         jump = labels.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
         # the convergence flag rides the checkpointed row — detecting
         # quiescence is then a scan of in-memory data, not a self-join
         updated = (
-            stepped.join(jump, stepped.mid == jump.jid, "left")
+            hooked.join(jump, hooked.mid2 == jump.jid, "left")
             .select(
                 "id",
-                F.least(F.col("mid"), F.coalesce("jcomp", F.col("mid"))).alias(
-                    "new_comp"
-                ),
+                F.least(
+                    F.col("mid2"), F.coalesce("jcomp", F.col("mid2"))
+                ).alias("new_comp"),
                 (
-                    F.least(F.col("mid"), F.coalesce("jcomp", F.col("mid")))
+                    F.least(F.col("mid2"), F.coalesce("jcomp", F.col("mid2")))
                     < F.col("comp")
                 ).alias("chg"),
             )
@@ -126,8 +138,8 @@ def connected_components(
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "rounds — with pointer jumping that means a graph of "
-            "diameter beyond 2^max_iterations or a bug; refusing to "
+            "rounds — with root hooking that means vastly more label-"
+            "region merge rounds than log2(n) or a bug; refusing to "
             "return unconverged (silently wrong) components"
         )
     return labels.select("id", "comp")

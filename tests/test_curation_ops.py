@@ -262,10 +262,11 @@ def test_connected_components_converges_on_deep_path_graphs(spark):
     """Regression for the r8 scaling-probe finding: plain neighbor-min
     propagation needs O(diameter) rounds and SILENTLY hit the 20-round
     cap on the 8× fixture's loose-threshold near-dup graph (diameter
-    > 20) — unconverged components are wrong results. With pointer
-    jumping a 200-node path (diameter 199, 10× the cap) must converge
-    inside the default 20 rounds to the exact min-label answer; the
-    operator now raises rather than return unconverged."""
+    > 20) — unconverged components are wrong results. With root
+    hooking + pointer jumping a 200-node path (diameter 199, 10× the
+    cap) must converge inside the default 20 rounds to the exact
+    min-label answer; the operator now raises rather than return
+    unconverged."""
     from oculus_data_pipeline_spark.operators.graph_algo import (
         connected_components,
     )
@@ -280,4 +281,33 @@ def test_connected_components_converges_on_deep_path_graphs(spark):
         for r in connected_components(path, stats=stats).collect()
     }
     assert got == {(i, 0) for i in range(n)}
-    assert stats["iterations"] <= 12  # O(log d), nowhere near the cap
+    assert stats["iterations"] <= 12  # O(log n), nowhere near the cap
+
+
+def test_connected_components_converges_with_interior_local_minima(spark):
+    """The case a sequential-id path CANNOT exhibit, and the one that
+    stalled the jump-only variant on the 8× fixture (second r8 probe
+    finding): with node ids PERMUTED along a path, interior LOCAL
+    MINIMA abound, and a pointer jump through a local-min label gains
+    nothing (comp[u] = u) — jump-only collapses a mislabeled region
+    one hop per round from its boundary, O(diameter) again. Root
+    hooking relabels each whole region per round, so a 211-node
+    permuted path must converge well under the cap with exact
+    min-labels."""
+    from oculus_data_pipeline_spark.operators.graph_algo import (
+        connected_components,
+    )
+
+    n = 211  # prime, so the stride permutation below is a bijection
+    perm = [(i * 73) % n for i in range(n)]
+    path = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1)],
+        "src long, dst long",
+    )
+    stats: dict = {}
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(path, stats=stats).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["iterations"] <= 15  # region merges, not hop-by-hop

@@ -364,11 +364,17 @@ if __name__ == "__main__":
             )
         cc_lines += [
             "",
-            "Rounds track the near-dup graph DIAMETER (shallow at any",
-            "corpus size — duplicates cluster tightly), not the corpus",
-            "row count: the per-round cost is one shuffle-join, so",
-            "q97's wall clock is rounds × per-job latency at toy scale",
-            "and rounds × shuffle-of-|edges| at cluster scale.",
+            "Rounds are label-region MERGES (Shiloach-Vishkin root",
+            "hooking + pointer jumping): O(log n) in the largest",
+            "component's node count, independent of graph diameter.",
+            "This probe's 8× fixture is the regression anchor — its",
+            "loose-threshold near-dup graph has diameter > 20, which",
+            "silently exhausted plain neighbor-min's round cap (r8),",
+            "and permuted ids stalled the jump-only variant at interior",
+            "local-minimum labels (r8 second finding). Per-round cost",
+            "is two shuffle-joins + one groupBy, so q97's wall clock is",
+            "rounds × per-job latency at toy scale and rounds ×",
+            "shuffle-of-|edges| at cluster scale.",
             "<!-- /cc-rounds -->",
         ]
         lines += cc_lines
