@@ -311,3 +311,67 @@ def test_connected_components_converges_with_interior_local_minima(spark):
     }
     assert got == {(i, 0) for i in range(n)}
     assert stats["iterations"] <= 15  # region merges, not hop-by-hop
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Shape-agnostic ground truth: a seeded composite graph (sparse
+    Erdős–Rényi blocks, disjoint permuted cycles, a caterpillar,
+    self-loops, duplicate and reversed edges — all over scrambled
+    sparse ids so label order carries no structure) compared exactly
+    against a driver-side union-find. The two path tests pin the
+    specific r8 failure modes; this pins the operator against graphs
+    nobody designed."""
+    import random
+
+    from oculus_data_pipeline_spark.operators.graph_algo import (
+        connected_components,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    # scrambled sparse ids: structure must come from edges alone
+    ids = rng.sample(range(1, 10**9), 460)
+    edges: list[tuple[int, int]] = []
+    # three sparse ER blocks over disjoint id slices (m ≈ n → many
+    # small components plus a giant one per block)
+    for lo in (0, 100, 200):
+        blk = ids[lo : lo + 100]
+        edges += [
+            (rng.choice(blk), rng.choice(blk)) for _ in range(100)
+        ]  # self-loops allowed
+    # two disjoint 60-node cycles with permuted ids (high diameter,
+    # interior local minima everywhere)
+    for lo in (300, 360):
+        cyc = ids[lo : lo + 60]
+        edges += [(cyc[i], cyc[(i + 1) % 60]) for i in range(60)]
+    # a caterpillar: 20-node spine, 1 leaf per spine node
+    spine, leaves = ids[420:440], ids[440:460]
+    edges += [(spine[i], spine[i + 1]) for i in range(19)]
+    edges += [(spine[i], leaves[i]) for i in range(20)]
+    # duplicates and reversals must not change anything
+    edges += [(b, a) for (a, b) in rng.sample(edges, 40)]
+    edges += rng.sample(edges, 40)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {(x, comp_min[find(x)]) for x in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert got == expected
+    assert stats["iterations"] <= 15  # O(log n) region merges
