@@ -102,7 +102,12 @@ def connected_components(
         # is an interior local minimum shrinks one hop per round).
         # Every candidate is a node id inside the same component
         # (labels only propagate along edges), so hook and jump are
-        # monotone and fixpoint-preserving.
+        # monotone and fixpoint-preserving. Scale note: in late rounds
+        # one giant component can own most labels, making "comp" a
+        # skewed join key — the min-aggregate is map-side partial (no
+        # skew exposure), and the join-back is exactly one build row
+        # per key, so AQE's skew split replicates it across the fat
+        # partition's subtasks; no salting needed.
         hooks = stepped.groupBy("comp").agg(F.min("mid").alias("hmin"))
         hooked = stepped.join(hooks, "comp").select(
             "id", "comp", F.least("mid", "hmin").alias("mid2")
