@@ -43,6 +43,45 @@ def test_normalize_strips_run_varying_tokens():
     # but a REAL plan change (different operator/expression) survives
     c = a.replace("Project", "Filter")
     assert fp.normalize_plan(a) != fp.normalize_plan(c)
+    # HOF lambda variables number from a SESSION-GLOBAL counter — the
+    # digits live in the variable NAME, not the expr id (r8 audit:
+    # building q168 first renamed every later plan's lambdas)
+    d = "filter(xs#10, lambdafunction(lambda x_2#11 > 0, lambda x_2#11))"
+    e = "filter(xs#44, lambdafunction(lambda x_77#9 > 0, lambda x_77#9))"
+    assert fp.normalize_plan(d) == fp.normalize_plan(e)
+
+
+def test_code_trace_reaches_checkpoint_hidden_operators():
+    """The r8 CC rewrite happened behind a localCheckpoint — the
+    returned plan text is an unchanged LogicalRDD scan, so only the
+    code component can flag consumers. Pin that every CC consumer's
+    trace includes connected_components, and that the trace is
+    docstring-insensitive (doc churn must never claim a re-plan)."""
+    reg = fp._package_registry(REPO)
+    cc_qual = "oculus_data_pipeline_spark/operators/graph_algo.py:connected_components"
+
+    def closure(name):
+        seen, frontier = {}, [name]
+        while frontier:
+            n = frontier.pop()
+            for qual, h, refs in reg.get(n, ()):
+                if qual in seen:
+                    continue
+                seen[qual] = h
+                frontier.extend(r for r in refs if r in reg)
+        return seen
+
+    for consumer in ("q97_semantic_clusters", "q76_dedup_clusters",
+                     "q120_prepare_corpus", "q210_drop_waterfall"):
+        assert cc_qual in closure(consumer), consumer
+    # docstring-insensitivity: same function modulo docstring → same hash
+    import ast as _ast
+
+    a = _ast.parse('def f(x):\n    """doc one"""\n    return x + 1').body[0]
+    b = _ast.parse('def f(x):\n    """another"""\n    return x + 1').body[0]
+    c = _ast.parse('def f(x):\n    return x + 2').body[0]
+    assert fp._node_entry("q", a)[1] == fp._node_entry("q", b)[1]
+    assert fp._node_entry("q", a)[1] != fp._node_entry("q", c)[1]
 
 
 def test_derive_replanned_diffs_two_newest(tmp_path):
