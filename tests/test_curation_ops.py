@@ -375,3 +375,32 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
     }
     assert got == expected
     assert stats["iterations"] <= 15  # O(log n) region merges
+
+
+def test_connected_components_giant_component_skew(spark):
+    """Late-round skew shape: ONE component owning every node, so the
+    hook join's "comp" key degenerates toward a single value — the
+    100 TB case the operator's skew note describes (one-row-per-key
+    build side + AQE skew split). A 2,000-node sparse ring-plus-chords
+    graph with scrambled ids must converge well under the cap and
+    label every node with the global min."""
+    import random
+
+    from oculus_data_pipeline_spark.operators.graph_algo import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    n = 2000
+    ids = rng.sample(range(1, 10**12), n)
+    edges = [(ids[i], ids[(i + 1) % n]) for i in range(n)]  # ring
+    edges += [  # sparse chords keep it one component, diameter ~sqrt
+        (rng.choice(ids), rng.choice(ids)) for _ in range(n // 4)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    got = connected_components(df, stats=stats)
+    lo = min(ids)
+    assert got.count() == n
+    assert got.where(f"comp != {lo}").count() == 0
+    assert stats["iterations"] <= 15
