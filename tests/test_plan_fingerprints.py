@@ -131,18 +131,22 @@ def test_newest_snapshot_covers_registry():
 def test_snapshot_matches_tree():
     """End-of-round gate: the newest committed snapshot must equal a
     fresh recomputation on this tree. Run on the final tree after
-    `python tools_plan_fingerprints.py --round N`."""
-    snaps = fp.committed_snapshots(REPO)
-    assert snaps, "no committed PLAN_FINGERPRINTS_r*.json"
-    with open(snaps[-1][1]) as f:
-        committed = json.load(f)["fingerprints"]
-    fresh = fp.compute_all()
-    diff = sorted(
-        q
-        for q in set(fresh) | set(committed)
-        if fresh.get(q) != committed.get(q)
+    `python tools_plan_fingerprints.py --round N`.
+
+    Runs the TOOL in a subprocess — that is the contract (snapshot ==
+    what the round protocol's command produces), and the suite's
+    shared session is NOT a valid baseline: earlier test modules
+    legitimately mutate session conf (broadcast thresholds etc.), and
+    an in-process compute_all inherited that state — the full suite
+    failed this check while the standalone tool passed it twice."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools_plan_fingerprints.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=600,
     )
-    assert diff == [], (
-        f"snapshot {snaps[-1][1]} is stale vs the tree — regenerate "
-        f"with tools_plan_fingerprints.py --round <N>: {diff}"
+    assert proc.returncode == 0, (
+        "snapshot is stale vs the tree — regenerate with "
+        f"tools_plan_fingerprints.py --round <N>: {proc.stdout[-2000:]}"
     )
