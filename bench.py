@@ -165,13 +165,15 @@ HEADLINE = [
 # explained in LOCAL_HARNESS prose). MACHINE-DERIVED since round 8
 # (r7 verdict item 3: the hand-maintained list had no reset
 # enforcement): the diff of the two newest committed
-# PLAN_FINGERPRINTS_r*.json snapshots — per-query sha256 of the
-# NORMALIZED optimized logical plan at a fixed SF (expression ids /
-# JVM addresses / plan ids stripped), regenerated each round on the
-# final tree via `python tools_plan_fingerprints.py --round N` and
-# verified against the tree by tests/test_plan_fingerprints.py
-# (gate: SPARK_GRAFT_FP_CHECK=1). A forgotten regeneration now
-# surfaces as a snapshot-vs-tree diff, not a silently stale list.
+# PLAN_FINGERPRINTS_r*.json snapshots — per-query TWO-part hash of
+# the normalized ANALYZED plan at a fixed SF plus a static AST code
+# trace (iterative operators re-plan behind localCheckpoint, so only
+# the code part can see them — tools_plan_fingerprints.py has the
+# full audit), regenerated each round on the final tree via `python
+# tools_plan_fingerprints.py --round N` and verified against the
+# tree by tests/test_plan_fingerprints.py (gate:
+# SPARK_GRAFT_FP_CHECK=1). A forgotten regeneration now surfaces as
+# a snapshot-vs-tree diff, not a silently stale list.
 def replanned_queries() -> list[str]:
     from tools_plan_fingerprints import derive_replanned
 
@@ -181,6 +183,12 @@ def replanned_queries() -> list[str]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # 1-min load BEFORE this process adds its own: external contention
+    # inflates timings silently (an r8 run measured a contiguous
+    # 12-query window 5-16x slow while another process owned the box;
+    # the clean re-run was normal). Recording it makes a contaminated
+    # run self-documenting instead of a phantom regression.
+    load_start = round(os.getloadavg()[0], 2)
 
     # Capture fd 2 for the whole run (the JVM inherits it at launch,
     # so Spark's log4j output lands in the temp file) and count
@@ -220,6 +228,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "unpartitioned_window_warnings": window_warnings,
+                "loadavg_1m_at_start": load_start,
                 "replanned": replanned_queries(),
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
