@@ -122,3 +122,30 @@ def test_spark_parquet_dir_glob(vec_parquet):
         f"SELECT COUNT(*) FROM read_parquet('{vec_parquet}/*.parquet')"
     ).fetchone()[0]
     assert n == N
+
+
+def test_auto_planes_python_duckdb_parity_fuzz():
+    """The whole LSH family's cross-engine exactness reduces to BOTH
+    engines deriving the identical P from the identical COUNT(*) —
+    fuzz the Python policy against the SQL mirror across the full
+    integer range: boundary Ns around every power-of-two crossing of
+    N // 32, plus seeded random Ns up to 2^62 (hypothesis-style, but
+    deterministic so the suite stays replayable)."""
+    import random
+
+    conn = duckdb.connect()
+    ns = set()
+    for k in range(0, 40):
+        for d in (-2, -1, 0, 1, 2):
+            n = 32 * (2**k) + d
+            if n >= 0:
+                ns.add(n)
+    rng = random.Random(0xA117)
+    ns.update(rng.randrange(0, 2**62) for _ in range(400))
+    # one SQL round-trip for all cases: engines must agree EVERYWHERE
+    rows = conn.execute(
+        "SELECT n, " + _auto_planes_sql("n", 16) + " FROM (SELECT "
+        "UNNEST(?::BIGINT[]) AS n)", [sorted(ns)]
+    ).fetchall()
+    for n, sql_p in rows:
+        assert sql_p == auto_planes(n, 32, 16), n
