@@ -115,30 +115,62 @@ def summarize(plan: str) -> dict:
         "read_schemas": sorted(set(re.findall(r"ReadSchema: (\S+)", plan))),
     }
 
+
+def codegen_stats(df) -> dict:
+    """Execute the query JVM-side (RDD count — no Python row transfer)
+    so AQE finalizes, then read whole-stage-codegen coverage and the
+    Python-stage census off the FINAL plan. ``rowwise`` counts
+    BatchEvalPython operators — row-at-a-time Python UDFs, which this
+    repo bans from the hot path; any nonzero here is a regression, and
+    the generated PLANS.md makes it greppable per round."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    final = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    return {
+        "spans": len(set(re.findall(r"\*\((\d+)\)", final))),
+        "arrow": len(re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+            r"|FlatMapGroupsWithStateInPandas|MapInArrow", final)),
+        "rowwise": len(re.findall(r"BatchEvalPython", final)),
+    }
+
 def main():
     spark = get_spark("plansdoc")
     out = ["# PLANS — physical-plan evidence (sf0.1, generated by tools_make_plans_md.py)",
            "",
            "Per headline query: shuffle count (Exchanges, net of reuse), join",
-           "strategies, whole-stage-codegen span count, parquet pushdown and",
-           "column pruning as Catalyst actually compiled them.", ""]
+           "strategies, whole-stage-codegen coverage of the AQE-FINAL executed",
+           "plan (spans + Arrow-batched Python stages + row-at-a-time Python",
+           "stages, where any nonzero `rowwise` is a banned-pattern regression),",
+           "parquet pushdown and column pruning as Catalyst actually compiled",
+           "them.", ""]
     qs = get_queries()
+    rowwise_total = 0
     for name in NAMES:
         df = qs[name](spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         s = summarize(plan)
+        cg = codegen_stats(df)
+        rowwise_total += cg["rowwise"]
         out.append(f"## {name}")
         out.append(f"- exchanges: {s['exchanges']}, broadcast joins: {s['broadcast_joins']}, "
                    f"sort-merge joins: {s['sort_merge_joins']}")
+        out.append(f"- codegen spans (final plan): {cg['spans']}, "
+                   f"arrow python stages: {cg['arrow']}, "
+                   f"rowwise python stages: {cg['rowwise']}")
         if s["pushed_filters"]:
             out.append("- pushed filters:")
             out.extend(f"  - `{p}`" for p in s["pushed_filters"])
         out.append("- read schemas (column pruning at the scan):")
         out.extend(f"  - `{r}`" for r in s["read_schemas"])
         out.append("")
+    out.append(f"**rowwise python stages across all audited queries: "
+               f"{rowwise_total}** (must stay 0 — Arrow batches are the "
+               f"only sanctioned Python path)")
+    out.append("")
     open("PLANS.md", "w").write("\n".join(out))
-    print("PLANS.md written")
+    print(f"PLANS.md written (rowwise_total={rowwise_total})")
 
 if __name__ == "__main__":
     main()
