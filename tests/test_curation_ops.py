@@ -404,3 +404,21 @@ def test_connected_components_giant_component_skew(spark):
     assert got.count() == n
     assert got.where(f"comp != {lo}").count() == 0
     assert stats["iterations"] <= 15
+
+
+def test_connected_components_raises_rather_than_return_unconverged(spark):
+    """The r8 contract change: exhausting max_iterations without
+    quiescence RAISES — the scaling probe showed plain neighbor-min
+    silently returning unconverged (wrong) components at the cap, and
+    silence is the failure mode, not slowness."""
+    import pytest as _pytest
+
+    from oculus_data_pipeline_spark.operators.graph_algo import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iterations=1)
