@@ -1,14 +1,16 @@
 """Iterative graph algorithms over (src, dst) edge DataFrames.
 
-``connected_components`` is min-label propagation: every node
-repeatedly adopts the smallest component id among itself and its
-neighbors until a fixpoint. Each iteration is one shuffle (join on the
-edge endpoint + min-aggregate); convergence takes O(graph diameter)
-iterations — near-dup clusters are shallow (diameter ≲ 3), so this
-terminates in a handful of rounds at any corpus size. Lineage is cut
-with localCheckpoint per round so the plan doesn't grow unboundedly
-(the standard Spark iterative-algorithm pattern; GraphFrames does the
-same internally).
+``connected_components`` is Shiloach-Vishkin-style min-label
+propagation (neighbor-min + root hooking + pointer jump): label-
+regions MERGE every round, so convergence takes O(log n) rounds in
+the largest component's node count, independent of graph diameter.
+(The original O(diameter) neighbor-min design assumed near-dup
+clusters are shallow — the r8 scaling probe DISPROVED that with a
+diameter-greater-than-20 fixture; do not reason from the shallow-
+cluster model.) Each round is a bounded number of shuffles; lineage
+is cut with localCheckpoint per round so the plan doesn't grow
+unboundedly (the standard Spark iterative-algorithm pattern;
+GraphFrames does the same internally).
 
 Primary use here: collapsing pairwise near-duplicate edges
 (lsh_verified_near_dups) into transitive dedup clusters with a
@@ -25,7 +27,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 20,
+    max_iterations: int = 64,
     stats: dict | None = None,
 ) -> DataFrame:
     """Returns (id, component) for every node appearing in ``edges``;
@@ -51,7 +53,12 @@ def connected_components(
     so a wrongly-labeled region collapses only one hop per round from
     its boundary; a path graph hides this — it has no interior local
     minima). Exhausting ``max_iterations`` without quiescence raises
-    instead of returning."""
+    instead of returning. The default cap is 64, NOT the observed
+    round counts (≤ 7 on every fixture): rounds grow ~log2 of the
+    largest component's node count, so a 20-ish cap sized to today's
+    fixtures would turn a legitimately-converging 10⁶-node boilerplate
+    component at corpus scale into a crash — and the loop exits at
+    quiescence, so headroom costs nothing."""
     # symmetrize via explode, not self-union: a union evaluates the
     # upstream edge plan twice before the persist materializes — for
     # derived edge sets (LSH near-dup pairs) that upstream plan IS the

@@ -851,6 +851,11 @@ def opq_rotation(
 
 TRAIN_SCALE = 10_000
 TRAIN_OFFSET = 1_000_000
+# Lloyd steps per quantizer level. Cross-engine exactness of q168
+# requires the DuckDB oracle to replay EXACTLY this many steps at
+# EXACTLY this grid — the oracle imports these three constants, so a
+# bump here desyncs nothing.
+TRAIN_STEPS = 3
 
 
 def _int_sqdist(vcol, ccol):
@@ -1104,7 +1109,7 @@ def ivf_pq_trained_topk(
     nprobe: int = 2,
     dim: int = 64,
     scale: int = TRAIN_SCALE,
-    n_steps: int = 3,
+    n_steps: int = TRAIN_STEPS,
 ) -> DataFrame:
     """IVF+PQ with BOTH codebooks Lloyd-trained ``n_steps`` exact
     integer steps (default 3 — de-pinned from the r7 single step), then
@@ -1238,7 +1243,7 @@ def ivf_pq_train_objectives(
     k_coarse: int = 4,
     dim: int = 64,
     scale: int = TRAIN_SCALE,
-    n_steps: int = 3,
+    n_steps: int = TRAIN_STEPS,
 ) -> DataFrame:
     """Per-step Lloyd objectives for descent attestation: rows
     (level, m, step, sse) where ``sse`` is the corpus total of the

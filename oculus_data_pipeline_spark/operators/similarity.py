@@ -175,13 +175,15 @@ def auto_planes(n: int, target_bucket_size: int = 32, p_max: int | None = None) 
     (DuckDB: ``length(bin(x))`` = bit_length for x ≥ 1). ``p_max``
     optionally clamps — oracle-checked registry queries pass the gated
     oracle's inlined plane budget (16); production callers leave it
-    None, which clamps to ``PLANE_STRIDE`` (the documented hard
-    ceiling: plane index sets for adjacent tables would overlap past
-    it, and ``_planes2d_expr`` would raise at plan-build time — that
-    loud error is reserved for explicit ``n_planes`` overrides, not
-    the auto policy degrading at ~137 B vectors)."""
+    None. EVERY path additionally clamps to ``PLANE_STRIDE`` (the
+    documented hard ceiling: plane index sets for adjacent tables
+    would overlap past it, and ``_planes2d_expr`` would raise at
+    plan-build time — that loud error is reserved for explicit
+    ``n_planes`` overrides, so neither the auto policy at ~137 B
+    vectors nor an oversized explicit ``p_max`` budget may reach
+    it)."""
     p = max(4, (max(n, 1) // max(target_bucket_size, 1)).bit_length())
-    return min(p, PLANE_STRIDE) if p_max is None else min(p_max, p)
+    return min(p, PLANE_STRIDE) if p_max is None else min(p_max, p, PLANE_STRIDE)
 
 
 def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int = 0):

@@ -38,6 +38,7 @@ from .functions.text import (
     with_converted_name,
 )
 from .operators import dedup, graph, similarity, textstats
+from .operators.quantize import TRAIN_OFFSET, TRAIN_SCALE, TRAIN_STEPS
 from .operators.classify import EchoClassifier, classify_terms
 from .operators.split import split_col_sql
 from .sources.tables import load_table
@@ -6871,9 +6872,9 @@ def _ivf_pq_trained_oracle(
     k_coarse: int = 4,
     nprobe: int = 2,
     dim: int = EMB_DIM,
-    scale: int = 10_000,
-    off: int = 1_000_000,
-    n_steps: int = 3,
+    scale: int = TRAIN_SCALE,
+    off: int = TRAIN_OFFSET,
+    n_steps: int = TRAIN_STEPS,
 ) -> str:
     """Static CTE chain replaying ivf_pq_trained_topk\'s MULTI-STEP
     integer Lloyd (operators/quantize.py module header): vectors

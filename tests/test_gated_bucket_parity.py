@@ -101,9 +101,13 @@ def test_auto_planes_sql_floor():
 
 def test_auto_planes_none_pmax_clamps_to_stride():
     """Production callers (p_max=None) must degrade to PLANE_STRIDE at
-    absurd N, never hand _planes2d_expr a plan-build ValueError."""
+    absurd N, never hand _planes2d_expr a plan-build ValueError — and
+    an oversized EXPLICIT p_max budget clamps the same way (the loud
+    error stays reserved for explicit n_planes overrides)."""
     assert auto_planes(2**60) == PLANE_STRIDE
     assert auto_planes(32 * (2**31), target_bucket_size=32) == PLANE_STRIDE
+    assert auto_planes(2**60, p_max=48) == PLANE_STRIDE
+    assert auto_planes(2**60, p_max=16) == 16
     # unchanged below the ceiling
     assert auto_planes(2000) == auto_planes(2000, 32, 16)
 

@@ -269,6 +269,11 @@ def main() -> None:
             sys.exit(2)
         with open(snaps[-1][1]) as f:
             committed = json.load(f)["fingerprints"]
+        if args.only:
+            # targeted check: only the selected queries are claims —
+            # without this, every non-selected committed query would
+            # read as a spurious diff (fps.get returns None)
+            committed = {q: h for q, h in committed.items() if q in args.only}
         diff = sorted(
             q for q in set(fps) | set(committed)
             if fps.get(q) != committed.get(q)
