@@ -869,6 +869,32 @@ def _int_sqdist(vcol, ccol):
     )
 
 
+def _pq_cands(rvec, midx, k: int):
+    """(d, cid) candidate structs for ONE subspace: exact BIGINT
+    squared-L2 of residual slice ``rvec`` against every code row of
+    subspace ``midx`` in the broadcast nested codebook column ``mm``.
+    ``F.array_min`` over these is the shared PQ argmin — ``.cid`` for
+    encoding (training + final codes), ``.d`` for the per-step descent
+    objective. The integer analogue of :func:`_subspace_candidates`;
+    ONE definition so a tie-break or indexing change cannot desync
+    training, encoding, and the attested objective (``rvec``/``midx``
+    accept columns or lambda variables, so all three call shapes
+    produce the identical expression tree)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.struct(
+            _int_sqdist(
+                rvec,
+                F.element_at(
+                    F.element_at(F.col("mm"), (midx + 1).cast("int")),
+                    (j + 1).cast("int"),
+                ),
+            ).alias("d"),
+            j.cast("long").alias("cid"),
+        ),
+    )
+
+
 def _floor_mean_expr(off: int) -> str:
     """The shared centroid-update formula over aliased ``sq``
     (DECIMAL(38,0) sum) and ``cnt`` columns — floor(Σ/cnt) computed as
@@ -1022,22 +1048,7 @@ def train_pq_codebook(
                 "m",
                 "rs",
                 F.array_min(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(k - 1)),
-                        lambda j: F.struct(
-                            _int_sqdist(
-                                F.col("rs"),
-                                F.element_at(
-                                    F.element_at(
-                                        F.col("mm"),
-                                        (F.col("m") + 1).cast("int"),
-                                    ),
-                                    (j + 1).cast("int"),
-                                ),
-                            ).alias("d"),
-                            j.cast("long").alias("cid"),
-                        ),
-                    )
+                    _pq_cands(F.col("rs"), F.col("m"), k)
                 ).cid.alias("code"),
             )
         )
@@ -1148,25 +1159,12 @@ def ivf_pq_trained_topk(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
                     lambda mi: F.array_min(
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(k - 1)),
-                            lambda j: F.struct(
-                                _int_sqdist(
-                                    F.slice(
-                                        F.col("r"),
-                                        (mi * sub + 1).cast("int"),
-                                        sub,
-                                    ),
-                                    F.element_at(
-                                        F.element_at(
-                                            F.col("mm"),
-                                            (mi + 1).cast("int"),
-                                        ),
-                                        (j + 1).cast("int"),
-                                    ),
-                                ).alias("d"),
-                                j.cast("long").alias("cid"),
+                        _pq_cands(
+                            F.slice(
+                                F.col("r"), (mi * sub + 1).cast("int"), sub
                             ),
+                            mi,
+                            k,
                         )
                     ).cid,
                 )
@@ -1285,25 +1283,14 @@ def ivf_pq_train_objectives(
             .select(
                 F.col("mi").cast("long").alias("m"),
                 F.array_min(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(k - 1)),
-                        lambda j: F.struct(
-                            _int_sqdist(
-                                F.slice(
-                                    F.col("r"),
-                                    (F.col("mi") * sub + 1).cast("int"),
-                                    sub,
-                                ),
-                                F.element_at(
-                                    F.element_at(
-                                        F.col("mm"),
-                                        (F.col("mi") + 1).cast("int"),
-                                    ),
-                                    (j + 1).cast("int"),
-                                ),
-                            ).alias("d"),
-                            j.cast("long").alias("cid"),
+                    _pq_cands(
+                        F.slice(
+                            F.col("r"),
+                            (F.col("mi") * sub + 1).cast("int"),
+                            sub,
                         ),
+                        F.col("mi"),
+                        k,
                     )
                 ).d.alias("d"),
             )
