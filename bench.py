@@ -180,6 +180,38 @@ def replanned_queries() -> list[str]:
     return derive_replanned()
 
 
+def fingerprint_code_drift() -> list[str]:
+    """Queries whose STATIC code trace on the benchmarked tree differs
+    from the newest committed snapshot's — recomputed here in <1 s (no
+    Spark; pure AST hashing), so every bench run checks by default
+    what the full snapshot gate only checks under SPARK_GRAFT_FP_CHECK
+    (r8 review finding: snapshots are a filesystem glob, so a
+    half-finished or forgotten regeneration would silently ship a
+    replanned key describing a DIFFERENT tree than the one timed).
+    Plan components need a Spark session to recompute and are not
+    checked here; code traces catch any package source drift, which
+    covers the forgotten-regeneration failure mode."""
+    from tools_plan_fingerprints import code_trace_hash, committed_snapshots
+
+    snaps = committed_snapshots()
+    if not snaps:
+        return []
+    with open(snaps[-1][1]) as f:
+        committed = json.load(f)["fingerprints"]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    drift = []
+    for q, h in sorted(committed.items()):
+        if h.startswith("ERROR") or "." not in h:
+            drift.append(q)
+            continue
+        try:
+            if code_trace_hash(q, repo) != h.split(".")[1]:
+                drift.append(q)
+        except KeyError:  # query gone/renamed since the snapshot
+            drift.append(q)
+    return drift
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -230,6 +262,7 @@ def main() -> None:
                 "unpartitioned_window_warnings": window_warnings,
                 "loadavg_1m_at_start": load_start,
                 "replanned": replanned_queries(),
+                "fingerprint_code_drift": fingerprint_code_drift(),
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "value": total,

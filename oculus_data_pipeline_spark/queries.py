@@ -1005,7 +1005,12 @@ def _auto_planes_sql(cnt: str, p_max: int = 16) -> str:
     is DuckDB's exact integer bit_length for x ≥ 1; the x = 0 case is
     absorbed by GREATEST(4, …) — no floating-point log anywhere, so
     both engines compute the identical plane count from the identical
-    COUNT(*)."""
+    COUNT(*). Mirrors the Python side's EVERY-path PLANE_STRIDE clamp
+    by bounding ``p_max`` here (identical SQL text for every p_max ≤
+    the stride, i.e. all current callers)."""
+    from .operators.similarity import PLANE_STRIDE
+
+    p_max = min(p_max, PLANE_STRIDE)
     return (
         f"LEAST({p_max}, GREATEST(4, CASE WHEN ({cnt}) // 32 = 0 THEN 0 "
         f"ELSE length(bin(({cnt}) // 32)) END))"

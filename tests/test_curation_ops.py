@@ -263,10 +263,12 @@ def test_connected_components_converges_on_deep_path_graphs(spark):
     propagation needs O(diameter) rounds and SILENTLY hit the 20-round
     cap on the 8× fixture's loose-threshold near-dup graph (diameter
     > 20) — unconverged components are wrong results. With root
-    hooking + pointer jumping a 200-node path (diameter 199, 10× the
-    cap) must converge inside the default 20 rounds to the exact
-    min-label answer; the operator now raises rather than return
-    unconverged."""
+    hooking + pointer jumping a 200-node path (diameter 199, far past
+    the old 20-round cap that silently truncated it) must converge in
+    O(log n) rounds to the exact min-label answer; the operator now
+    raises rather than return unconverged (default cap 64 — sized for
+    ~2^60-node components, free since the loop exits at
+    quiescence)."""
     from oculus_data_pipeline_spark.operators.graph_algo import (
         connected_components,
     )

@@ -163,6 +163,21 @@ def test_ivf_pq_trained_more_steps_never_worsen_the_quantizer(spark, sf_dir):
     assert step1 != step3
     # both rows remain broadcastable single-row codebooks
     assert _cent_row(cents[3]).count() == 1
+    # ...and the named guarantee is ASSERTED, not implied: the step-3
+    # coarse objective is no worse than step 1's (r8 review finding —
+    # the per-step descent test covers this only transitively)
+    from oculus_data_pipeline_spark.operators.quantize import (
+        ivf_pq_train_objectives,
+    )
+
+    coarse = {
+        r.step: r.sse
+        for r in ivf_pq_train_objectives(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+        if r.level == "coarse"
+    }
+    assert coarse[3] <= coarse[1], coarse
 
 
 def test_q168_oracle_ctes_are_materialized():

@@ -1,5 +1,5 @@
 """Per-query plan fingerprints — the machine-derived source of the
-bench JSON's "replanned" key (r7 verdict item 1: the hand-maintained
+bench JSON's "replanned" key (r7 verdict item 3: the hand-maintained
 bench.REPLANNED list had no reset enforcement, so one forgotten edit
 would mis-attribute ordinary noise to a re-plan).
 
