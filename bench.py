@@ -247,6 +247,10 @@ def main() -> None:
         os.unlink(cap.name)
         os.write(2, captured)
     window_warnings = captured.count(b"WindowExec: No Partition Defined")
+    # bracket the run: twice in r8 an external process inflated the
+    # TAIL queries 2-16x while the start load was quiet — the end
+    # sample catches contention that arrives mid-run
+    load_end = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     # key order matters operationally: the driver stores only the TAIL
@@ -261,6 +265,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "unpartitioned_window_warnings": window_warnings,
                 "loadavg_1m_at_start": load_start,
+                "loadavg_1m_at_end": load_end,
                 "replanned": replanned_queries(),
                 "fingerprint_code_drift": fingerprint_code_drift(),
                 "metric": "headline_queries_total_runtime",
