@@ -388,7 +388,7 @@ if __name__ == "__main__":
         # measurement)
         if os.path.exists("SCALING.md"):
             old = open("SCALING.md").read()
-            for mark in ("skew-probe", "giant-group-probe"):
+            for mark in ("skew-probe", "giant-group-probe", "cc-hook-cost"):
                 ms, me = f"<!-- {mark} -->", f"<!-- /{mark} -->"
                 if ms in old and me in old:
                     kept = old.split(ms)[1].split(me)[0]
