@@ -287,10 +287,18 @@ def main() -> None:
     # the ones the r8 re-plans touched). This line is ~300 bytes and
     # printed LAST, so the expensive-head evidence survives any tail
     # truncation of the line above (r8 verdict item 2).
-    top15 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    print(json.dumps(top15_line(timings)))
+
+
+def top15_line(timings: dict[str, float]) -> dict:
+    """The truncation-proof second bench line: the 15 most expensive
+    per-query timings, most expensive first (ties broken by name so
+    the line is deterministic), plus their sum for a one-glance check
+    of how much of the total the head explains."""
+    top = dict(
+        sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     )
-    print(json.dumps({"top15": top15, "top15_sum": round(sum(top15.values()), 3)}))
+    return {"top15": top, "top15_sum": round(sum(top.values()), 3)}
 
 
 def _run(sf_dir: str) -> dict[str, float]:

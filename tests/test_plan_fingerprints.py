@@ -109,6 +109,51 @@ def test_bench_emits_the_derivation():
     assert bench.replanned_queries() == fp.derive_replanned()
 
 
+def test_bench_top15_line_shape():
+    """The second bench line must keep the EXPENSIVE-head evidence
+    whatever the driver's tail cut does to the main line: descending
+    by time, name-tiebroken (deterministic), capped at 15, sum
+    matching its own entries."""
+    import bench
+
+    timings = {f"q{i:03d}": float(i % 7) for i in range(1, 41)}
+    out = bench.top15_line(timings)
+    vals = list(out["top15"].values())
+    assert len(vals) == 15
+    assert vals == sorted(vals, reverse=True)
+    # ties broken by name: equal-valued entries appear in name order
+    names = list(out["top15"])
+    for a, b in zip(names, names[1:]):
+        if out["top15"][a] == out["top15"][b]:
+            assert a < b
+    assert out["top15_sum"] == round(sum(vals), 3)
+    # fewer queries than 15: no padding, no crash
+    small = bench.top15_line({"qa": 2.0, "qb": 1.0})
+    assert list(small["top15"]) == ["qa", "qb"]
+
+
+def test_fingerprint_code_drift_survives_bad_bookkeeping(tmp_path, monkeypatch):
+    """A malformed snapshot entry or an unparseable package file must
+    surface as drift for that query, never as an exception — the check
+    runs AFTER the whole timed bench, and raising there discards all
+    timings (r8 advice)."""
+    import bench
+
+    snap = tmp_path / "PLAN_FINGERPRINTS_r7.json"
+    snap.write_text(json.dumps({"round": 7, "fingerprints": {
+        "q_ok_shape_but_gone": "deadbeef.feedface",
+        "q_malformed": "no-dot-separator",
+    }}))
+    # bench imports committed_snapshots from fp AT CALL TIME, so the
+    # module-attribute patch reaches it
+    monkeypatch.setattr(
+        fp, "committed_snapshots", lambda *_a, **_k: [(7, str(snap))]
+    )
+    drift = bench.fingerprint_code_drift()
+    assert "q_malformed" in drift        # "." not in hash → drift, pre-try
+    assert "q_ok_shape_but_gone" in drift  # KeyError path → drift, no raise
+
+
 def test_newest_snapshot_covers_registry():
     """The newest committed snapshot names EXACTLY the registered
     queries, with no plan-build errors recorded — a partial or

@@ -373,8 +373,10 @@ if __name__ == "__main__":
             "and permuted ids stalled the jump-only variant at interior",
             "local-minimum labels (r8 second finding). Per-round cost",
             "is two shuffle-joins + one groupBy, so q97's wall clock is",
-            "rounds × per-job latency at toy scale and rounds ×",
-            "shuffle-of-|edges| at cluster scale.",
+            "rounds × fixed per-round scheduling latency at toy scale",
+            "(the ~6 shuffle STAGES each round fuses, not the single",
+            "job submission — decomposed in the cc-hook-cost section",
+            "below) and rounds × shuffle-of-|edges| at cluster scale.",
             "<!-- /cc-rounds -->",
         ]
         lines += cc_lines
