@@ -177,7 +177,18 @@ HEADLINE = [
 def replanned_queries() -> list[str]:
     from tools_plan_fingerprints import derive_replanned
 
-    return derive_replanned()
+    # Total guard, same rationale as fingerprint_code_drift's: this is
+    # called AFTER the whole timed run, and a corrupt/truncated
+    # snapshot file (json.JSONDecodeError out of derive_replanned)
+    # would otherwise discard every timing over a bookkeeping error
+    # (r9 review finding — the r8-advice fix only guarded per-query
+    # failures). The sentinel is visibly not a query name, so a reader
+    # of BENCH_rN.json sees the derivation failed rather than a silent
+    # empty list.
+    try:
+        return derive_replanned()
+    except Exception as e:
+        return [f"__replanned_derivation_failed:{type(e).__name__}__"]
 
 
 def fingerprint_code_drift() -> list[str]:
@@ -193,11 +204,19 @@ def fingerprint_code_drift() -> list[str]:
     covers the forgotten-regeneration failure mode."""
     from tools_plan_fingerprints import code_trace_hash, committed_snapshots
 
-    snaps = committed_snapshots()
-    if not snaps:
-        return []
-    with open(snaps[-1][1]) as f:
-        committed = json.load(f)["fingerprints"]
+    # A truncated or unreadable snapshot FILE (the half-finished
+    # regeneration this docstring's motivating scenario describes)
+    # must surface as drift, not as an exception that voids the
+    # completed timed run — the per-query try below only guards
+    # per-entry failures (r9 review finding).
+    try:
+        snaps = committed_snapshots()
+        if not snaps:
+            return []
+        with open(snaps[-1][1]) as f:
+            committed = json.load(f)["fingerprints"]
+    except Exception as e:
+        return [f"__snapshot_unreadable:{type(e).__name__}__"]
     repo = os.path.dirname(os.path.abspath(__file__))
     drift = []
     for q, h in sorted(committed.items()):

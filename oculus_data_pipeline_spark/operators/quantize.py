@@ -832,9 +832,11 @@ def opq_rotation(
 #     xs[t] = CAST(round(x[t] * TRAIN_SCALE) AS BIGINT)  (TRAIN_SCALE=10⁴)
 #   * every centroid update re-enters the SAME grid via floor division:
 #     mu = (Σ xs + cnt·TRAIN_OFFSET) div cnt − TRAIN_OFFSET
-#     The TRAIN_OFFSET shift keeps the numerator non-negative (components
-#     are bounded by TRAIN_OFFSET/TRAIN_SCALE = 100 in absolute value —
-#     the corpus lives in ±0.6), where Spark `div` on DECIMAL(38,0) and
+#     The TRAIN_OFFSET shift keeps the numerator non-negative. The
+#     binding stage is the RESIDUAL update: |r| = |xs − cvec| reaches
+#     2·max|xs|, so the precondition is |x| ≤ TRAIN_OFFSET/(2·TRAIN_SCALE)
+#     = 50 (the corpus lives in ±0.6; pinned by
+#     test_train_grid_offset_bounds_corpus), where Spark `div` on DECIMAL(38,0) and
 #     DuckDB `//` on HUGEINT both truncate = floor, the q185/q180
 #     discipline. Floor-vs-round drift against true Lloyd is < 10⁻⁴ per
 #     component per step; determinism is what the oracle needs.

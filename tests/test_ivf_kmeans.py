@@ -183,14 +183,19 @@ def test_ivf_pq_trained_more_steps_never_worsen_the_quantizer(spark, sf_dir):
 def test_train_grid_offset_bounds_corpus(spark, sf_dir, emb_np):
     """Pins the floor-mean formula's precondition on the shipped corpus
     (r8 advice): ``(Σ xs + cnt·TRAIN_OFFSET) div cnt − TRAIN_OFFSET``
-    floors only while every grid component satisfies |xs| ≤ TRAIN_OFFSET
-    (i.e. |x| ≤ TRAIN_OFFSET/TRAIN_SCALE = 100) — outside that bound the
-    shifted numerator can go negative and truncating division silently
-    degrades to round-toward-zero (both engines still agree, but the
-    documented floor/descent semantics no longer hold). The bound is
-    enforced HERE rather than in-plan: an assert_true in _int_corpus
-    would change q135/q149/q168's analyzed plans for a condition the
-    corpus satisfies with 100× margin, and this test re-checks every
+    floors only while every summed component stays within ±TRAIN_OFFSET.
+    The BINDING stage is the PQ residual update, not the coarse one:
+    residuals r = xs − cvec reach 2·max|xs| in magnitude (coarse
+    centroids are floor-means of xs sets, so |cvec| ≤ max|xs|), so the
+    corpus must satisfy 2·max|xs| ≤ TRAIN_OFFSET, i.e.
+    |x| ≤ TRAIN_OFFSET/(2·TRAIN_SCALE) = 50 — a bound the r9 review
+    caught being pinned 2× too loose. Outside it the shifted numerator
+    can go negative and truncating division silently degrades to
+    round-toward-zero (both engines still agree, but the documented
+    floor/descent semantics no longer hold). The bound is enforced HERE
+    rather than in-plan: an assert_true in _int_corpus would change
+    q135/q149/q168's analyzed plans for a condition the corpus
+    satisfies with ~50× margin, and this test re-checks every
     driver-shipped corpus revision at every SF the suite runs."""
     from oculus_data_pipeline_spark.operators.quantize import (
         TRAIN_OFFSET,
@@ -199,8 +204,9 @@ def test_train_grid_offset_bounds_corpus(spark, sf_dir, emb_np):
     )
 
     _, V = emb_np
-    # the documented precondition, with the margin stated
-    assert np.abs(V).max() * TRAIN_SCALE <= TRAIN_OFFSET, np.abs(V).max()
+    # the documented precondition (residual stage: factor 2), with the
+    # margin stated
+    assert 2 * np.abs(V).max() * TRAIN_SCALE <= TRAIN_OFFSET, np.abs(V).max()
     # and the exact in-plan quantity (round-then-cast), via the same
     # projection training uses
     emb = load_table(spark, sf_dir, "embeddings")
@@ -208,7 +214,7 @@ def test_train_grid_offset_bounds_corpus(spark, sf_dir, emb_np):
     mx = e.select(
         F.array_max(F.transform("xs", lambda x: F.abs(x))).alias("m")
     ).agg(F.max("m")).collect()[0][0]
-    assert mx <= TRAIN_OFFSET, mx
+    assert 2 * mx <= TRAIN_OFFSET, mx
 
 
 def test_q168_oracle_ctes_are_materialized():

@@ -154,6 +154,32 @@ def test_fingerprint_code_drift_survives_bad_bookkeeping(tmp_path, monkeypatch):
     assert "q_ok_shape_but_gone" in drift  # KeyError path → drift, no raise
 
 
+def test_bench_keys_survive_truncated_snapshot_file(tmp_path, monkeypatch):
+    """A TRUNCATED snapshot file (the half-finished regeneration the
+    drift check's docstring motivates) must surface as a sentinel in
+    BOTH bench keys, never as an exception — json.load raises OUTSIDE
+    the per-query guard, and both functions are called after the whole
+    timed run (r9 review finding: the r8-advice fix only guarded
+    per-entry failures)."""
+    import bench
+
+    good = tmp_path / "PLAN_FINGERPRINTS_r8.json"
+    good.write_text(json.dumps({"round": 8, "fingerprints": {}}))
+    bad = tmp_path / "PLAN_FINGERPRINTS_r9.json"
+    bad.write_text('{"round": 9, "fingerprints": {"q01":')  # truncated
+    monkeypatch.setattr(
+        fp,
+        "committed_snapshots",
+        lambda *_a, **_k: [(8, str(good)), (9, str(bad))],
+    )
+    drift = bench.fingerprint_code_drift()
+    assert drift == ["__snapshot_unreadable:JSONDecodeError__"]
+    replanned = bench.replanned_queries()
+    assert replanned == [
+        "__replanned_derivation_failed:JSONDecodeError__"
+    ]
+
+
 def test_newest_snapshot_covers_registry():
     """The newest committed snapshot names EXACTLY the registered
     queries, with no plan-build errors recorded — a partial or

@@ -45,7 +45,10 @@ from oculus_data_pipeline_spark.operators import similarity
 from oculus_data_pipeline_spark.session import get_spark
 from oculus_data_pipeline_spark.sources.tables import load_table
 
-REPS = 3
+REPS = 5
+# The box's run-to-run noise band per memory'd measurement; the
+# docstring's decision rule compares the measured delta against it.
+NOISE_BAND = 0.30
 
 
 def cc_skip_final_hook(
@@ -148,25 +151,34 @@ def main() -> None:
     ).localCheckpoint()
     n_edges = edges.count()
 
-    def run(fn, name: str):
-        best, rounds = None, None
-        for _ in range(REPS):
+    # warm BOTH variants (one throwaway run each): the r9 review caught
+    # the original probe warming only the shipped CC and timing the
+    # variant against a warmer JVM/page cache — a bias in the variant's
+    # favor on a probe whose adopt/don't decision rides this comparison
+    for fn in (connected_components, cc_skip_final_hook):
+        fn(edges, src="id_a", dst="id_b").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # fair alternating A/B — shipped, variant, shipped, variant, ... —
+    # so slow drift (GC state, page cache, external load) biases
+    # neither side; min-of-REPS per side
+    times: dict[str, list[float]] = {"cur": [], "new": []}
+    rounds: dict[str, int] = {}
+    for _ in range(REPS):
+        for key, fn in (
+            ("cur", connected_components),
+            ("new", cc_skip_final_hook),
+        ):
             stats: dict = {}
             t0 = time.perf_counter()
-            out = fn(edges, src="id_a", dst="id_b", stats=stats)
-            out.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-            rounds = stats["iterations"]
-        return best, rounds
-
-    # interleave warmup: one throwaway run of each
-    connected_components(edges, src="id_a", dst="id_b").write.format(
-        "noop"
-    ).mode("overwrite").save()
-
-    t_cur, r_cur = run(connected_components, "shipped")
-    t_new, r_new = run(cc_skip_final_hook, "skip-final-hook")
+            fn(edges, src="id_a", dst="id_b", stats=stats).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times[key].append(time.perf_counter() - t0)
+            rounds[key] = stats["iterations"]
+    t_cur, t_new = min(times["cur"]), min(times["new"])
+    r_cur, r_new = rounds["cur"], rounds["new"]
 
     # identical output?
     a = connected_components(edges, src="id_a", dst="id_b")
@@ -186,31 +198,57 @@ def main() -> None:
         floors.append(time.perf_counter() - t0)
     floor = min(floors)
 
+    # the verdict is DERIVED from this run's measurement (r9 review:
+    # the original report hard-coded a prior run's numbers and its
+    # conclusion, so a rerun whose data refuted the prose would still
+    # persist the prose)
+    delta = (t_cur - t_new) / t_cur
+    if delta <= NOISE_BAND:
+        decision = (
+            f"The measured benefit of skipping that one round's hook+jump\n"
+            f"stages is {delta * 100:.0f}% of the CC portion "
+            f"({t_cur:.2f}s vs {t_new:.2f}s minima,\n"
+            f"{REPS} alternating reps per side, both variants warmed) — "
+            f"inside the\n"
+            f"box's +/-{NOISE_BAND * 100:.0f}% noise band. NOT adopted: the "
+            f"absolute delta\n"
+            f"({t_cur - t_new:.2f}s) does not buy back re-planning all 8 CC "
+            f"consumers,\n"
+            "and the per-round structure it would trim is exactly what\n"
+            "converges in O(log n) rounds at 100x — where per-round cost\n"
+            "is shuffle-of-|edges| bound and the hook's two extra bounded\n"
+            "stages are noise against non-convergence.\n"
+        )
+    else:
+        decision = (
+            f"The measured benefit is {delta * 100:.0f}% of the CC portion "
+            f"({t_cur:.2f}s vs\n"
+            f"{t_new:.2f}s minima, {REPS} alternating reps per side, both "
+            f"variants\n"
+            f"warmed) — BEYOND the +/-{NOISE_BAND * 100:.0f}% noise band. "
+            f"Per the decision\n"
+            "rule, ADOPT the skip-final-hook variant (a code change this\n"
+            "probe does not make: it re-plans all 8 CC consumers and\n"
+            "re-opens their attestation rows). This section records the\n"
+            "measurement that forces it.\n"
+        )
     report = (
         f"q97 edge set: {n_edges} edges at {sf_dir}\n"
         f"shipped CC:          best of {REPS} = {t_cur:.2f}s, rounds={r_cur}\n"
         f"skip-final-hook CC:  best of {REPS} = {t_new:.2f}s, rounds={r_new} "
         f"(identical components: {same})\n"
         f"min per-JOB fixed latency (count over a checkpointed df): "
-        f"{floor*1000:.0f} ms -> rounds x per-job = {r_cur*floor:.2f}s, so the\n"
-        f"dominant toy-scale cost is per-STAGE scheduling of the ~6 shuffle\n"
-        f"stages each round fuses, not the single job submission.\n"
+        f"{floor * 1000:.0f} ms -> rounds x per-job = {r_cur * floor:.2f}s "
+        f"of the {t_cur:.2f}s total;\n"
+        f"the remainder is per-STAGE scheduling of the ~6 shuffle stages\n"
+        f"each round fuses, plus the bounded shuffles themselves.\n"
         "\n"
         "Verdict (r8 item 4, measured r9): the only sound application of\n"
         '"skip the hook when neighbor-min changed nothing" is the FINAL\n'
         "round — by the quiescence theorem (module docstring) an empty\n"
         "neighbor-min delta already proves full convergence, and every\n"
         "earlier round has a non-empty delta or the loop would have\n"
-        "stopped. The measured benefit of skipping that one round's\n"
-        "hook+jump stages is inside the box's +/-30% noise band (fair\n"
-        "alternating A/B: 2.35s vs 2.07s minima over 5 reps), because the\n"
-        "hook is 2 of ~6 bounded stages in ONE of the rounds' jobs. NOT\n"
-        "adopted: the ~12% CC-portion delta (~1.5% of q97, less of the\n"
-        "bench) does not buy back re-planning all 8 CC consumers, and the\n"
-        "per-round structure it would trim is exactly what converges in\n"
-        "O(log n) rounds at 100x — where per-round cost is\n"
-        "shuffle-of-|edges| bound and the hook's two extra bounded\n"
-        "stages are noise against non-convergence.\n"
+        "stopped. " + decision
     )
     print(report)
 

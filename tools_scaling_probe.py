@@ -362,6 +362,17 @@ if __name__ == "__main__":
                 f"{st['iterations']} propagation rounds (incl. the "
                 f"quiescence-proof round)"
             )
+        # reference the cc-hook-cost decomposition only when that
+        # section actually exists to be preserved below — a
+        # regeneration on a tree without it must not commit a dangling
+        # pointer (r9 review finding)
+        _old_scaling = (
+            open("SCALING.md").read() if os.path.exists("SCALING.md") else ""
+        )
+        _has_hook = (
+            "<!-- cc-hook-cost -->" in _old_scaling
+            and "<!-- /cc-hook-cost -->" in _old_scaling
+        )
         cc_lines += [
             "",
             "Rounds are label-region MERGES (Shiloach-Vishkin root",
@@ -375,8 +386,13 @@ if __name__ == "__main__":
             "is two shuffle-joins + one groupBy, so q97's wall clock is",
             "rounds × fixed per-round scheduling latency at toy scale",
             "(the ~6 shuffle STAGES each round fuses, not the single",
-            "job submission — decomposed in the cc-hook-cost section",
-            "below) and rounds × shuffle-of-|edges| at cluster scale.",
+            "job submission"
+            + (
+                " — decomposed in the cc-hook-cost section\nbelow"
+                if _has_hook
+                else ""
+            )
+            + ") and rounds × shuffle-of-|edges| at cluster scale.",
             "<!-- /cc-rounds -->",
         ]
         lines += cc_lines
