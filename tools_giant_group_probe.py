@@ -9,10 +9,13 @@ test but not a timing probe).
 
 Fixture: sf0.1 documents with ``source`` remapped to 'giant' for a
 deterministic (xxhash64) half of rows; the K× variant replicates with
-disjoint doc_ids and perturbed text exactly like tools_scaling_probe
-(" copyset{i}" suffixes), remapped the same way so the giant group
-scales with the corpus. Only documents.parquet is written — both
-queries read nothing else.
+disjoint doc_ids and a " copyset{i}" text suffix, remapped the same
+way so the giant group scales with the corpus. (tools_scaling_probe
+moved to a per-replica word SHUFFLE in r9 because suffixed replicas
+are near-dup cliques that corrupt similarity exponents — irrelevant
+here: q122/q190 consume token counts and group sizes, not
+similarity, so the cheap suffix stays.) Only documents.parquet is
+written — both queries read nothing else.
 
 Stderr is captured across the timed runs and scanned for
 ``WindowExec: No Partition Defined`` (the warning count is printed and

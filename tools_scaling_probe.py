@@ -34,6 +34,29 @@ KNOWN_ASYMPTOTES = {
         "known Σdf² QUADRATIC asymptote (unguarded all-pairs, opt-in "
         "QA tier; q31/q32/q66 are the scale paths)"
     ),
+    # The synthetic embedding corpus has CONSTANT pair density at the
+    # cos≥0.4 near-dup threshold (measured r9 with exact numpy
+    # all-pairs: 62/246/920 true pairs at N=500/1000/2000 — ×4 per
+    # doubling — and ZERO pairs above cos 0.6, i.e. background
+    # moderate-similarity pairs, not bounded dup clusters). Emitted
+    # pairs therefore grow ∝ N² by the DATA's nature — any
+    # exact-output plan is Ω(true pairs) here. The plan keeps
+    # candidates-per-vector constant via auto-sized P, which is the
+    # optimum; on a real dedup corpus (bounded cluster sizes, pairs
+    # ∝ N) the same plan is Θ(N).
+    "q51_cosine_near_dup_pairs": (
+        "OUTPUT-BOUND on this corpus: constant cos≥0.4 pair density "
+        "→ true pairs ∝ N² (no plan avoids Ω(output)); "
+        "bounded-cluster corpora give Θ(N)"
+    ),
+    "q97_semantic_clusters": (
+        "rides the q51 edge set — OUTPUT-BOUND on this corpus "
+        "(true pairs ∝ N²); bounded-cluster corpora give Θ(N)"
+    ),
+    "q121_hybrid_near_dup_report": (
+        "semantic leg rides the q51 edge set — OUTPUT-BOUND on this "
+        "corpus (true pairs ∝ N²); lexical leg is linear"
+    ),
 }
 PROBES = [
     "q01_pricing_summary",
@@ -194,22 +217,54 @@ def build_scaled(spark, out_dir: str) -> None:
                 for col, stride in KEY_SHIFTS[t].items():
                     if stride:
                         df = df.withColumn(col, F.col(col) + F.lit(i * stride))
-                # perturb document text so replicas aren't exact dups
+                # DECORRELATE replicas (r9 finding): the pre-r9
+                # perturbations — a " copyset{i}" text suffix and an
+                # embedding rotation — left replicas of the same row
+                # WITHIN the near-dup thresholds (replica trigram sets
+                # were ~identical; rotated copies of these smooth
+                # synthetic embeddings keep high cosine), so every
+                # original row's K replicas formed a true near-dup
+                # K-clique and the TRUE-PAIR workload grew ~K^2
+                # (measured: q97 edges 242 -> 5262 -> 47454 at
+                # 1x/8x/27x, ~quadratic in K). That conflated output
+                # growth with algorithmic growth in every near-dup
+                # exponent. Realistic corpus growth adds more clusters
+                # of the SAME size, not ever-bigger clusters.
                 if t == "documents" and i > 0:
+                    # deterministic per-replica word shuffle: word-BAG
+                    # (vocabulary, df growth — q133's Sigma df^2
+                    # realism) is preserved, but word 3-gram shingle
+                    # sets of two permutations over the ~35-word vocab
+                    # share ~0.1% of shingles, so cross-replica
+                    # Jaccard ~ 0 while within-replica similarity
+                    # structure is untouched
                     df = df.withColumn(
-                        "text", F.concat(F.col("text"), F.lit(f" copyset{i}"))
+                        "text",
+                        F.expr(
+                            "array_join(transform(array_sort(zip_with("
+                            "split(text, ' '), "
+                            "sequence(1, size(split(text, ' '))), "
+                            f"(w, p) -> named_struct("
+                            f"'h', xxhash64(w, p, {i}), 'w', w))), "
+                            "s -> s.w), ' ')"
+                        ),
                     )
-                # rotate embedding vectors per replica: preserves norms
-                # but decorrelates copies, so near-pair counts grow
-                # linearly in K (replicating identical vectors would
-                # manufacture K^2 identity pairs no algorithm avoids)
                 if t == "embeddings" and i > 0:
-                    dim = F.size("embedding")
+                    # deterministic per-replica sign-flip pattern: an
+                    # isometry (norms and all WITHIN-replica cosines
+                    # exactly preserved), while cross-replica cosine
+                    # cos(D_i x, D_j y) = sum_t s_t x_t y_t over a
+                    # pseudo-random +/-1 pattern concentrates at 0
+                    # (~1/sqrt(dim)) — unlike rotation, this holds for
+                    # ANY vector structure
+                    et = src.schema["embedding"].dataType.elementType.simpleString()
                     df = df.withColumn(
                         "embedding",
-                        F.concat(
-                            F.slice(F.col("embedding"), F.lit(i + 1), dim - i),
-                            F.slice(F.col("embedding"), 1, i),
+                        F.expr(
+                            "zip_with(embedding, "
+                            "sequence(1, size(embedding)), "
+                            f"(x, t) -> cast(x * (1 - 2 * "
+                            f"pmod(xxhash64(t, {i}), 2)) as {et}))"
                         ),
                     )
                 parts.append(df)
@@ -320,9 +375,15 @@ if __name__ == "__main__":
             "",
             "Embedding near-dup pairs (q51) default to hyperplane-LSH",
             "bucketed candidates + exact cosine re-rank (all-pairs is",
-            "opt-in via exact=True); replica embeddings are rotated so",
-            "the probe measures algorithmic growth, not manufactured",
-            "identity clusters. Since round 7 the ENTIRE registered",
+            "opt-in via exact=True); replica embeddings carry",
+            "per-replica deterministic sign-flips (an isometry) and",
+            "replica documents a per-replica word shuffle, so replicas",
+            "are DECORRELATED and the probe measures algorithmic",
+            "growth, not manufactured cross-replica near-dup cliques",
+            "(r9 finding: the old suffix/rotation perturbations left",
+            "replicas within the near-dup thresholds — true pairs grew",
+            "~K², conflating output growth with plan growth in every",
+            "near-dup exponent). Since round 7 the ENTIRE registered",
             "LSH family (q38/q39/q51/q97/q118/q119/q121/q202)",
             "auto-sizes its plane count from COUNT(*) — P = min(16,",
             "max(4, bit_length(N//32))), the same integer formula in",
@@ -347,10 +408,45 @@ if __name__ == "__main__":
         )
         from oculus_data_pipeline_spark.operators import similarity
 
+        # The third row's graph deliberately uses CORRELATED replicas
+        # (the pre-r9 rotation fixture): rotated copies of these
+        # smooth synthetic embeddings stay within the near-dup
+        # threshold, so the K× graph grows dense cross-replica edge
+        # regions with diameter > 20 — the fixture that caught two
+        # silent O(diameter) stalls in r8. Kept ON PURPOSE as a
+        # convergence STRESSOR, clearly labeled; it is no longer a
+        # scaling measurement (the decorrelated row above is).
+        def _correlated_stress_emb(k: int):
+            src_e = load_table(spark, SRC, "embeddings")
+            parts = []
+            for i in range(k):
+                df = src_e.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 1_000_000)
+                )
+                if i > 0:
+                    dim = F.size("embedding")
+                    df = df.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice(F.col("embedding"), F.lit(i + 1), dim - i),
+                            F.slice(F.col("embedding"), 1, i),
+                        ),
+                    )
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.localCheckpoint()
+
         cc_lines = ["", "<!-- cc-rounds -->", ""]
-        for label, d in (("1×", SRC), (f"{K}×", tmp)):
+        cc_sources = [
+            ("1×", load_table(spark, SRC, "embeddings")),
+            (f"{K}× decorrelated", load_table(spark, tmp, "embeddings")),
+            (f"{K}× CORRELATED stress", _correlated_stress_emb(K)),
+        ]
+        for label, emb in cc_sources:
             pairs = similarity.lsh_near_dup_pairs(
-                load_table(spark, d, "embeddings"), threshold=0.4, p_max=16
+                emb, threshold=0.4, p_max=16
             )
             st: dict = {}
             n_edges = pairs.count()
@@ -378,8 +474,11 @@ if __name__ == "__main__":
             "Rounds are label-region MERGES (Shiloach-Vishkin root",
             "hooking + pointer jumping): O(log n) in the largest",
             "component's node count, independent of graph diameter.",
-            "This probe's 8× fixture is the regression anchor — its",
-            "loose-threshold near-dup graph has diameter > 20, which",
+            "The decorrelated row is the SCALING measure (replicas are",
+            "isometric sign-flipped copies, so components replicate and",
+            "rounds stay ~flat as K grows). The CORRELATED row is the",
+            "convergence STRESSOR kept from the pre-r9 fixture — its",
+            "dense cross-replica near-dup graph (diameter > 20)",
             "silently exhausted plain neighbor-min's round cap (r8),",
             "and permuted ids stalled the jump-only variant at interior",
             "local-minimum labels (r8 second finding). Per-round cost",
@@ -406,7 +505,12 @@ if __name__ == "__main__":
         # measurement)
         if os.path.exists("SCALING.md"):
             old = open("SCALING.md").read()
-            for mark in ("skew-probe", "giant-group-probe", "cc-hook-cost"):
+            for mark in (
+                "skew-probe",
+                "giant-group-probe",
+                "cc-hook-cost",
+                "k27-spotcheck",
+            ):
                 ms, me = f"<!-- {mark} -->", f"<!-- /{mark} -->"
                 if ms in old and me in old:
                     kept = old.split(ms)[1].split(me)[0]
