@@ -71,6 +71,27 @@ def minhash_params(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def key_digest(key: Column | str) -> Column:
+    """Null-safe md5 digest of a (string) key for the sketch family:
+    NULL hashes as ``'N'``, a value ``v`` as ``'V' || v`` — a prefix
+    code, so NULL can never collide with any real key (including the
+    literal strings ``'N'`` / ``'<NULL>'``). NULL keys are first-class
+    in frequency sketches — on a dirty 100 TB table the MODAL key is
+    often NULL, and a plain ``md5(key)`` hashes it to NULL buckets
+    that silently fall out of every probe-grid equi-join, so the
+    heaviest hitter goes missing from the report (r9 review
+    finding)."""
+    k = _c(key)
+    return F.md5(
+        F.when(k.isNull(), F.lit("N")).otherwise(F.concat(F.lit("V"), k))
+    )
+
+
+def key_digest_sql(expr: str) -> str:
+    """DuckDB equivalent of :func:`key_digest`."""
+    return f"md5(CASE WHEN ({expr}) IS NULL THEN 'N' ELSE 'V' || ({expr}) END)"
+
+
 def hex_span(digest: Column | str, start: int, hex_chars: int) -> Column:
     """Independent hash values carved from ONE already-computed hex
     digest column: the ``hex_chars``-wide span starting at 1-based hex

@@ -77,6 +77,17 @@ def grouped_prefix_sum(
 ) -> DataFrame:
     """Add ``out`` = exclusive running sum of ``value`` per ``group``
     in ``(group, *order)`` order, scalable past one task per group."""
+    # internal working columns would silently OVERWRITE same-named
+    # caller columns (withColumn replaces) and the final
+    # select(*df.columns) would then emit partition ids / carries in
+    # place of the user's data — refuse loudly instead (r9 review)
+    clash = sorted(set(df.columns) & {"_pid", "_cpid", "_cgrp", "_carry", out})
+    if clash:
+        raise ValueError(
+            f"grouped_prefix_sum: input column(s) {clash} collide with "
+            f"internal working columns or the output column {out!r} — "
+            "rename them before calling"
+        )
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")

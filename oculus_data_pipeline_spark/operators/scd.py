@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 OPEN_END = "9999-12-31"
@@ -27,32 +27,48 @@ def scd2_apply(
     """Apply ``updates`` (key, attrs..., change_date) to an SCD2
     ``current`` (key, attrs..., valid_from, valid_to).
 
-    Only open rows (valid_to = OPEN_END) can be closed. Returns the
-    new full history table.
+    Only open rows can be closed; a row is open when valid_to is
+    OPEN_END **or NULL** (the common NULL-means-open convention — a
+    plain ``!=`` comparison would put NULL-valid_to rows in NEITHER
+    branch and silently drop them from the returned history; r9
+    review). Untouched NULL-open rows pass through with their NULL
+    intact.
+
+    Multiple updates per key form a version CHAIN (batched CDC feeds
+    deliver several changes between applies): per key in change_date
+    order, the old open row closes at the FIRST change date, each
+    update's valid_to is the NEXT update's change date, and the last
+    update stays open — the pre-r9 single-shot form closed the open
+    row once PER update row, emitting duplicate closed copies and
+    several simultaneous open versions. ``change_date`` must be
+    unique per key (same contract as cdc_apply's seq_col). The
+    per-key window touches only the (small) updates side, never the
+    history. Returns the new full history table.
     """
     attr_cols = [c for c in current.columns if c not in (key, "valid_from", "valid_to")]
     upd = updates.select(
-        key, *[c for c in updates.columns if c not in (key, change_date_col)],
-        F.col(change_date_col),
+        key,
+        *[c for c in updates.columns if c not in (key, change_date_col)],
+        F.col(change_date_col).alias("__chg"),
     )
     upd_keys = upd.select(key)
 
-    open_rows = current.where(F.col("valid_to") == OPEN_END)
-    closed_rows = current.where(F.col("valid_to") != OPEN_END)
+    is_open = F.col("valid_to").isNull() | (F.col("valid_to") == OPEN_END)
+    open_rows = current.where(is_open)
+    closed_rows = current.where(~is_open)
 
-    # close the open row of every updated key
-    closed_now = (
-        open_rows.join(
-            upd.select(key, F.col(change_date_col).alias("__chg")), key
-        )
-        .select(key, *attr_cols, "valid_from", F.col("__chg").alias("valid_to"))
+    # close the open row of every updated key at its FIRST change date
+    first_chg = upd.groupBy(key).agg(F.min("__chg").alias("__chg"))
+    closed_now = open_rows.join(first_chg, key).select(
+        key, *attr_cols, "valid_from", F.col("__chg").alias("valid_to")
     )
     untouched_open = open_rows.join(upd_keys, key, "left_anti")
-    new_versions = upd.select(
+    nxt = F.lead("__chg").over(W.partitionBy(key).orderBy("__chg"))
+    new_versions = upd.withColumn("__nxt", nxt).select(
         key,
-        *[c for c in attr_cols],
-        F.col(change_date_col).alias("valid_from"),
-        F.lit(OPEN_END).alias("valid_to"),
+        *attr_cols,
+        F.col("__chg").alias("valid_from"),
+        F.coalesce(F.col("__nxt"), F.lit(OPEN_END)).alias("valid_to"),
     )
     return (
         closed_rows.unionByName(closed_now)
@@ -78,6 +94,11 @@ def cdc_apply(
     sort's every-changelog-row shuffle — the difference between
     shuffling the snapshot and shuffling the full history at 100 TB.
     ``seq_col`` must be unique per key (a CDC LSN / commit sequence).
+
+    The delete filter is null-safe: a NULL op is NOT a delete, so keys
+    whose winning row carries op=NULL (CDC feeds that only tag
+    deletes) appear in the snapshot — a plain ``!=`` made the filter
+    NULL and silently dropped those keys (r9 review).
     """
     payload = F.struct(*[F.col(c) for c in changelog.columns])
     latest = changelog.groupBy(*key_cols).agg(
@@ -86,7 +107,7 @@ def cdc_apply(
     rest = [c for c in changelog.columns if c not in key_cols]
     return latest.select(
         *key_cols, *[F.col(f"__r.{c}").alias(c) for c in rest]
-    ).where(F.col(op_col) != delete_op)
+    ).where(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
 
 
 def point_in_time_join(
@@ -157,6 +178,10 @@ def snapshot_diff(
     for c in compare_cols:
         ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
         changed = ne if changed is None else (changed | ne)
+    if changed is None:
+        # empty compare_cols = a legitimate added/removed-only diff;
+        # F.when(None, ...) would raise at plan build (r9 review)
+        changed = F.lit(False)
     status = (
         F.when(~in_old, F.lit("added"))
         .when(~in_new, F.lit("removed"))
@@ -194,27 +219,31 @@ def table_fingerprint(
 
     ``digest_cols`` must already be cross-engine string-deterministic
     (integers, strings, pre-scaled decimals — never raw doubles or
-    timestamps, whose text formatting differs by engine). The digest
-    is the order-independent sum of 48-bit row hashes reduced mod
-    2^61-1 and emitted as BIGINT: the DECIMAL(38,0) accumulator stays
-    internal (exact to ~10^24 rows per bucket) and the readout is a
-    plain int64 — DECIMAL final columns render engine-differently in
-    downstream hash pipelines even when values match (r5 lesson), and
-    an unreduced BIGINT sum would overflow past ~10^9 rows anyway.
-    Merge partial fingerprints with :func:`merge_fingerprints` (sum
-    counts, sum-then-remod digests per bucket)."""
+    timestamps, whose text formatting differs by engine). Each column
+    is length-prefix encoded before the join — NULL → ``N``, value v →
+    ``V<len>:<v>`` — so column boundaries are unambiguous: under the
+    old bare ``concat_ws('|', coalesce(…,'<NULL>'))``, rows
+    ``('a|b','c')`` and ``('a','b|c')`` serialized identically and a
+    real replica divergence hashed clean (r9 review); the length
+    prefix also distinguishes NULL from a literal ``'<NULL>'`` or
+    ``'N'`` string. The digest is the order-independent sum of 48-bit
+    row hashes reduced mod 2^61-1 and emitted as BIGINT: the
+    DECIMAL(38,0) accumulator stays internal (exact to ~10^24 rows per
+    bucket) and the readout is a plain int64 — DECIMAL final columns
+    render engine-differently in downstream hash pipelines even when
+    values match (r5 lesson), and an unreduced BIGINT sum would
+    overflow past ~10^9 rows anyway. Merge partial fingerprints with
+    :func:`merge_fingerprints` (sum counts, sum-then-remod digests per
+    bucket)."""
     from ..functions.hashing import md5_int
 
-    row_str = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(
-                (F.col(c) if isinstance(c, str) else c).cast("string"),
-                F.lit("<NULL>"),
-            )
-            for c in digest_cols
-        ],
-    )
+    def _enc(c):
+        v = (F.col(c) if isinstance(c, str) else c).cast("string")
+        return F.when(v.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(v).cast("string"), F.lit(":"), v)
+        )
+
+    row_str = F.concat_ws("|", *[_enc(c) for c in digest_cols])
     return (
         df.select(
             (md5_int(F.col(key).cast("string")) % n_buckets).alias("bucket"),

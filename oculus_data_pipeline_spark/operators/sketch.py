@@ -23,7 +23,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hex_span
+from ..functions.hashing import hex_span, key_digest
+
+
+def _depth_buckets(dg: str, depth: int, width: int):
+    """(d, bucket) structs over a digest column — ONE definition shared
+    by the grid build and every probe, so a span-layout or modulus edit
+    can never make build and probe hash differently (r9 review: the
+    expression was hand-duplicated five times across this module, a
+    silent-garbage-estimates hazard). Each depth's bucket is a disjoint
+    5-hex-char span of the single md5 digest (20 bits ≥ any practical
+    width): one hash per row, exploded as already-computed values."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (hex_span(dg, 1 + 5 * d, 5) % width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def _signed_depth_buckets(dg: str, depth: int, width: int):
+    """(d, bucket, sg) structs for count-sketch: the shared
+    :func:`_depth_buckets` layout plus a ±1 sign from the parity of
+    the single hex char at position 16+d."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (hex_span(dg, 1 + 5 * d, 5) % width).alias("bucket"),
+                (hex_span(dg, 16 + d, 1) % 2 * 2 - 1).alias("sg"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def _bit_positions(dg: str, k_hashes: int, width_bits: int):
+    """Bloom bit positions over a digest column — shared by the filter
+    build and the membership probe (same duplication hazard as
+    :func:`_depth_buckets`)."""
+    return F.array(
+        *[
+            (hex_span(dg, 1 + 5 * h, 5) % width_bits)
+            for h in range(k_hashes)
+        ]
+    )
 
 
 def cms_counters(
@@ -39,22 +86,12 @@ def cms_counters(
     partials collapse each partition to the grid first) — the same
     bounded-shuffle pattern as scd.table_fingerprint. The grid from
     two inputs merges by summing cnt entrywise, which is what makes
-    this the incremental/streaming frequency structure."""
-    dg = df.select(F.md5(F.col(key_col).cast("string")).alias("dg"))
-    # ONE md5 per row; each depth's bucket is a disjoint 5-hex-char
-    # span of the digest (20 bits >= any practical width), exploded as
-    # already-computed values — row count triples, hash count doesn't
-    spans = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("int").alias("d"),
-                (hex_span("dg", 1 + 5 * d, 5) % width).alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    this the incremental/streaming frequency structure. Keys hash via
+    the null-safe prefix code (functions/hashing.key_digest), so NULL
+    is a real, countable key."""
+    dg = df.select(key_digest(F.col(key_col).cast("string")).alias("dg"))
     return (
-        dg.select(F.explode(spans).alias("x"))
+        dg.select(F.explode(_depth_buckets("dg", depth, width)).alias("x"))
         .select(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -90,23 +127,10 @@ def count_sketch_estimates(
     keyed = df.select(F.col(key_col).cast("string").alias("key"))
 
     def spans():
-        # ONE md5 per row: bucket_d = 5-hex span at 1+5d, sign_d = the
-        # parity of the single hex char at 16+d
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("int").alias("d"),
-                        (hex_span("dg", 1 + 5 * d, 5) % width).alias("bucket"),
-                        (hex_span("dg", 16 + d, 1) % 2 * 2 - 1).alias("sg"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        )
+        return F.explode(_signed_depth_buckets("dg", depth, width))
 
     grid = (
-        keyed.withColumn("dg", F.md5("key"))
+        keyed.withColumn("dg", key_digest(F.col("key")))
         .select(spans().alias("x"))
         .select(
             F.col("x.d").alias("d"),
@@ -118,7 +142,7 @@ def count_sketch_estimates(
     )
     exact = keyed.groupBy("key").agg(F.count("*").alias("exact_n"))
     probe = (
-        exact.withColumn("dg", F.md5("key"))
+        exact.withColumn("dg", key_digest(F.col("key")))
         .select("key", "exact_n", spans().alias("x"))
         .select(
             "key",
@@ -173,20 +197,10 @@ def cms_heavy_hitters(
         .groupBy("key")
         .agg(F.count("*").alias("exact_n"))
     )
-    probe = exact.withColumn("dg", F.md5("key")).select(
+    probe = exact.withColumn("dg", key_digest(F.col("key"))).select(
         "key",
         "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("int").alias("d"),
-                        (hex_span("dg", 1 + 5 * d, 5) % width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("x"),
+        F.explode(_depth_buckets("dg", depth, width)).alias("x"),
     ).select("key", "exact_n", F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
     est = (
         probe.join(F.broadcast(grid), ["d", "bucket"])
@@ -219,16 +233,11 @@ def bloom_filter_positions(
     family. One bounded aggregation: map-side distinct caps each
     task's output at width_bits rows regardless of build size."""
     return (
-        df.select(F.md5(F.col(key_col).cast("string")).alias("dg"))
+        df.select(key_digest(F.col(key_col).cast("string")).alias("dg"))
         .select(
-            F.explode(
-                F.array(
-                    *[
-                        (hex_span("dg", 1 + 5 * h, 5) % width_bits).alias("p")
-                        for h in range(k_hashes)
-                    ]
-                )
-            ).alias("pos")
+            F.explode(_bit_positions("dg", k_hashes, width_bits)).alias(
+                "pos"
+            )
         )
         .distinct()
     )
@@ -260,24 +269,27 @@ def bloom_membership_report(
     pkeys = probe.select(F.col(probe_key).cast("string").alias("key")).distinct()
     bkeys = build.select(F.col(build_key).cast("string").alias("key")).distinct()
     probed = (
-        pkeys.withColumn("dg", F.md5("key"))
+        pkeys.withColumn("dg", key_digest(F.col("key")))
         .select(
             "key",
-            F.explode(
-                F.array(
-                    *[
-                        (hex_span("dg", 1 + 5 * h, 5) % width_bits).alias("p")
-                        for h in range(k_hashes)
-                    ]
-                )
-            ).alias("pos"),
+            F.explode(_bit_positions("dg", k_hashes, width_bits)).alias(
+                "pos"
+            ),
         )
         .join(F.broadcast(filt.withColumn("set_", F.lit(1))), "pos", "left")
         .groupBy("key")
         .agg((F.count("set_") == k_hashes).alias("passes"))
     )
+    # present is decided null-safely: a NULL probe key against a build
+    # side containing NULL is PRESENT — a plain equi-join would mark
+    # it absent and miscount a false negative as a true negative,
+    # breaking the no-false-negatives contract (r9 review; the
+    # positions side is already null-safe via key_digest)
+    b = bkeys.select(
+        F.col("key").alias("__bkey"), F.lit(True).alias("present")
+    )
     marked = probed.join(
-        F.broadcast(bkeys.withColumn("present", F.lit(True))), "key", "left"
+        F.broadcast(b), F.col("key").eqNullSafe(F.col("__bkey")), "left"
     ).select(
         "key", "passes", F.coalesce("present", F.lit(False)).alias("present")
     )

@@ -96,6 +96,17 @@ def stratified_split(
     (``W.partitionBy`` groups NULLs together)."""
     from .prefixsum import grouped_prefix_sum
 
+    # same refuse-loudly contract as grouped_prefix_sum: a caller
+    # column named like a working column would be silently replaced
+    clash = sorted(
+        set(df.columns) & {"_h", "_k", "_one", "_rn0", "_n", "_sz_stratum", out_col}
+    )
+    if clash:
+        raise ValueError(
+            f"stratified_split: input column(s) {clash} collide with "
+            f"internal working columns or the output column {out_col!r} "
+            "— rename them before calling"
+        )
     k = F.col(key) if isinstance(key, str) else key
     ranked = grouped_prefix_sum(
         df.withColumn("_h", md5_int(k.cast("string")))
@@ -143,20 +154,27 @@ def group_aware_split(
     Here the split key is the group's canonical id (min id per
     normalized-content hash), so duplicates inherit one assignment.
 
-    Shape at 100 TB: one shuffle to build the (hash → canonical) map
-    (same partial-agg pass as dedup.exact_dedup) and one hash-keyed
-    join back — both on the compact content-hash key; AQE picks the
-    join strategy, and near-unique corpora degrade gracefully to a
-    plain equi-join. Returns (doc_id, canonical_id, split).
+    Shape at 100 TB: ONE corpus scan — the (hash → canonical) map is
+    derived from the same hashed projection with a bounded groupBy
+    (the pre-r9 form called dedup.exact_dedup, scanning, normalizing
+    and md5-ing the full corpus a second time for a map already
+    computable from the first pass; r9 review) — and one hash-keyed
+    join back on the compact content-hash key; AQE picks the join
+    strategy, and near-unique corpora degrade gracefully to a plain
+    equi-join. NULL text hashes to the non-hex sentinel ``#null``
+    (md5 output is pure hex, so no real group can collide): NULL-text
+    docs form one dedup group with one split assignment instead of
+    being silently dropped by the NULL-keyed equi-join (r9 review).
+    Returns (doc_id, canonical_id, split).
     """
-    from .dedup import exact_dedup
-
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(normalize_term(text_col)).alias("content_hash"),
+        F.coalesce(
+            F.md5(normalize_term(text_col)), F.lit("#null")
+        ).alias("content_hash"),
     )
-    groups = exact_dedup(docs, text_col, id_col).select(
-        "content_hash", "canonical_id"
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
     )
     return hashed.join(groups, "content_hash").select(
         "doc_id",

@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .functions.hashing import md5_int, md5_int_sql
+from .functions.hashing import key_digest_sql, md5_int, md5_int_sql
 from .functions.text import (
     convert_name_oracle_query,
     generate_uri,
@@ -2623,7 +2623,12 @@ def q74_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 upsert emulated with anti-join + union (the MERGE
     INTO fallback without a transactional table format) — updated keys
     get their open row closed at the change date plus a new open
-    version; history rows pass through untouched."""
+    version; history rows pass through untouched. This data has one
+    update per key, where the operator's general multi-update version
+    CHAIN (late-r9: close at first change, chain valid_to via lead,
+    last stays open) reduces to exactly the oracle's single-shot
+    LEFT JOIN + UNION; the chain and NULL-valid_to-is-open semantics
+    are pinned by tests/test_operator_edges.py."""
     from .operators.scd import scd2_apply
 
     c = load_table(spark, sf_dir, "customer")
@@ -2664,7 +2669,7 @@ def q74_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM chg GROUP BY user_id
     )
     SELECT user_id, event_id, op, event_type, value, ts
-    FROM latest WHERE op <> 'D'
+    FROM latest WHERE op IS DISTINCT FROM 'D'
     """,
 )
 def q87_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5374,6 +5379,17 @@ def q144_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fp_enc(expr: str) -> str:
+    """DuckDB twin of table_fingerprint's per-column length-prefix
+    encoding: NULL → 'N', value v → 'V<len>:<v>' — unambiguous column
+    boundaries (r9 review: the bare '|' join let ('a|b','c') and
+    ('a','b|c') hash identically)."""
+    return (
+        f"CASE WHEN ({expr}) IS NULL THEN 'N' "
+        f"ELSE 'V' || CAST(length({expr}) AS VARCHAR) || ':' || ({expr}) END"
+    )
+
+
 @query(
     "q145_table_fingerprint",
     f"""
@@ -5381,14 +5397,14 @@ def q144_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT {md5_int_sql("CAST(l_orderkey AS VARCHAR)")} % 256 AS bucket,
              {md5_int_sql(
                  "concat_ws('|',"
-                 " COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>'),"
-                 " COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>'),"
-                 " COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>'),"
-                 " COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>'),"
-                 " COALESCE(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR), '<NULL>'),"
-                 " COALESCE(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '<NULL>'),"
-                 " COALESCE(l_returnflag, '<NULL>'),"
-                 " COALESCE(l_linestatus, '<NULL>'))"
+                 f" {_fp_enc('CAST(l_orderkey AS VARCHAR)')},"
+                 f" {_fp_enc('CAST(l_partkey AS VARCHAR)')},"
+                 f" {_fp_enc('CAST(l_suppkey AS VARCHAR)')},"
+                 f" {_fp_enc('CAST(l_linenumber AS VARCHAR)')},"
+                 f" {_fp_enc('CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR)')},"
+                 f" {_fp_enc('CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)')},"
+                 f" {_fp_enc('l_returnflag')},"
+                 f" {_fp_enc('l_linestatus')})"
              )} AS h
       FROM lineitem
     )
@@ -5775,7 +5791,7 @@ def q149_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_oracle(depth: int = 3, width: int = 1024) -> str:
-    from .functions.hashing import hex_span_sql
+    from .functions.hashing import hex_span_sql, key_digest_sql
 
     grid_rows = "\n      UNION ALL ".join(
         f"SELECT {d} AS d, {hex_span_sql('dg', 1 + 5 * d, 5)} % {width} AS bucket FROM keyed"
@@ -5788,13 +5804,13 @@ def _cms_oracle(depth: int = 3, width: int = 1024) -> str:
     return f"""
     WITH keyed AS (
       SELECT CAST(l_partkey AS VARCHAR) AS key,
-             md5(CAST(l_partkey AS VARCHAR)) AS dg
+             {key_digest_sql("CAST(l_partkey AS VARCHAR)")} AS dg
       FROM lineitem
     ),
     grid_rows AS ({grid_rows}),
     grid AS (SELECT d, bucket, COUNT(*) AS cnt FROM grid_rows GROUP BY d, bucket),
     exact AS (SELECT key, COUNT(*) AS exact_n FROM keyed GROUP BY key),
-    edg AS (SELECT key, exact_n, md5(key) AS dg FROM exact),
+    edg AS (SELECT key, exact_n, {key_digest_sql("key")} AS dg FROM exact),
     probe AS ({probe_rows}),
     est AS (
       SELECT key, exact_n, MIN(cnt) AS est_n
@@ -5914,7 +5930,7 @@ def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _csk_oracle(depth: int = 3, width: int = 256) -> str:
-    from .functions.hashing import hex_span_sql
+    from .functions.hashing import hex_span_sql, key_digest_sql
 
     def rows(src: str, extra: str) -> str:
         return "\n      UNION ALL ".join(
@@ -5927,7 +5943,7 @@ def _csk_oracle(depth: int = 3, width: int = 256) -> str:
     return f"""
     WITH keyed AS (
       SELECT CAST(l_partkey AS VARCHAR) AS key,
-             md5(CAST(l_partkey AS VARCHAR)) AS dg
+             {key_digest_sql("CAST(l_partkey AS VARCHAR)")} AS dg
       FROM lineitem
     ),
     grid_rows AS ({rows("keyed", "")}),
@@ -5936,7 +5952,7 @@ def _csk_oracle(depth: int = 3, width: int = 256) -> str:
       FROM grid_rows GROUP BY d, bucket
     ),
     exact AS (SELECT key, COUNT(*) AS exact_n FROM keyed GROUP BY key),
-    edg AS (SELECT key, exact_n, md5(key) AS dg FROM exact),
+    edg AS (SELECT key, exact_n, {key_digest_sql("key")} AS dg FROM exact),
     probe AS ({rows("edg", "key, exact_n, ")}),
     reads AS (
       SELECT key, exact_n, sg * cnt AS r
@@ -5988,8 +6004,8 @@ def _bloom_positions_sql(src: str, width_bits: int, k_hashes: int) -> str:
       SELECT DISTINCT CAST(c_custkey + 10000000 AS VARCHAR) AS key FROM customer
     ),
     bdg AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
-                   md5(CAST(o_custkey AS VARCHAR)) AS dg FROM orders),
-    pdg AS (SELECT key, md5(key) AS dg FROM pkeys),
+                   {key_digest_sql("CAST(o_custkey AS VARCHAR)")} AS dg FROM orders),
+    pdg AS (SELECT key, {key_digest_sql("key")} AS dg FROM pkeys),
     filt AS (
       SELECT DISTINCT pos FROM ({_bloom_positions_sql("bdg", 8192, 3)})
     ),
@@ -6000,8 +6016,10 @@ def _bloom_positions_sql(src: str, width_bits: int, k_hashes: int) -> str:
       GROUP BY p.key
     ),
     marked AS (
-      SELECT pr.key, pr.passes, b.key IS NOT NULL AS present
-      FROM probed pr LEFT JOIN bkeys b ON pr.key = b.key
+      SELECT pr.key, pr.passes, COALESCE(b.present, FALSE) AS present
+      FROM probed pr
+      LEFT JOIN (SELECT key, TRUE AS present FROM bkeys) b
+        ON pr.key IS NOT DISTINCT FROM b.key
     )
     SELECT COUNT(*) AS n_probed,
            CAST(SUM(CAST(present AS BIGINT)) AS BIGINT) AS n_present,
@@ -11633,33 +11651,43 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q46/q85 rows-only BY DESIGN (closed-form companions q134/q135 full
 # green, both re-attested r8), zero failing rows, staleness floor r4.
 #
-# The ROUND-9 window below executes the r8 verdict's plan verbatim
-# (registry FROZEN at 220 for the fifth round — the window's job is
-# FRESHNESS, not debt): NO round-9 execution-path or oracle changes
-# claim slots this round. The one code change near an oracle — q168's
-# CTE headers now emit "AS MATERIALIZED (" directly instead of the
-# post-hoc regex rewrite (r8 advice: text surgery over assembled SQL
-# would mangle any future non-CTE "<word> AS (" token) — was verified
-# OUTPUT-BYTE-IDENTICAL to the regex path before the regex was
-# removed, and its Spark plan hash is unchanged in the r9 fingerprint
-# snapshot (only the code-trace component moved, the same proven-
-# plan-neutral shape as r8's _pq_cands dedup), so the driver runs the
-# exact same SQL text it ran in round 8. All 50 slots therefore go to
-# the oldest-stale rows, exactly as tools_attestation_status.py
-# orders them (not a hand list):
+# The ROUND-9 window (registry FROZEN at 220 for the fifth round)
+# leads with the round's CHANGED PATHS, then spends the rest on the
+# oldest-stale rows per tools_attestation_status.py (not a hand
+# list). The late-r9 operator-hardening review (LOCAL_HARNESS_r09
+# §10) changed eight queries' execution paths or values:
+#   * q145/q150/q152/q153 — VALUES changed (unambiguous
+#     length-prefix fingerprint encoding; null-safe 'V'/'N' key
+#     digests in the sketch family), oracles updated in lockstep;
+#   * q74/q124 — scd2_apply generalized to the multi-update version
+#     chain + NULL-valid_to-is-open (values identical on this data);
+#   * q87 — null-safe CDC delete filter (values identical);
+#   * q179 — group_aware_split derives its canonical map from one
+#     scan instead of re-hashing the corpus through exact_dedup
+#     (values identical).
+# q168's earlier in-round change (CTE headers emit "AS MATERIALIZED ("
+# directly; regex rewrite removed) was verified output-byte-identical
+# with an unchanged plan hash, so it claims no slot. Remaining slots:
 #   1. the full remaining r4-latest cohort (35 rows): q180/q183/q184/
 #      q185 — displaced from the r8 window by the four CC re-plans —
 #      then the q186-q220 block in registry order, plus q45/q68.
 #      After CORRECTNESS_r09 no registry row predates r5.
-#   2. the 15 oldest r5-latest rows to fill the window to exactly 50:
-#      q01-q04 (the r5 re-attestations of the r1 headliners), q133,
-#      and the q138-q152 second/third-wave rows not already fresher
-#      (q144/q145/q147/q148/q151 were re-attested r6/r7 and are NOT
-#      repeated here). The remaining 22 r5-stale rows (q153 onward)
-#      lead the round-10 list.
+#   2. the 7 oldest r5-latest rows to fill the window to exactly 50:
+#      q01-q04, q133, q138, q139. The displaced r5 rows (q140-q143,
+#      q146, q149) join the remaining r5-stale cohort at the head of
+#      the round-10 list.
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
+    # --- 0. round-9 changed paths (operator-hardening review) ---
+    "q74_scd2_apply",
+    "q87_cdc_apply",
+    "q124_point_in_time_join",
+    "q145_table_fingerprint",
+    "q150_cms_heavy_hitters",
+    "q152_count_sketch",
+    "q153_bloom_membership",
+    "q179_group_aware_split",
     # --- 1. the whole remaining r4-stale cohort (35) ---
     "q180_key_skew_profile",
     "q183_rolling_active_users",
@@ -11696,7 +11724,7 @@ _ATTESTATION_PRIORITY = [
     "q220_watermark_lateness",
     "q45_token_histogram",
     "q68_global_sales_opportunity",
-    # --- 2. the 15 oldest r5-stale rows (fill to exactly 50) ---
+    # --- 2. the 7 oldest r5-stale rows (fill to exactly 50) ---
     "q01_pricing_summary",
     "q02_shipping_priority",
     "q03_region_revenue",
@@ -11704,14 +11732,6 @@ _ATTESTATION_PRIORITY = [
     "q133_allpairs_jaccard_exact",
     "q138_pq_encode",
     "q139_segment_scrub",
-    "q140_embedding_gram",
-    "q141_source_mixture",
-    "q142_pq_adc_topk",
-    "q143_snapshot_diff",
-    "q146_variant_extract",
-    "q149_ivf_pq_topk",
-    "q150_cms_heavy_hitters",
-    "q152_count_sketch",
     # Everything else is r5-r8-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.
