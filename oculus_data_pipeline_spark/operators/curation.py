@@ -175,12 +175,20 @@ def source_mixture_plan(
     a deterministic hash sampler that realizes the plan.
 
     Per source: exact token volume, mixture share ∝ √tokens, and the
-    count of documents the share actually samples (doc kept iff
-    md5(doc_id) % 1e6 < share·1e6 — reproducible across runs/engines,
-    no RNG). Cross-engine exactness: token counts are BIGINT; the
-    share denominator is a DECIMAL sum of per-source √tokens rounded
-    to 6 places (order-independent), so both engines divide identical
-    doubles.
+    count of documents the REALIZE-RATE actually samples. The rate is
+    r_s = √(T_min/T_s) (the smallest source keeps everything, bigger
+    sources are downsampled), so sampled tokens per source are
+    T_s·√(T_min/T_s) = √(T_min·T_s) ∝ √T_s — i.e. the sample's
+    per-source token share IS the √-temperature ``share`` column.
+    (The pre-r9 form used the mixture share itself as the keep-rate,
+    which samples tokens ∝ T_s^1.5 — AMPLIFYING source imbalance
+    ~1000:1 for a 100:1 corpus, the opposite of the stated α=0.5
+    goal; r9 review.) A doc is kept iff md5(doc_id) % 1e6 < r_s·1e6 —
+    reproducible across runs/engines, no RNG. Cross-engine exactness:
+    token counts are BIGINT; the share denominator is a DECIMAL sum
+    of per-source √tokens rounded to 6 places (order-independent);
+    the rate is a 6-place-rounded double sqrt of a BIGINT ratio, so
+    both engines divide identical doubles.
 
     Scale shape: two scans of the corpus (one aggregation pass, one
     sampling pass), both reduced per-source map-side; the per-source
@@ -203,14 +211,22 @@ def source_mixture_plan(
     w = per_src.withColumn(
         "w", F.round(F.sqrt(F.col("total_tokens")), 6).cast("decimal(28,6)")
     )
-    tot = w.groupBy().agg(F.sum("w").alias("tw"))
+    tot = w.groupBy().agg(
+        F.sum("w").alias("tw"), F.min("total_tokens").alias("tmin")
+    )
     share = F.round(F.col("w").cast("double") / F.col("tw").cast("double"), 6)
+    rate = F.round(
+        F.sqrt(
+            F.col("tmin").cast("double") / F.col("total_tokens").cast("double")
+        ),
+        6,
+    )
     rates = w.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "total_tokens",
         share.alias("share"),
-        F.round(share * 1000000).cast("long").alias("thr"),
+        F.round(rate * 1000000).cast("long").alias("thr"),
     )
     sampled = (
         per_doc.join(F.broadcast(rates.select("source", "thr")), "source")

@@ -45,11 +45,23 @@ def _normalized(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def _assign(df: DataFrame, vec_col: str, cents: np.ndarray, out_col: str) -> DataFrame:
+def _assign(
+    df: DataFrame,
+    vec_col: str,
+    cents: np.ndarray,
+    out_col: str,
+    bc_out: list | None = None,
+) -> DataFrame:
     """Nearest-centroid id per row (max cosine, lowest id tie-break) —
-    one numpy matmul per Arrow batch against the broadcast codebook."""
+    one numpy matmul per Arrow batch against the broadcast codebook.
+    ``bc_out`` (if given) receives the broadcast handle so callers
+    that fully consume the result (the training loop's per-iteration
+    collect) can destroy it — otherwise one k×dim broadcast leaked
+    per iteration (r9 review)."""
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(_normalized(cents))
+    if bc_out is not None:
+        bc_out.append(bc)
     fields = df.schema.fieldNames()
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     out_schema += f", {out_col} int"
@@ -74,7 +86,7 @@ def train_kmeans(
     vec_col: str = "v",
     id_col: str = "id",
     n_iters: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Lloyd's algorithm, Spark-distributed, deterministic.
 
@@ -82,12 +94,24 @@ def train_kmeans(
     improve codebook quality but needs a sequential sampling pass —
     documented trade-off). Each iteration: vectorized assignment +
     ONE groupBy computing all ``dim`` decimal-exact means. Empty
-    clusters keep their previous centroid.
+    clusters keep their previous centroid. ``dim`` defaults to the
+    data's actual vector length (inferred from the init collect); an
+    explicit mismatching ``dim`` raises immediately instead of
+    surfacing as a confusing None-in-centroid TypeError mid-training
+    (r9 review). Per-iteration codebook broadcasts are destroyed
+    after their aggregate lands.
     """
     cents = np.array(
         [r[0] for r in corpus.orderBy(id_col).limit(k).select(vec_col).collect()],
         dtype=np.float64,
     )
+    if dim is None:
+        dim = cents.shape[1]
+    elif dim != cents.shape[1]:
+        raise ValueError(
+            f"train_kmeans: dim={dim} but {vec_col!r} vectors have "
+            f"{cents.shape[1]} components"
+        )
     mean_cols = [
         (
             F.sum(F.element_at(vec_col, d + 1).cast("decimal(30,15)")).cast("double")
@@ -96,8 +120,10 @@ def train_kmeans(
         for d in range(dim)
     ]
     for _ in range(n_iters):
-        assigned = _assign(corpus, vec_col, cents, "cluster")
+        sink: list = []
+        assigned = _assign(corpus, vec_col, cents, "cluster", bc_out=sink)
         rows = assigned.groupBy("cluster").agg(*mean_cols).collect()
+        sink[0].destroy()
         new = cents.copy()
         for r in rows:
             new[r["cluster"]] = [r[f"m{d}"] for d in range(dim)]
@@ -116,7 +142,7 @@ def ivf_kmeans_ann(
     k_centroids: int | None = None,
     n_probes: int = 2,
     n_iters: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via a k-means IVF index: build the codebook
     (k ≈ sqrt(N) by default), assign the corpus to inverted lists,
@@ -126,9 +152,13 @@ def ivf_kmeans_ann(
     by the probe budget."""
     from pyspark.sql import Window as W
 
+    # persist the projected corpus: it is read ~n_iters+3 times
+    # (count, init collect, one assignment+aggregate per iteration,
+    # the final inverted-list build) — without this an expensive
+    # upstream lineage would be recomputed every pass (r9 review)
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).persist()
     if k_centroids is None:
         n = c.count()
         k_centroids = max(2, int(math.isqrt(n)))
@@ -160,8 +190,13 @@ def ivf_kmeans_ann(
             out["cluster"] = order.reshape(-1).astype("int32")
             yield out[["query_id", "qv", "cluster"]]
 
+    # the probe schema is derived from the projected frame, like the
+    # corpus path in _assign — a hardcoded "query_id long" broke any
+    # non-long id column in the probe stage only (r9 review)
+    qid_type = q.schema["query_id"].dataType.simpleString()
     probed = q.mapInPandas(
-        probe_batches, schema="query_id long, qv array<double>, cluster int"
+        probe_batches,
+        schema=f"query_id {qid_type}, qv array<double>, cluster int",
     )
 
     scored = (

@@ -37,12 +37,23 @@ def blocked_levenshtein_pairs(
     JVM kernel abandon a pair early once the distance bound is
     exceeded — O(max_dist·len) instead of O(len²) per comparison.
     """
-    key = (
-        block_key
-        if block_key is not None
-        else F.split(F.col("v"), " ").getItem(0)
-    )
-    vals = df.select(F.col(text_col).alias("v")).distinct().withColumn("k", key)
+    if block_key is not None:
+        # resolve the caller's Column against the ORIGINAL frame — the
+        # documented usage (soundex/prefix over the caller's own
+        # text_col) could never resolve against the internal 'v'
+        # projection (r9 review). Distinct over (v, k): a key that
+        # depends on other columns legitimately places a value in
+        # several blocks (more recall, still exact-verified).
+        vals = (
+            df.select(F.col(text_col).alias("v"), block_key.alias("k"))
+            .distinct()
+        )
+    else:
+        vals = (
+            df.select(F.col(text_col).alias("v"))
+            .distinct()
+            .withColumn("k", F.split(F.col("v"), " ").getItem(0))
+        )
     a, b = vals.alias("a"), vals.alias("b")
     return (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.v") < F.col("b.v")))

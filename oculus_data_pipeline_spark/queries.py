@@ -5241,11 +5241,13 @@ def _pq_oracle(n_subspaces: int = 4, k: int = 8, dim: int = EMB_DIM) -> str:
     ),
     w AS (SELECT *, CAST(ROUND(sqrt(total_tokens), 6) AS DECIMAL(28,6)) AS w
           FROM per_src),
-    tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw FROM w),
+    tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw,
+                   MIN(total_tokens) AS tmin FROM w),
     rates AS (
       SELECT source, n_docs, total_tokens,
              ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share,
-             CAST(ROUND(ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+             CAST(ROUND(ROUND(sqrt(CAST(tmin AS DOUBLE)
+                                   / CAST(total_tokens AS DOUBLE)), 6)
                         * 1000000) AS BIGINT) AS thr
       FROM w, tot
     ),
@@ -5263,8 +5265,11 @@ def q141_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sqrt-temperature source-mixture plan + deterministic hash
     sampler (operators/curation.py:source_mixture_plan): per-source
     token volume, mixture share ∝ √tokens with a decimal-exact
-    denominator, and the realized sample count under the md5 uniform.
-    Two map-reduced corpus passes, broadcast rate table."""
+    denominator, and the realized sample count under the md5 uniform
+    at keep-rate √(T_min/T_s) — so sampled tokens ∝ √T_s, actually
+    realizing the α=0.5 plan (late r9: the prior share-as-rate
+    sampler amplified imbalance to T^1.5). Two map-reduced corpus
+    passes, broadcast rate table."""
     from .operators.curation import source_mixture_plan
 
     return source_mixture_plan(load_table(spark, sf_dir, "documents"))
@@ -11654,8 +11659,12 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The ROUND-9 window (registry FROZEN at 220 for the fifth round)
 # leads with the round's CHANGED PATHS, then spends the rest on the
 # oldest-stale rows per tools_attestation_status.py (not a hand
-# list). The late-r9 operator-hardening review (LOCAL_HARNESS_r09
-# §10) changed eight queries' execution paths or values:
+# list). The late-r9 operator-hardening reviews (LOCAL_HARNESS_r09
+# §10) changed nine queries' execution paths or values:
+#   * q141 — VALUES changed: the mixture sampler now keeps at rate
+#     √(T_min/T_s), realizing the α=0.5 plan (the prior share-as-rate
+#     form sampled tokens ∝ T^1.5, amplifying imbalance), oracle in
+#     lockstep;
 #   * q145/q150/q152/q153 — VALUES changed (unambiguous
 #     length-prefix fingerprint encoding; null-safe 'V'/'N' key
 #     digests in the sketch family), oracles updated in lockstep;
@@ -11672,14 +11681,15 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q185 — displaced from the r8 window by the four CC re-plans —
 #      then the q186-q220 block in registry order, plus q45/q68.
 #      After CORRECTNESS_r09 no registry row predates r5.
-#   2. the 7 oldest r5-latest rows to fill the window to exactly 50:
-#      q01-q04, q133, q138, q139. The displaced r5 rows (q140-q143,
-#      q146, q149) join the remaining r5-stale cohort at the head of
-#      the round-10 list.
+#   2. the 6 oldest r5-latest rows to fill the window to exactly 50:
+#      q01-q04, q133, q138. The displaced r5 rows (q139, q140, q142,
+#      q143, q146, q149) join the remaining r5-stale cohort at the
+#      head of the round-10 list.
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
     # --- 0. round-9 changed paths (operator-hardening review) ---
+    "q141_source_mixture",
     "q74_scd2_apply",
     "q87_cdc_apply",
     "q124_point_in_time_join",
@@ -11724,14 +11734,13 @@ _ATTESTATION_PRIORITY = [
     "q220_watermark_lateness",
     "q45_token_histogram",
     "q68_global_sales_opportunity",
-    # --- 2. the 7 oldest r5-stale rows (fill to exactly 50) ---
+    # --- 2. the 6 oldest r5-stale rows (fill to exactly 50) ---
     "q01_pricing_summary",
     "q02_shipping_priority",
     "q03_region_revenue",
     "q04_order_priority",
     "q133_allpairs_jaccard_exact",
     "q138_pq_encode",
-    "q139_segment_scrub",
     # Everything else is r5-r8-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.

@@ -282,3 +282,89 @@ def test_stratified_split_rejects_colliding_columns(spark):
     df = spark.createDataFrame([(1, "s", 0)], "id int, src string, _h int")
     with pytest.raises(ValueError, match="_h"):
         stratified_split(df, "src", "id")
+
+
+# --- late-r9 second review batch ------------------------------------------
+
+
+def test_source_mixture_sampler_flattens_not_amplifies(spark):
+    """The realize-rate must sample tokens ∝ √T (the α=0.5 plan), not
+    ∝ T^1.5 (the pre-r9 share-as-rate bug, which turned a 100:1 corpus
+    into ~1000:1). With uniform doc sizes per source, sampled doc
+    counts are ∝ rate·n_docs = n·√(T_min/T) — the BIG source must be
+    sampled at a LOWER rate, and the smallest source kept ~whole."""
+    from oculus_data_pipeline_spark.operators.curation import (
+        source_mixture_plan,
+    )
+
+    rows = []
+    did = 0
+    for src, n in (("big", 400), ("small", 4)):
+        for _ in range(n):
+            rows.append((did, src, "tok " * 10))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in source_mixture_plan(docs).collect()}
+    rate_big = out["big"]["n_sampled"] / out["big"]["n_docs"]
+    rate_small = out["small"]["n_sampled"] / out["small"]["n_docs"]
+    # rates: big = sqrt(T_small/T_big) = sqrt(4/400) = 0.1, small = 1.0
+    assert rate_small > 0.8, (rate_small, out)
+    assert 0.02 < rate_big < 0.25, (rate_big, out)
+    # sampled token share ≈ the √-temperature plan share (±hash noise)
+    tot = out["big"]["n_sampled"] + out["small"]["n_sampled"]
+    assert abs(out["big"]["n_sampled"] / tot - out["big"]["share"]) < 0.15
+
+
+def test_blocked_levenshtein_accepts_caller_column_block_key(spark):
+    """The documented usage — a block_key built on the caller's own
+    text_col (soundex, prefix) — failed with UNRESOLVED_COLUMN pre-r9
+    because the key was resolved after the frame was projected to the
+    internal alias 'v'."""
+    from pyspark.sql import functions as F
+
+    from oculus_data_pipeline_spark.operators.stringsim import (
+        blocked_levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("smith",), ("smyth",), ("jones",)], "name string"
+    )
+    got = _rows(
+        blocked_levenshtein_pairs(
+            df, "name", max_dist=2, block_key=F.soundex(F.col("name"))
+        )
+    )
+    assert got == [("smith", "smyth", 1)]
+
+
+def test_train_kmeans_infers_dim_and_validates_mismatch(spark):
+    """dim defaults to the data's vector length; an explicit mismatch
+    raises immediately instead of a confusing None-in-centroid
+    TypeError mid-training (pre-r9: hardcoded dim=64 silently
+    truncated or null-padded non-64-dim corpora)."""
+    import numpy as np
+
+    from oculus_data_pipeline_spark.operators.ivf import train_kmeans
+
+    rows = [(i, [float(i), float(i % 3), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = train_kmeans(df, k=3, n_iters=2)
+    assert cents.shape == (3, 3)
+    assert not np.isnan(cents).any()
+    with pytest.raises(ValueError, match="dim=64"):
+        train_kmeans(df, k=3, n_iters=1, dim=64)
+
+
+def test_ivf_ann_string_query_ids(spark):
+    """The probe stage hardcoded 'query_id long' pre-r9 while the
+    corpus stage derived its schema generically — string ids broke
+    only the probe path."""
+    from oculus_data_pipeline_spark.operators.ivf import ivf_kmeans_ann
+
+    rows = [(f"id{i}", [float(i % 5), float(i % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = ivf_kmeans_ann(
+        df.limit(3), df, topk=2, k_centroids=4, n_iters=1
+    ).collect()
+    assert len(out) > 0
+    assert all(isinstance(r["query_id"], str) for r in out)
