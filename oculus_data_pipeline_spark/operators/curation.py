@@ -138,6 +138,16 @@ def source_reputation(
     and keep = (mean_quality ≥ floor AND n_docs ≥ min_docs). One hash
     aggregation on source; at web scale sources are the natural unit
     for crawl filtering (C4-style blocklisting by domain statistics).
+
+    Null-aware denominators (late r9): mean_quality averages over the
+    docs that HAVE a quality score (null q — empty/degenerate text —
+    previously deflated the mean toward zero, wrongly blocklisting a
+    source whose real docs are fine), and dup_ratio is computed over
+    the docs with a hashable text (null-text docs previously counted
+    as "duplicates" — an all-null source read dup_ratio 1.0 with zero
+    comparable content). A source with NO scorable/hashable docs gets
+    NULL mean_quality / dup_ratio and keep = false, never a fabricated
+    number.
     """
     per_doc = docs.select(
         F.col(source_col).alias("source"),
@@ -146,19 +156,27 @@ def source_reputation(
     )
     agg = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
+        F.count("q").alias("n_q"),
+        F.count("h").alias("n_h"),
         F.countDistinct("h").alias("n_unique"),
         F.sum(F.col("q").cast("decimal(22,6)")).alias("qsum"),
     )
-    mean_q = F.round((F.col("qsum").cast("double") / F.col("n_docs")), 6)
+    mean_q = F.when(
+        F.col("n_q") == 0, F.lit(None).cast("double")
+    ).otherwise(F.round(F.col("qsum").cast("double") / F.col("n_q"), 6))
+    dup_ratio = F.when(
+        F.col("n_h") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round((1 - F.col("n_unique") / F.col("n_h")).cast("double"), 6)
+    )
     return agg.select(
         "source",
         "n_docs",
-        F.round((1 - F.col("n_unique") / F.col("n_docs")).cast("double"), 6).alias(
-            "dup_ratio"
-        ),
+        dup_ratio.alias("dup_ratio"),
         mean_q.alias("mean_quality"),
         (
-            (mean_q >= F.lit(quality_floor)) & (F.col("n_docs") >= F.lit(min_docs))
+            F.coalesce(mean_q >= F.lit(quality_floor), F.lit(False))
+            & (F.col("n_docs") >= F.lit(min_docs))
         ).alias("keep"),
     )
 

@@ -4061,14 +4061,21 @@ def q114_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ({_quality_oracle()}) f JOIN documents d ON f.id = d.doc_id
     ),
     agg AS (
-      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(quality_score) AS n_q, COUNT(h) AS n_h,
+             COUNT(DISTINCT h) AS n_unique,
              SUM(CAST(quality_score AS DECIMAL(22,6))) AS qsum
       FROM qd GROUP BY source
     )
     SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-           ROUND(1 - n_unique / n_docs, 6) AS dup_ratio,
-           ROUND(CAST(qsum AS DOUBLE) / n_docs, 6) AS mean_quality,
-           (ROUND(CAST(qsum AS DOUBLE) / n_docs, 6) >= 0.5 AND n_docs >= 5) AS keep
+           CASE WHEN n_h = 0 THEN NULL
+                ELSE ROUND(1 - n_unique / n_h, 6) END AS dup_ratio,
+           CASE WHEN n_q = 0 THEN NULL
+                ELSE ROUND(CAST(qsum AS DOUBLE) / n_q, 6) END AS mean_quality,
+           (COALESCE(CASE WHEN n_q = 0 THEN NULL
+                          ELSE ROUND(CAST(qsum AS DOUBLE) / n_q, 6) END >= 0.5,
+                     FALSE)
+            AND n_docs >= 5) AS keep
     FROM agg
     """,
 )
@@ -11660,7 +11667,11 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leads with the round's CHANGED PATHS, then spends the rest on the
 # oldest-stale rows per tools_attestation_status.py (not a hand
 # list). The late-r9 operator-hardening reviews (LOCAL_HARNESS_r09
-# §10) changed nine queries' execution paths or values:
+# §10/§11) changed ten queries' execution paths or values:
+#   * q115 — null-aware denominators: mean_quality averages the
+#     SCORED docs and dup_ratio the HASHABLE docs (null-text docs
+#     previously deflated both toward blocklisting), oracle in
+#     lockstep (values identical on the shipped corpus);
 #   * q141 — VALUES changed: the mixture sampler now keeps at rate
 #     √(T_min/T_s), realizing the α=0.5 plan (the prior share-as-rate
 #     form sampled tokens ∝ T^1.5, amplifying imbalance), oracle in
@@ -11681,14 +11692,15 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q185 — displaced from the r8 window by the four CC re-plans —
 #      then the q186-q220 block in registry order, plus q45/q68.
 #      After CORRECTNESS_r09 no registry row predates r5.
-#   2. the 6 oldest r5-latest rows to fill the window to exactly 50:
-#      q01-q04, q133, q138. The displaced r5 rows (q139, q140, q142,
-#      q143, q146, q149) join the remaining r5-stale cohort at the
-#      head of the round-10 list.
+#   2. the 5 oldest r5-latest rows to fill the window to exactly 50:
+#      q01-q04, q133. The displaced r5 rows (q138-q140, q142, q143,
+#      q146, q149) join the remaining r5-stale cohort at the head of
+#      the round-10 list.
 # Queries past the window keep their prior driver rows and stay
 # covered by tests/ (stricter exact-value compare at both SFs).
 _ATTESTATION_PRIORITY = [
     # --- 0. round-9 changed paths (operator-hardening review) ---
+    "q115_source_reputation",
     "q141_source_mixture",
     "q74_scd2_apply",
     "q87_cdc_apply",
@@ -11734,13 +11746,12 @@ _ATTESTATION_PRIORITY = [
     "q220_watermark_lateness",
     "q45_token_histogram",
     "q68_global_sales_opportunity",
-    # --- 2. the 6 oldest r5-stale rows (fill to exactly 50) ---
+    # --- 2. the 5 oldest r5-stale rows (fill to exactly 50) ---
     "q01_pricing_summary",
     "q02_shipping_priority",
     "q03_region_revenue",
     "q04_order_priority",
     "q133_allpairs_jaccard_exact",
-    "q138_pq_encode",
     # Everything else is r5-r8-driver-attested and unchanged this
     # round; it sorts alphabetically after the window and stays
     # exact-value green in the local harness at sf0.001 and sf0.01.

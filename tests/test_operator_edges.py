@@ -368,3 +368,34 @@ def test_ivf_ann_string_query_ids(spark):
     ).collect()
     assert len(out) > 0
     assert all(isinstance(r["query_id"], str) for r in out)
+
+
+def test_source_reputation_null_aware_denominators(spark):
+    """mean_quality must average the SCORED docs and dup_ratio the
+    HASHABLE docs: pre-r9, null quality scores (empty/degenerate
+    text) deflated the mean toward zero — wrongly blocklisting a
+    source whose real docs are fine — and an all-null-text source
+    read dup_ratio 1.0 with zero comparable content."""
+    from oculus_data_pipeline_spark.operators.curation import (
+        source_reputation,
+    )
+
+    rows = (
+        # 'good': 5 real docs (identical → scored), 5 null-text docs
+        [(i, "good", "a decent document with enough words to score")
+         for i in range(5)]
+        + [(10 + i, "good", None) for i in range(5)]
+        # 'empty': all null text
+        + [(20 + i, "empty", None) for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_reputation(docs).collect()}
+    g = got["good"]
+    # mean over the 5 scored docs only — NOT diluted by the 5 nulls
+    assert g["n_docs"] == 10
+    assert g["mean_quality"] is not None and g["mean_quality"] > 0.3
+    # 5 identical hashable docs -> 1 unique -> dup_ratio 0.8 (of 5, not 10)
+    assert abs(g["dup_ratio"] - 0.8) < 1e-9
+    e = got["empty"]
+    assert e["mean_quality"] is None and e["dup_ratio"] is None
+    assert e["keep"] is False  # never a fabricated keep on no content
