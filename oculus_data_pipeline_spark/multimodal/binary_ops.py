@@ -90,10 +90,13 @@ def extract_image_features(media: DataFrame, repartition: int | None = None) -> 
         media = media.repartition(repartition, "media_id")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over columns, not iterrows(): iterrows materializes a
+        # Series per row (~10x slower) — this loop is the per-byte hot
+        # path of the multimodal stage (r10 review)
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, kind, raw in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 digest = hashlib.sha256(content).hexdigest()
                 feats = [
                     int(digest[(4 * i) % 60 : (4 * i) % 60 + 4], 16) / 65536.0
@@ -101,8 +104,8 @@ def extract_image_features(media: DataFrame, repartition: int | None = None) -> 
                 ]
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "n_bytes": len(content),
                         "content_sha": digest[:16],
                         "features": feats,
@@ -211,16 +214,21 @@ def make_image_table(docs: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL-text docs carry NaN stream params — emit empty
+            # content (decode_images quarantines it as decoded_ok =
+            # False) instead of crashing on int(NaN) (r10 review)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": "image",
-                    "mime": "image/" + pdf["fmt"],
+                    "mime": "image/" + pdf["fmt"].fillna("octet-stream"),
                     "width": None,
                     "height": None,
                     "duration_ms": None,
                     "content": [
-                        encode_image_stub(w, h, f)
+                        encode_image_stub(int(w), int(h), f)
+                        if all(map(pd.notna, (w, h))) and isinstance(f, str)
+                        else b""
                         for w, h, f in zip(pdf["w"], pdf["h"], pdf["fmt"])
                     ],
                 }
@@ -243,12 +251,12 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
     def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 parsed = parse_image_header(content)
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "width": parsed[0] if parsed else None,
                         "height": parsed[1] if parsed else None,
                         "pixel_format": parsed[2] if parsed else None,
@@ -260,12 +268,12 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
     def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 h = int(hashlib.sha256(content).hexdigest()[:8], 16)
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "width": 64 + h % 1920,
                         "height": 64 + (h // 1920) % 1080,
                         "pixel_format": "rgb24",
@@ -440,6 +448,8 @@ def make_video_table(docs: DataFrame) -> DataFrame:
                     "duration_ms": None,
                     "content": [
                         encode_video_stub(int(w), int(h), int(nf), int(cs), c)
+                        if all(map(pd.notna, (w, h, nf, cs))) and isinstance(c, str)
+                        else b""  # NULL-text doc: quarantine downstream
                         for w, h, nf, cs, c in zip(
                             pdf["w"], pdf["h"], pdf["nf"], pdf["cs"], pdf["container"]
                         )
@@ -458,12 +468,12 @@ def decode_videos(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 p = parse_video_container(content)
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "width": p[0] if p else None,
                         "height": p[1] if p else None,
                         "n_frames": p[2] if p else None,
@@ -494,8 +504,8 @@ def frame_sample_video(
         cols = ["media_id", "frame_idx", "ts_ms", "frame_sha"]
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 p = parse_video_container(content)
                 if p is None or p[2] == 0 or p[3] == 0:
                     continue
@@ -507,7 +517,7 @@ def frame_sample_video(
                     sha = hashlib.sha256(content[off : off + ln]).hexdigest()[:16]
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": fi,
                             "ts_ms": ts,
                             "frame_sha": sha,
@@ -519,8 +529,8 @@ def frame_sample_video(
         cols = ["media_id", "frame_idx", "ts_ms", "frame_sha"]
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 duration = len(content)  # fake duration: 1 ms per byte
                 for i, ts in enumerate(range(0, duration, every_ms)):
                     frame_sha = hashlib.sha256(
@@ -528,7 +538,7 @@ def frame_sample_video(
                     ).hexdigest()[:16]
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "ts_ms": ts,
                             "frame_sha": frame_sha,
@@ -579,9 +589,16 @@ def parse_wav_header(content: bytes):
             fmt = (channels, sample_rate, block_align, bits)
         elif cid == b"data":
             data_size = size
-        # data payload is elided in stub containers: the declared size
-        # is honored without requiring the bytes to be present
-        pos += 8 + (size if cid != b"data" else 0)
+        if cid == b"data" and pos + 8 + size > len(content):
+            # data payload elided (stub containers declare the size
+            # without carrying the bytes): nothing to skip
+            pos += 8
+        else:
+            # payload present (a REAL wav): skip it, with RIFF's odd-
+            # size pad byte — the pre-r10 walk skipped 0 bytes for
+            # every data chunk and then strode through the payload
+            # reinterpreting sample bytes as chunk headers (r10 review)
+            pos += 8 + size + (size & 1)
     if fmt is None or data_size is None:
         return None
     channels, sample_rate, block_align, bits = fmt
@@ -617,6 +634,8 @@ def make_audio_table(docs: DataFrame) -> DataFrame:
                     "duration_ms": None,
                     "content": [
                         encode_wav_stub(int(r), int(c), int(b), int(n))
+                        if all(map(pd.notna, (r, c, b, n)))
+                        else b""  # NULL-text doc: quarantine downstream
                         for r, c, b, n in zip(
                             pdf["rate"], pdf["ch"], pdf["bits"], pdf["ns"]
                         )
@@ -635,12 +654,12 @@ def decode_audio(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
                 p = parse_wav_header(content)
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "sample_rate": p[0] if p else None,
                         "channels": p[1] if p else None,
                         "bits": p[2] if p else None,

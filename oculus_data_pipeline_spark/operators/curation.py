@@ -208,18 +208,27 @@ def source_mixture_plan(
     the rate is a 6-place-rounded double sqrt of a BIGINT ratio, so
     both engines divide identical doubles.
 
+    T_min sensitivity (inherent to the r_s = √(T_min/T_s) anchor): the
+    keep-rate is keyed to the single SMALLEST source, so one degenerate
+    near-empty source (a 1-doc source in a dirty corpus) collapses
+    retained volume for every source s to ≈ √(T_min·T_s) tokens. That
+    is the stated design (the smallest source is kept whole and
+    everything flattens toward it), but on an uncurated corpus callers
+    should pre-filter trivially small sources before planning the
+    mixture — the cliff is data-dependent and sharp (r9 advice).
+
     Scale shape: two scans of the corpus (one aggregation pass, one
     sampling pass), both reduced per-source map-side; the per-source
     rate table is tiny and broadcast — no shuffle ever carries doc
     text."""
     from ..functions.hashing import md5_int
-    from ..functions.text import normalize_term
+    from .textstats import _toks
 
     per_doc = docs.select(
         F.col(source_col).alias("source"),
-        F.size(F.split(normalize_term(F.col(text_col)), " "))
-        .cast("long")
-        .alias("n_tokens"),
+        # the shared empty-safe tokenizer: blank docs contribute 0
+        # tokens to their source's volume, not 1 (r10, with _toks)
+        F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
         (md5_int(F.col(id_col).cast("string")) % 1000000).alias("u"),
     )
     per_src = per_doc.groupBy("source").agg(
@@ -232,10 +241,17 @@ def source_mixture_plan(
     tot = w.groupBy().agg(
         F.sum("w").alias("tw"), F.min("total_tokens").alias("tmin")
     )
-    share = F.round(F.col("w").cast("double") / F.col("tw").cast("double"), 6)
+    # try_divide: an all-blank corpus (tw = 0) or a 0-token source now
+    # yields NULL share/rate (nothing sampled) instead of an ANSI
+    # DIVIDE_BY_ZERO — DuckDB's x/0 is NULL, so the oracle agrees
+    share = F.round(
+        F.try_divide(F.col("w").cast("double"), F.col("tw").cast("double")), 6
+    )
     rate = F.round(
         F.sqrt(
-            F.col("tmin").cast("double") / F.col("total_tokens").cast("double")
+            F.try_divide(
+                F.col("tmin").cast("double"), F.col("total_tokens").cast("double")
+            )
         ),
         6,
     )
@@ -281,19 +297,23 @@ def scrub_duplicate_segments(
     Returns (id, n_segments, n_kept, kept_tokens, kept_text).
 
     Scale shape: chunking is a narrow map (textstats.chunk_documents);
-    the corpus-wide segment df is ONE window shuffle keyed on the
-    48-bit segment hash (uniform by construction — hot boilerplate
+    the corpus-wide segment df is ONE window shuffle keyed on the FULL
+    md5 of the segment text (uniform by construction — hot boilerplate
     hashes are exactly the rows the filter then drops, and the window
     only counts, so a hot key costs a count not a blow-up); reassembly
     is one groupBy on doc id. Segment text never moves twice: the
     hash rides the df shuffle, the text rides only the per-doc
-    reassembly."""
-    from ..functions.hashing import md5_int
+    reassembly. The df key was a 48-bit ``md5_int`` prefix pre-r10;
+    at ~1e11 corpus chunks that expects ~2e7 colliding pairs, each of
+    which could scrub an INNOCENT segment that merely hash-collided
+    with boilerplate — the full 128-bit digest makes a false scrub
+    astronomically unlikely, for the same single shuffle (a 32-char
+    key instead of a long; r9 review triage, fixed r10)."""
     from .textstats import chunk_documents
 
     segs = chunk_documents(
         docs, text_col=text_col, id_col=id_col, chunk_tokens=seg_tokens
-    ).withColumn("sh", md5_int(F.col("chunk_text")))
+    ).withColumn("sh", F.md5(F.col("chunk_text")))
     cnt = F.count("*").over(W.partitionBy("sh"))
     flagged = segs.withColumn("keep", cnt <= max_df)
     kept_struct = F.when(

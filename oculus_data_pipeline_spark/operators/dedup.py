@@ -35,9 +35,18 @@ from ..functions.text import normalize_term
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokens of a normalized text column."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.split(normalize_term(c), " ")
+    """Whitespace tokens of a normalized text column — the ONE shared
+    tokenizer (textstats._toks): empty-safe, so a blank/whitespace-only
+    doc yields ``[]`` not ``['']``. Pre-r10 this was an independent
+    unfiltered copy — blank docs contributed a phantom ``''`` token to
+    OOV/diversity/collocation counts and a 1-token simhash while the
+    textstats consumers were being fixed; one definition now serves
+    both families (r9 review triage, fixed r10). Shingle paths are
+    unchanged for n ≥ 2 (the ``size >= n`` guard already excluded
+    blank docs)."""
+    from .textstats import _toks
+
+    return _toks(c)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

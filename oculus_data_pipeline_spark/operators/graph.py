@@ -29,19 +29,46 @@ LABEL_FOR = {
     "term": "Term",
 }
 
+# The reference's type dispatch (json_to_db.py:104-119) is an
+# if/elif over person/place/organization with an unconditional
+# ``else`` that files the entity as a plain index term — so NULL and
+# unknown labels are INDEX TERMS there, never a typed entity. The
+# classify operator coalesces its output onto the four known labels,
+# but callers feeding build_nodes/build_edges directly (the bypass
+# path) used to leak NULL labels through ``label == 'term'``
+# three-valued logic: NULL rel_type edges pointing entity→doc with a
+# term-text key (r9 review triage, fixed r10). canonical_label pins
+# the reference policy AT this boundary: anything outside the three
+# typed labels — 'term', an unknown string, or NULL — is 'term'.
+TYPED_LABELS = ("person", "place", "organization")
+
+
+def canonical_label(label_col: F.Column) -> F.Column:
+    """NULL-safe label canonicalization to the reference's dispatch
+    domain: person/place/organization pass through, everything else
+    (including NULL and unknown labels) is a plain index 'term' —
+    json_to_db.py:104-119's ``else`` branch."""
+    return F.when(label_col.isin(*TYPED_LABELS), label_col).otherwise(
+        F.lit("term")
+    )
+
 
 def _node_label(label_col: F.Column) -> F.Column:
+    lab = canonical_label(label_col)
     out = F.lit("Term")
-    for lab, node in LABEL_FOR.items():
-        out = F.when(label_col == lab, F.lit(node)).otherwise(out)
+    for raw, node in LABEL_FOR.items():
+        out = F.when(lab == raw, F.lit(node)).otherwise(out)
     return out
 
 
 def entity_key(term_col, label_col) -> F.Column:
-    """Entity surrogate key: reference URIs for non-'term' types
+    """Entity surrogate key: reference URIs for the typed entities
     (generate_uri.py:43-45), the term text itself for plain terms
-    (which get no URI in the reference)."""
-    return F.when(label_col != "term", generate_uri(term_col)).otherwise(term_col)
+    (which get no URI in the reference). NULL/unknown labels are
+    plain terms (see canonical_label)."""
+    return F.when(
+        canonical_label(label_col) != "term", generate_uri(term_col)
+    ).otherwise(term_col)
 
 
 def build_nodes(doc_ids: DataFrame, classified_terms: DataFrame) -> DataFrame:
@@ -89,13 +116,14 @@ def build_edges(classified_terms: DataFrame, dedup: bool = True) -> DataFrame:
     still guaranteed by the sink's (src, dst, rel_type) dedup at write
     time — the same division of labor build_nodes documents for
     (label, key)."""
+    lab = canonical_label(F.col("label"))
     ekey = entity_key(F.col("norm_term"), F.col("label"))
     doc = F.col("doc_id").cast("string")
-    is_term = F.col("label") == "term"
+    is_term = lab == "term"
     edges = classified_terms.select(
         F.when(is_term, doc).otherwise(ekey).alias("src"),
         F.when(is_term, ekey).otherwise(doc).alias("dst"),
-        F.concat(F.lit("HAS_"), F.upper("label")).alias("rel_type"),
+        F.concat(F.lit("HAS_"), F.upper(lab)).alias("rel_type"),
     )
     return edges.distinct() if dedup else edges
 

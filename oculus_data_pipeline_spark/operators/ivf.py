@@ -105,6 +105,11 @@ def train_kmeans(
         [r[0] for r in corpus.orderBy(id_col).limit(k).select(vec_col).collect()],
         dtype=np.float64,
     )
+    if cents.size == 0 or cents.ndim < 2:
+        # an empty corpus (or all-NULL vectors) otherwise surfaces as
+        # IndexError on cents.shape[1] — the clear-early-error goal of
+        # the dim validation applies here too (r9 advice)
+        raise ValueError("train_kmeans: corpus is empty (no vectors to init from)")
     if dim is None:
         dim = cents.shape[1]
     elif dim != cents.shape[1]:
@@ -209,8 +214,20 @@ def ivf_kmeans_ann(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+    # release the projected-corpus cache NOW, not never: every EAGER
+    # pass (count, init collect, the per-iteration train aggregates)
+    # has already read it; the returned one-pass lazy plan just
+    # recomputes the cheap projection at action time instead of
+    # leaving cached blocks in executor storage for the session's
+    # lifetime (r9 advice). The probe-side codebook broadcast ``bc``
+    # CANNOT be destroyed here — the returned plan's mapInPandas
+    # closure reads it at materialization; it is GC'd with the plan
+    # (Spark destroys unreferenced broadcasts via the cleaner), unlike
+    # a persist which pins blocks until explicit unpersist.
+    c.unpersist(blocking=False)
+    return out

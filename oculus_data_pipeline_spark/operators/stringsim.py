@@ -37,7 +37,8 @@ def blocked_levenshtein_pairs(
     JVM kernel abandon a pair early once the distance bound is
     exceeded — O(max_dist·len) instead of O(len²) per comparison.
     """
-    if block_key is not None:
+    multi_block = block_key is not None
+    if multi_block:
         # resolve the caller's Column against the ORIGINAL frame — the
         # documented usage (soundex/prefix over the caller's own
         # text_col) could never resolve against the internal 'v'
@@ -55,7 +56,7 @@ def blocked_levenshtein_pairs(
             .withColumn("k", F.split(F.col("v"), " ").getItem(0))
         )
     a, b = vals.alias("a"), vals.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.v") < F.col("b.v")))
         .select(
             F.col("a.v").alias("name_a"),
@@ -64,3 +65,13 @@ def blocked_levenshtein_pairs(
         )
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+    if multi_block:
+        # a value pair sharing SEVERAL caller blocks would otherwise be
+        # emitted once per shared block — duplicate (a, b, dist) rows
+        # that silently inflate downstream edge counts (r9 advice).
+        # dist is a function of (name_a, name_b), so distinct on the
+        # full row is exactly pair-dedup. The default single-block key
+        # (a function of v alone) cannot multi-place a value; its plan
+        # stays byte-identical with no extra shuffle.
+        pairs = pairs.distinct()
+    return pairs

@@ -33,8 +33,29 @@ BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 def _toks(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text, EMPTY-SAFE: a blank or
+    whitespace-only doc tokenizes to ``[]``, not ``['']``.
+
+    ``split('', ' ')`` yields ``['']`` in both Spark and DuckDB, so the
+    pre-r10 form counted one phantom token per blank doc across every
+    token consumer (token_stats, rarity, OOV, inverted index, ...).
+    ``normalize_term`` collapses internal whitespace first, so for any
+    non-blank doc the ``array_remove`` is a no-op — only the
+    whole-string-empty case changes (r9 review triage, fixed r10).
+    Oracle twin: :func:`toks_oracle_sql`.
+    """
     c = F.col(c) if isinstance(c, str) else c
-    return F.split(normalize_term(c), " ")
+    return F.array_remove(F.split(normalize_term(c), " "), "")
+
+
+def toks_oracle_sql(expr: str) -> str:
+    """DuckDB equivalent of :func:`_toks` (empty tokens filtered)."""
+    from ..functions.text import normalize_term_oracle_sql
+
+    return (
+        f"list_filter(string_split({normalize_term_oracle_sql(expr)}, ' '),"
+        f" t -> t <> '')"
+    )
 
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,8 +69,13 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
+        # try_divide: a blank doc now has 0 tokens, and ANSI ÷0 must be
+        # NULL (DuckDB's x/0 is NULL — lockstep), not a runtime error
         F.round(
-            (F.length(F.array_join(toks, "")) / F.size(toks)).cast("double"), 6
+            F.try_divide(F.length(F.array_join(toks, "")), F.size(toks)).cast(
+                "double"
+            ),
+            6,
         ).alias("avg_token_len"),
     )
 
@@ -62,9 +88,12 @@ def _quality_cols(text_col: str) -> dict[str, Column]:
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     punct = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    stop_ratio = stop_hits / n_tokens
-    punct_ratio = punct / F.length(text_col)
+    # try_divide throughout: 0-token (blank) and 0-char docs get NULL
+    # ratios under ANSI instead of a DIVIDE_BY_ZERO error; DuckDB's
+    # x/0 is NULL, so the oracles agree without any CASE scaffolding
+    distinct_ratio = F.try_divide(F.size(F.array_distinct(toks)), n_tokens)
+    stop_ratio = F.try_divide(stop_hits, n_tokens)
+    punct_ratio = F.try_divide(punct, F.length(text_col))
     length_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), 1.0).otherwise(0.0)
     score = (
         F.lit(0.4) * length_ok

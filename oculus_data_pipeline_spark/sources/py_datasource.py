@@ -79,11 +79,23 @@ class XmlDirReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         # recursive: nested corpus layouts (year/month/… dirs) are one
-        # logical dataset, same as the native reader's glob
+        # logical dataset, same as the native reader's glob. A single
+        # .xml file path is accepted directly (parity with handing the
+        # native reader one file).
+        if os.path.isfile(self.dir):
+            return [_XmlFilePartition(self.dir)]
         files: list[str] = []
         for cur, _dirs, names in os.walk(self.dir):
             files.extend(
                 os.path.join(cur, f) for f in names if f.endswith(".xml")
+            )
+        if not files:
+            # a typo'd/unmounted path otherwise reads as a silently
+            # EMPTY dataset — the worst failure mode for an ingest
+            # connector (the native glob reader raises too) (r10 review)
+            raise ValueError(
+                f"oculus_xmldir: no .xml files under {self.dir!r} "
+                f"(path missing, unmounted, or empty)"
             )
         return [_XmlFilePartition(p) for p in sorted(files)]
 

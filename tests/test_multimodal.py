@@ -178,3 +178,49 @@ def test_video_decode_and_real_frame_sampling(spark, sf_dir):
         sha_by_idx = {}
         for r in seq:
             assert sha_by_idx.setdefault(r["frame_idx"], r["frame_sha"]) == r["frame_sha"]
+
+
+def test_wav_walk_skips_present_data_payload():
+    """A REAL wav carries its sample bytes after the data header; the
+    pre-r10 walk skipped 0 bytes for every data chunk and strode
+    through the payload reinterpreting samples as chunk headers. The
+    payload-present branch now skips size (+RIFF pad) so trailing
+    chunks parse; elided-payload stubs still parse (r10 review)."""
+    import struct
+
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        encode_wav_stub,
+        parse_wav_header,
+    )
+
+    # build a real wav: stub header + actual payload + a trailing chunk
+    stub = encode_wav_stub(8000, 1, 8, 6)  # data_size = 6 bytes
+    payload = b"\x01\x02\x03\x04\x05\x06"
+    trailing = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    real = stub + payload + trailing
+    assert parse_wav_header(real) == (8000, 1, 8, 6, 0)
+    # elided stub (no payload bytes) still parses identically
+    assert parse_wav_header(stub) == (8000, 1, 8, 6, 0)
+
+
+def test_media_tables_null_text_quarantined(spark):
+    """NULL-text docs flow through the stub media builders as empty
+    content (decoded_ok False downstream), not an int(NaN) crash."""
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        decode_audio,
+        decode_images,
+        decode_videos,
+        make_audio_table,
+        make_image_table,
+        make_video_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a real document body"), (2, None)], "doc_id long, text string"
+    )
+    img = {r["media_id"]: r for r in decode_images(make_image_table(docs)).collect()}
+    assert img[1]["decoded_ok"] is True and img[2]["decoded_ok"] is False
+    aud = {r["media_id"]: r for r in decode_audio(make_audio_table(docs)).collect()}
+    assert aud[1]["decoded_ok"] is True and aud[2]["decoded_ok"] is False
+    vid = {r["media_id"]: r for r in decode_videos(make_video_table(docs)).collect()}
+    assert vid[1]["decoded_ok"] is True and vid[2]["decoded_ok"] is False

@@ -399,3 +399,138 @@ def test_source_reputation_null_aware_denominators(spark):
     e = got["empty"]
     assert e["mean_quality"] is None and e["dup_ratio"] is None
     assert e["keep"] is False  # never a fabricated keep on no content
+
+
+# --- round-10 fixes: blank-doc tokenizer / scrub hash / graph labels ------
+
+
+def test_toks_blank_docs_tokenize_to_empty_array(spark):
+    """split('', ' ') yields [''] in both engines, so blank and
+    whitespace-only docs counted ONE phantom token in every token
+    consumer pre-r10. _toks now filters empties; non-blank docs are
+    unchanged (normalize_term collapses internal runs first)."""
+    from oculus_data_pipeline_spark.operators.textstats import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "   \t  "), (4, None), (5, "one")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in token_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 2
+    assert got[2]["n_tokens"] == 0  # pre-r10: 1
+    assert got[3]["n_tokens"] == 0  # pre-r10: 1
+    assert got[4]["n_tokens"] is None  # NULL text stays NULL, not 0
+    assert got[5]["n_tokens"] == 1
+    # avg_token_len over zero tokens is NULL, not a 0/0 artifact
+    assert got[2]["avg_token_len"] is None
+
+
+def test_toks_shared_by_dedup_and_mixture(spark):
+    """dedup.tokens and source_mixture_plan must ride the SAME
+    empty-safe tokenizer: a source of blank docs contributes zero
+    token volume (pre-r10: one phantom token per blank doc)."""
+    from oculus_data_pipeline_spark.operators import dedup
+    from oculus_data_pipeline_spark.operators.curation import (
+        source_mixture_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "three tokens here"), (2, "a", "two more"),
+         (3, "b", ""), (4, "b", "   ")],
+        "doc_id long, source string, text string",
+    )
+    toks = docs.select(F.explode(dedup.tokens("text")).alias("t")).collect()
+    assert sorted(r["t"] for r in toks) == ["here", "more", "three", "tokens", "two"]
+    plan = {r["source"]: r for r in source_mixture_plan(docs).collect()}
+    assert plan["a"]["total_tokens"] == 5
+    assert plan["b"]["total_tokens"] == 0  # pre-r10: 2 phantom tokens
+
+
+def test_segment_scrub_full_md5_and_blank_docs(spark):
+    """scrub_duplicate_segments keys the corpus-wide segment df on the
+    FULL md5 (pre-r10: a 48-bit prefix whose collisions could scrub
+    innocent text at ~1e11 chunks). Boilerplate above max_df is
+    dropped, unique text survives in order, blank docs produce no
+    segments at all."""
+    from oculus_data_pipeline_spark.operators.curation import (
+        scrub_duplicate_segments,
+    )
+
+    boiler = "subscribe to our newsletter now"
+    rows = [(i, f"{boiler} unique body number {i}") for i in range(4)]
+    rows.append((99, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           scrub_duplicate_segments(docs, seg_tokens=5, max_df=2).collect()}
+    assert 99 not in got  # blank doc: zero segments, zero rows
+    for i in range(4):
+        r = got[i]
+        assert r["n_segments"] == 2
+        assert r["n_kept"] == 1  # the boilerplate 5-gram occurs 4x > max_df
+        assert r["kept_text"] == f"unique body number {i}"
+
+
+def test_build_edges_null_and_unknown_labels_are_index_terms(spark):
+    """The reference's type dispatch (json_to_db.py:104-119) is an
+    if/elif over person/place/organization with an ``else`` that files
+    the entity as a plain index term. Pre-r10, a NULL label slipping
+    past classify's coalesce produced a NULL rel_type edge pointing
+    entity->doc keyed by term text; unknown labels got Term nodes but
+    HAS_<LABEL> edges. Both are HAS_TERM doc->term now."""
+    from oculus_data_pipeline_spark.operators.graph import (
+        build_edges,
+        build_nodes,
+    )
+
+    terms = spark.createDataFrame(
+        [(1, "alice smith", "person"), (1, "widgets", None),
+         (1, "gadgetry", "animal"), (2, "acme corp", "organization")],
+        "doc_id long, norm_term string, label string",
+    )
+    edges = {(r["src"], r["dst"]): r["rel_type"] for r in build_edges(terms).collect()}
+    assert edges[("1", "widgets")] == "HAS_TERM"   # NULL label -> index term
+    assert edges[("1", "gadgetry")] == "HAS_TERM"  # unknown label -> index term
+    assert None not in edges.values()  # pre-r10: HAS_ || upper(NULL) = NULL
+    # typed entities keep the reference direction: entity URI -> doc
+    typed = {(src, dst): rel for (src, dst), rel in edges.items() if rel != "HAS_TERM"}
+    assert sorted(typed.values()) == ["HAS_ORGANIZATION", "HAS_PERSON"]
+    assert {dst for (_, dst) in typed} == {"1", "2"}
+    assert all(src.startswith("r") for (src, _) in typed)
+    nodes = build_nodes(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), terms
+    ).collect()
+    by_name = {(r["label"], r["name"]): r["key"] for r in nodes}
+    # NULL/unknown-label entities are Term nodes keyed by the term text
+    assert by_name[("Term", "widgets")] == "widgets"
+    assert by_name[("Term", "gadgetry")] == "gadgetry"
+    assert by_name[("Person", "alice smith")].startswith("r")
+
+
+def test_blocked_levenshtein_multi_block_pair_emitted_once(spark):
+    """A caller block_key depending on columns beyond text_col can
+    place one value in several blocks; a pair sharing two blocks was
+    emitted once PER shared block pre-r10 (duplicate rows inflating
+    downstream edge counts). Now deduped on the pair."""
+    from oculus_data_pipeline_spark.operators.stringsim import (
+        blocked_levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("abc", "k1"), ("abc", "k2"), ("abd", "k1"), ("abd", "k2")],
+        "name string, region string",
+    )
+    out = blocked_levenshtein_pairs(
+        df, "name", max_dist=2, block_key=F.col("region")
+    ).collect()
+    assert len(out) == 1  # pre-r10: 2 (once per shared block)
+    assert (out[0]["name_a"], out[0]["name_b"], out[0]["dist"]) == ("abc", "abd", 1)
+
+
+def test_train_kmeans_empty_corpus_raises(spark):
+    """An empty corpus raised IndexError from cents.shape[1] pre-r10 —
+    now an explicit ValueError (r9 advice)."""
+    from oculus_data_pipeline_spark.operators.ivf import train_kmeans
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        train_kmeans(empty, k=3, n_iters=1)

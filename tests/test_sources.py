@@ -197,3 +197,25 @@ def test_python_datasource_recursive_and_streaming_parse(spark, tmp_path):
     assert got.rdd.getNumPartitions() == 2  # one per discovered file
     ids = sorted(r.doc_id for r in got.select("doc_id").collect())
     assert ids == ["doc1", "doc2", "doc9a", "doc9b"]
+
+
+def test_pyds_empty_dir_raises_not_silent_empty(spark, tmp_path):
+    """A typo'd/unmounted path must fail loudly, not read as an empty
+    dataset; a direct single-file path is accepted (r10 review)."""
+    import pytest
+
+    from oculus_data_pipeline_spark.sources.py_datasource import (
+        read_documents_xml_pyds,
+    )
+
+    d = tmp_path / "no_xml_here"
+    d.mkdir()
+    with pytest.raises(Exception, match="no .xml files"):
+        read_documents_xml_pyds(spark, str(d)).collect()
+    f = tmp_path / "one.xml"
+    f.write_text(
+        "<root><document><documentID>d1</documentID>"
+        "<documentTitle>t</documentTitle></document></root>"
+    )
+    got = read_documents_xml_pyds(spark, str(f)).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "d1"
