@@ -42,6 +42,15 @@ def pagerank(
     (no out-edges) keep only the teleport share — standard simplified
     treatment; symmetrize edges upstream for an ergodic variant.
     """
+    # CACHE CONTRACT: nodes/degree-edges are persisted because the
+    # returned UNROLLED plan reads them iterations+1 times at action
+    # time (nothing here is eager, so unpersisting before return would
+    # simply disable the cache). The entries are deduplicated by plan in
+    # Spark's CacheManager (repeat calls reuse, not accumulate) and
+    # spill under pressure (MEMORY_AND_DISK); a caller embedding this
+    # in a long-lived session owns `spark.catalog.clearCache()` /
+    # unpersist after materializing (r10 review note, same class as the
+    # r9 ivf advice but with no eager phase to hide the unpersist in).
     one = 10**scale
     base = (damping_den - damping_num) * one // damping_den
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))

@@ -42,6 +42,12 @@ def _toks(c: Column | str) -> Column:
     ``normalize_term`` collapses internal whitespace first, so for any
     non-blank doc the ``array_remove`` is a no-op — only the
     whole-string-empty case changes (r9 review triage, fixed r10).
+    Form chosen by measurement: ``array_remove`` over the split ties
+    the unfiltered baseline exactly (0.274 s for a sf0.1
+    tokenize+explode+count; the JVM array pass is free next to the
+    regexp), while the tempting ``CASE WHEN length(normalized)=0``
+    guard is 2x SLOWER — Spark's subexpression elimination does not
+    share the normalize regexp across when-branches, so it runs twice.
     Oracle twin: :func:`toks_oracle_sql`.
     """
     c = F.col(c) if isinstance(c, str) else c
