@@ -319,13 +319,38 @@ def classify_document_terms(
     )
 
 
-def build_document_graph(docs: DataFrame, classified: DataFrame):
+def build_document_graph(
+    docs: DataFrame, classified: DataFrame, typed_parent_sub_edges: bool = False
+):
     """K5/K6/K7: nodes + edges DataFrames (json_to_db.py:78-127
     re-expressed set-wise; ~13 serial txns/doc → 2 bulk writes).
 
     nodes(label, key, name); edges(src, dst, rel_type) where Document
     src/dst keys are doc ids and entity keys are URIs / term text.
+
+    Entity dispatch is NULL-safe via the same canonical-label policy as
+    operators/graph.py (r10): any type outside person/place/organization
+    — including NULL and unknown strings — is the reference else-branch
+    plain index term (json_to_db.py:118-119), keyed by TERM TEXT with a
+    (d)-[:HAS_TERM]->(t) edge, even when the staged JSON carries a
+    stored uri for it (add_uri_if_needed writes one for every non-'term'
+    type, generate_uri.py:43-45, but relate_index_term/create_term key
+    by term text alone, json_to_db.py:34-38,54-60 — the stored uri is
+    dead weight there).
+
+    Reference quirk, reproduced bug-for-bug (default): relate_sub_term
+    (json_to_db.py:63-69) MATCHes the parent as
+    ``(p:<ParentType> {term: $parent_term})``, but typed nodes are
+    MERGEd with only ``name``/``uri`` properties (create_person/place/
+    organization, :16-32) — the MATCH yields zero rows for any typed
+    parent, so the Cypher MERGEs after it never run: midsub/sub EDGES
+    exist only under Term parents. The sub term NODES always exist (the
+    separate create_term call at :122,:126 runs unconditionally).
+    ``typed_parent_sub_edges=True`` restores the evident intent
+    (parent_type is threaded through deliberately) and emits MIDSUB/SUB
+    edges under typed parents too, sourced at the parent's uri key.
     """
+    from ..operators.graph import canonical_label
     doc_nodes = docs.select(
         F.lit("Document").alias("label"),
         F.col("doc_id").alias("key"),
@@ -374,34 +399,48 @@ def build_document_graph(docs: DataFrame, classified: DataFrame):
     )
 
     def entity_cols(obj):
+        canon = canonical_label(obj["type"])
         label = (
-            F.when(obj["type"] == "person", "Person")
-            .when(obj["type"] == "place", "Place")
-            .when(obj["type"] == "organization", "Organization")
+            F.when(canon == "person", "Person")
+            .when(canon == "place", "Place")
+            .when(canon == "organization", "Organization")
             .otherwise("Term")
         )
-        key = F.coalesce(obj["uri"], obj["term"])
-        return label, key
+        # else-branch (canonical 'term', incl. NULL/unknown types) is
+        # keyed by TERM TEXT even when a stored uri exists; typed
+        # entities by their uri, re-derived when the staged JSON lacks
+        # one (generate_uri is deterministic, so coalesce == stored)
+        key = F.when(canon == "term", obj["term"]).otherwise(
+            F.coalesce(obj["uri"], generate_uri(obj["term"]))
+        )
+        return canon, label, key
 
-    main_l, main_k = entity_cols(F.col("main"))
+    main_c, main_l, main_k = entity_cols(F.col("main"))
     term_nodes = classified.where(F.col("main").isNotNull()).select(
         main_l.alias("label"), main_k.alias("key"), F.col("main.term").alias("name")
     )
     # Edge direction per json_to_db.py: typed entities use
     # create_relationship (:46-52) — (e)-[:HAS_*]->(d), entity →
     # document; plain terms use relate_index_term (:54-60) —
-    # (d)-[:HAS_TERM]->(t), document → term.
-    main_is_term = F.col("main.type") == "term"
+    # (d)-[:HAS_TERM]->(t), document → term. Dispatch on the CANONICAL
+    # label so NULL/unknown types take the else branch (HAS_TERM,
+    # doc → term) instead of a NULL rel_type entity→doc edge.
+    main_is_term = main_c == "term"
     term_edges = classified.where(F.col("main").isNotNull()).select(
         F.when(main_is_term, F.col("doc_id")).otherwise(main_k).alias("src"),
         F.when(main_is_term, main_k).otherwise(F.col("doc_id")).alias("dst"),
-        F.concat(F.lit("HAS_"), F.upper(F.col("main.type"))).alias("rel_type"),
+        F.concat(F.lit("HAS_"), F.upper(main_c)).alias("rel_type"),
     )
 
-    # relate_sub_term (json_to_db.py:62-68, :121-127): midsub AND sub
-    # nodes are always MERGEd as Term keyed by term text, and BOTH
-    # edges hang off the MAIN term (relate_sub_term is called with
-    # term['term'] as the parent for midsub and for sub alike).
+    # relate_sub_term (json_to_db.py:63-69, :121-127): sub term NODES
+    # are always MERGEd (create_term, keyed by term text) but the
+    # MIDSUB/SUB EDGES only materialize under Term parents — see the
+    # quirk note in the docstring. Both edges hang off the MAIN term
+    # (relate_sub_term gets term['term'] as the parent for midsub and
+    # sub alike), matched by term text for Term parents.
+    sub_parent_ok = (
+        F.lit(True) if typed_parent_sub_edges else (main_c == "term")
+    )
     sub_nodes = []
     sub_edges = []
     for child in ("midsub", "sub"):
@@ -414,7 +453,7 @@ def build_document_graph(docs: DataFrame, classified: DataFrame):
             )
         )
         sub_edges.append(
-            has_child.select(
+            has_child.where(sub_parent_ok).select(
                 main_k.alias("src"),
                 F.col(f"{child}.term").alias("dst"),
                 F.lit(child.upper()).alias("rel_type"),

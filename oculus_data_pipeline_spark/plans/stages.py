@@ -238,11 +238,19 @@ def uri_stage(enriched: DataFrame) -> DataFrame:
         return F.transform(objs, lambda o: o.withField("uri", generate_uri(o["name"])))
 
     def term_uri(obj: Column) -> Column:
+        # add_uri_if_needed (generate_uri.py:36-45) reads
+        # term_obj.get('type') and compares with Python `!=` — a
+        # missing/None type is `None != 'term'` → True, so NULL types
+        # DO get a uri there; plain `col != 'term'` three-valued logic
+        # would silently yield NULL instead (r10 review). Downstream
+        # json_to_db then ignores that uri anyway (else-branch keys by
+        # term text — see build_document_graph's canonical dispatch).
+        not_plain_term = obj["type"].isNull() | (obj["type"] != "term")
         return F.when(
             obj.isNotNull(),
             obj.withField(
                 "uri",
-                F.when(obj["type"] != "term", generate_uri(obj["term"])),
+                F.when(not_plain_term, generate_uri(obj["term"])),
             ),
         )
 

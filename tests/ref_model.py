@@ -140,13 +140,19 @@ def run_reference_model(docs: list[dict]) -> tuple[set, set]:
                 else:
                     # create_relationship: (e)-[:HAS_*]->(d)
                     edges.add((k, d["doc_id"], "HAS_" + main_o["type"].upper()))
-                # relate_sub_term (json_to_db.py:62-68, :121-127):
-                # midsub AND sub are MERGEd as Term nodes keyed by the
-                # (display) term text, and BOTH edges hang off the
-                # MAIN term — relate_sub_term is called with
-                # term['term'] as the parent in both branches.
+                # relate_sub_term (json_to_db.py:63-69, :121-127):
+                # midsub/sub NODES are always MERGEd (create_term,
+                # keyed by term text), but the Cypher MATCHes the
+                # parent as (p:<ParentType> {term: $parent_term}) and
+                # typed nodes carry only name/uri (create_person/
+                # place/organization, :16-32) — zero rows for typed
+                # parents, so the MIDSUB/SUB EDGE only materializes
+                # under Term parents (reference quirk, reproduced
+                # bug-for-bug; build_document_graph default). Both
+                # edges hang off the MAIN term's text.
                 for rel, o in (("MIDSUB", mid_o), ("SUB", sub_o)):
                     if o:
                         nodes.add(("Term", o["term"], o["term"]))
-                        edges.add((k, o["term"], rel))
+                        if main_o["type"] == "term":
+                            edges.add((k, o["term"], rel))
     return nodes, edges

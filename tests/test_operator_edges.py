@@ -534,3 +534,108 @@ def test_train_kmeans_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "id long, v array<double>")
     with pytest.raises(ValueError, match="corpus is empty"):
         train_kmeans(empty, k=3, n_iters=1)
+
+
+def _graph_fixture(spark, items):
+    """Minimal (docs, classified) pair for build_document_graph with
+    the given indexing item structs."""
+    docs = spark.createDataFrame(
+        [("d1", "Title One", [], [], None, None, None)],
+        "doc_id string, title string, authors array<string>, "
+        "recipients array<string>, date_from string, date_to string, "
+        "location_name string",
+    )
+    classified = spark.createDataFrame(
+        items,
+        "doc_id string, pos int, "
+        "main struct<term string, type string, uri string>, "
+        "midsub struct<term string, type string, uri string>, "
+        "sub struct<term string, type string, uri string>",
+    )
+    return docs, classified
+
+
+def test_sub_edges_only_under_term_parents(spark):
+    """Reference quirk (json_to_db.py:63-69): relate_sub_term MATCHes
+    the parent as (p:<ParentType> {term: ...}) but typed nodes carry
+    only name/uri (create_person/place/organization, :16-32) — the
+    MATCH yields zero rows, so MIDSUB/SUB edges exist ONLY under Term
+    parents; the sub term NODES always exist (create_term at :122,:126
+    runs unconditionally). Reproduced bug-for-bug by default;
+    typed_parent_sub_edges=True restores the evident intent."""
+    from oculus_data_pipeline_spark.plans.pipeline import build_document_graph
+
+    docs, classified = _graph_fixture(
+        spark,
+        [
+            ("d1", 0, ("farming", "term", None), ("crops", "term", None), None),
+            ("d1", 1, ("alice smith", "person", "r123"), ("letters", "term", None),
+             ("drafts", "term", None)),
+        ],
+    )
+    nodes, edges = build_document_graph(docs, classified)
+    edge_set = {(r["src"], r["dst"], r["rel_type"]) for r in edges.collect()}
+    node_set = {(r["label"], r["key"]) for r in nodes.collect()}
+    # Term parent: MIDSUB edge materializes, text-keyed src
+    assert ("farming", "crops", "MIDSUB") in edge_set
+    # typed parent: sub NODES exist but NO MIDSUB/SUB edge (the quirk)
+    assert ("Term", "letters") in node_set
+    assert ("Term", "drafts") in node_set
+    assert not [e for e in edge_set if e[2] in ("MIDSUB", "SUB") and e[0] == "r123"]
+    # opt-in intent semantics: edges under the typed parent's uri key
+    _, edges2 = build_document_graph(docs, classified, typed_parent_sub_edges=True)
+    edge_set2 = {(r["src"], r["dst"], r["rel_type"]) for r in edges2.collect()}
+    assert ("r123", "letters", "MIDSUB") in edge_set2
+    assert ("r123", "drafts", "SUB") in edge_set2
+
+
+def test_document_graph_null_unknown_types_are_index_terms(spark):
+    """build_document_graph's dispatch now rides the same canonical-
+    label policy as operators/graph.py (r10): NULL/unknown item types
+    are else-branch index terms (json_to_db.py:118-119) — HAS_TERM,
+    doc->term, keyed by TERM TEXT even when the staged JSON stored a
+    uri for them (add_uri_if_needed writes one for every non-'term'
+    type but relate_index_term keys by text). Pre-fix: NULL rel_type +
+    entity->doc direction for NULL types, uri-keyed HAS_BANANA edges
+    for unknown types."""
+    from oculus_data_pipeline_spark.plans.pipeline import build_document_graph
+
+    docs, classified = _graph_fixture(
+        spark,
+        [
+            ("d1", 0, ("widgets", None, "r777"), None, None),
+            ("d1", 1, ("gadgetry", "banana", "r888"), None, None),
+            ("d1", 2, ("acme corp", "organization", "r999"), None, None),
+        ],
+    )
+    nodes, edges = build_document_graph(docs, classified)
+    edge_map = {(r["src"], r["dst"]): r["rel_type"] for r in edges.collect()}
+    assert edge_map[("d1", "widgets")] == "HAS_TERM"
+    assert edge_map[("d1", "gadgetry")] == "HAS_TERM"
+    assert None not in edge_map.values()
+    assert edge_map[("r999", "d1")] == "HAS_ORGANIZATION"
+    node_map = {(r["label"], r["name"]): r["key"] for r in nodes.collect()}
+    assert node_map[("Term", "widgets")] == "widgets"      # not r777
+    assert node_map[("Term", "gadgetry")] == "gadgetry"    # not r888
+    assert node_map[("Organization", "acme corp")] == "r999"
+
+
+def test_uri_stage_null_type_gets_uri(spark):
+    """add_uri_if_needed (generate_uri.py:36-45) compares
+    term_obj.get('type') != 'term' in PYTHON — None != 'term' is True,
+    so NULL-typed items DO get a uri in the reference. Pre-r10 the
+    Spark `col != 'term'` three-valued logic yielded NULL instead."""
+    from oculus_data_pipeline_spark.functions.text import generate_uri
+    from oculus_data_pipeline_spark.plans import stages
+
+    enriched = spark.createDataFrame(
+        [("d1", "T", [], [], None, None, None,
+          [("widgets", None, None, None, None)])],
+        stages.ENRICHED_DOCUMENT_SCHEMA,
+    )
+    out = stages.uri_stage(enriched).collect()[0]
+    item = out["indexing"][0]
+    expected = spark.range(1).select(
+        generate_uri(F.lit("widgets")).alias("u")
+    ).collect()[0]["u"]
+    assert item["uri"] == expected

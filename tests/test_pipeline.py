@@ -49,6 +49,7 @@ XML = """<root>
     <repositories></repositories>
     <indexing>
       <indexTerm><main>Virginia</main><midsub>politics</midsub></indexTerm>
+      <indexTerm><main>trade</main><midsub>fisheries</midsub><sub>exports</sub></indexTerm>
       <indexTerm><main>treaty negotiations</main></indexTerm>
       <indexTerm><main>Mount   Vernon</main></indexTerm>
     </indexing>
@@ -82,6 +83,11 @@ DOCS_MODEL = [
         "date_to": None,
         "indexing": [
             ("Virginia", "politics", ""),
+            # echo_label('trade') == 'term': a Term PARENT, so this is
+            # the positive golden coverage for the relate_sub_term
+            # quirk — its MIDSUB/SUB edges DO materialize (typed
+            # parents like Virginia keep sub nodes but lose the edges)
+            ("trade", "fisheries", "exports"),
             ("treaty negotiations", "", ""),
             ("Mount   Vernon", "", ""),
         ],
