@@ -146,6 +146,16 @@ def parse_image_header(content: bytes):
             if content[pos] != 0xFF:
                 return None
             marker = content[pos + 1]
+            if marker == 0xFF:
+                # 0xFF fill bytes are legal padding between segments
+                # (ITU T.81 §B.1.1.2) — pre-r10 the walk read the next
+                # marker byte as a length field and misparsed (r10 rev)
+                pos += 1
+                continue
+            if marker == 0xD9:
+                # EOI before any SOFn: no dimensions in this stream
+                # (and EOI has no length field to stride over)
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers have no length field
                 continue
@@ -307,14 +317,21 @@ def encode_video_stub(
     as encode_image_stub / encode_wav_stub: a genuine encode→parse
     round trip without shipping media assets or codec libraries.
     ``frame_cs`` is the per-frame display time in centiseconds (GIF's
-    native delay unit; the AVI header stores it as µs/frame)."""
+    native delay unit; the AVI header stores it as µs/frame).  For GIF
+    it may also be a per-frame list (real GIFs vary delays frame to
+    frame — the schedule parse_video_container must reproduce)."""
     if container == "gif":
+        delays = (
+            list(frame_cs) if isinstance(frame_cs, (list, tuple))
+            else [frame_cs] * n_frames
+        )
+        assert len(delays) == n_frames
         out = bytearray(b"GIF89a")
         out += struct.pack("<HHBBB", width, height, 0x80, 0, 0)
         out += b"\x00\x00\x00\xff\xff\xff"  # 2-entry global color table
         out += _GIF_NETSCAPE
         for i in range(n_frames):
-            out += b"\x21\xf9\x04\x00" + struct.pack("<H", frame_cs) + b"\x00\x00"
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delays[i]) + b"\x00\x00"
             out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
             data = struct.pack("<I", i)  # stand-in compressed payload
             out += b"\x02" + bytes([len(data)]) + data + b"\x00"
@@ -344,14 +361,18 @@ def encode_video_stub(
 
 
 def parse_video_container(content: bytes):
-    """(width, height, n_frames, duration_ms, container, frame_slices)
-    straight off animated-GIF or AVI container bytes — a pure-Python
-    demux-level walk, no codec library (same container-header pattern
-    as parse_image_header / parse_wav_header; closes the round-3
-    verdict's last multimodal gap).  ``frame_slices`` is a list of
-    (offset, length) spans of each frame's compressed payload, so
+    """(width, height, n_frames, duration_ms, container, frame_slices,
+    frame_starts_ms) straight off animated-GIF or AVI container bytes —
+    a pure-Python demux-level walk, no codec library (same container-
+    header pattern as parse_image_header / parse_wav_header; closes the
+    round-3 verdict's last multimodal gap).  ``frame_slices`` is a list
+    of (offset, length) spans of each frame's compressed payload, so
     frame-level work (sampling, hashing) can slice without decoding
-    pixels.  Returns None for unrecognized/truncated content."""
+    pixels.  ``frame_starts_ms`` is each frame's display start time —
+    CUMULATIVE per-frame GCE delays for GIF (delays vary frame to frame
+    in real files; a uniform duration/n assumption picks the wrong
+    frame, r10 review) and the avih µs-per-frame grid for AVI (uniform
+    by spec).  Returns None for unrecognized/truncated content."""
     if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 13:
         w, h = struct.unpack("<HH", content[6:10])
         packed = content[10]
@@ -362,7 +383,11 @@ def parse_video_container(content: bytes):
         while pos < len(content):
             b0 = content[pos]
             if b0 == 0x3B:  # trailer
-                return w, h, len(slices), sum(delays) * 10, "gif", slices
+                starts, acc = [], 0
+                for d in delays:
+                    starts.append(acc)
+                    acc += d * 10
+                return w, h, len(slices), acc, "gif", slices, starts
             if b0 == 0x21:  # extension block
                 if pos + 2 > len(content):
                     return None
@@ -416,7 +441,8 @@ def parse_video_container(content: bytes):
         if hdr is None:
             return None
         w, h, n_frames, usec = hdr
-        return w, h, n_frames, n_frames * usec // 1000, "avi", slices
+        starts = [i * usec // 1000 for i in range(n_frames)]
+        return w, h, n_frames, n_frames * usec // 1000, "avi", slices, starts
     return None
 
 
@@ -495,10 +521,15 @@ def frame_sample_video(
 
     Real path (default): demux-level — parse_video_container yields
     frame timing and per-frame payload spans; the sampler picks the
-    frame on screen at each ts and hashes that frame's compressed
-    bytes, never decoding pixels.  Unparsable content contributes no
-    rows (quarantine upstream via decode_videos).  ``fake=True`` is a
-    test-only plumbing stand-in for non-video payloads (1 ms/byte)."""
+    frame on screen at each ts from the container's OWN frame-start
+    schedule (cumulative GCE delays for GIF — real files vary delay
+    frame to frame, so a uniform duration/n_frames assumption picks
+    the wrong frame, r10 review; uniform avih grid for AVI) and hashes
+    that frame's compressed bytes, never decoding pixels.  Unparsable
+    content contributes no rows (quarantine upstream via
+    decode_videos).  ``fake=True`` is a test-only plumbing stand-in
+    for non-video payloads (1 ms/byte)."""
+    from bisect import bisect_right
 
     def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "frame_idx", "ts_ms", "frame_sha"]
@@ -509,10 +540,11 @@ def frame_sample_video(
                 p = parse_video_container(content)
                 if p is None or p[2] == 0 or p[3] == 0:
                     continue
-                _, _, n_frames, duration_ms, _, slices = p
-                frame_ms = duration_ms // n_frames
+                _, _, n_frames, duration_ms, _, slices, starts = p
                 for ts in range(0, duration_ms, every_ms):
-                    fi = min(ts // frame_ms, n_frames - 1) if frame_ms else 0
+                    # frame on screen at ts: last start <= ts (0-delay
+                    # frames are skipped past, they show for 0 ms)
+                    fi = min(max(bisect_right(starts, ts) - 1, 0), n_frames - 1)
                     off, ln = slices[fi] if fi < len(slices) else (0, 0)
                     sha = hashlib.sha256(content[off : off + ln]).hexdigest()[:16]
                     out.append(

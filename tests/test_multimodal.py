@@ -224,3 +224,48 @@ def test_media_tables_null_text_quarantined(spark):
     assert aud[1]["decoded_ok"] is True and aud[2]["decoded_ok"] is False
     vid = {r["media_id"]: r for r in decode_videos(make_video_table(docs)).collect()}
     assert vid[1]["decoded_ok"] is True and vid[2]["decoded_ok"] is False
+
+
+def test_gif_variable_delays_frame_schedule():
+    """Real GIFs vary GCE delays frame to frame; the sampler must pick
+    the frame on screen at each ts from the CUMULATIVE schedule, not a
+    uniform duration/n_frames grid (r10 review). 3 frames showing for
+    100/400/100 cs: the uniform assumption (200 cs each) puts frame 1
+    on screen at t=2000 ms where the real schedule still shows frame 1
+    until 5000 ms."""
+    from bisect import bisect_right
+
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        encode_video_stub,
+        parse_video_container,
+    )
+
+    content = encode_video_stub(32, 32, 3, [100, 400, 100], "gif")
+    p = parse_video_container(content)
+    assert p is not None
+    w, h, nf, duration_ms, container, slices, starts = p
+    assert (nf, duration_ms, container) == (3, 6000, "gif")
+    assert starts == [0, 1000, 5000]  # cumulative, not [0, 2000, 4000]
+    # frame on screen: t=1500 -> frame 1; t=4500 -> STILL frame 1
+    # (uniform grid would claim frame 2); t=5500 -> frame 2
+    for ts, want in ((0, 0), (999, 0), (1500, 1), (4500, 1), (5500, 2)):
+        assert bisect_right(starts, ts) - 1 == want
+
+
+def test_jpeg_fill_bytes_and_eoi():
+    """ITU T.81 allows 0xFF fill bytes between marker segments; the
+    pre-r10 walk read the byte after the fill as a length field and
+    misparsed. EOI without a preceding SOFn has no dimensions (and no
+    length field) -> None, not a stride into trailing bytes."""
+    from oculus_data_pipeline_spark.multimodal.binary_ops import (
+        encode_image_stub,
+        parse_image_header,
+    )
+
+    good = encode_image_stub(64, 48, "jpeg")
+    assert parse_image_header(good) == (64, 48, "jpeg")
+    # inject fill padding between SOI and the SOF0 marker
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    assert parse_image_header(padded) == (64, 48, "jpeg")
+    # SOI + EOI + trailing garbage: no dimensions, parse must bail
+    assert parse_image_header(b"\xff\xd8\xff\xd9" + b"\x10" * 16) is None
