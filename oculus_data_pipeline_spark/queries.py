@@ -11749,14 +11749,20 @@ _ATTESTATION_PRIORITY = [
     "q210_drop_waterfall",
     "q216_rank_agreement",
     "q217_lang_confusion",
-    # --- 1. the displaced r5 fills (6 = exactly the remaining slots;
-    # q139/q141 from that list are already in the head above) ---
+    # --- 0b. late-r10 plan-changed (the multimodal review batch:
+    # per-frame GIF delay schedule in parse_video_container /
+    # frame_sample_video, JPEG fill-byte + EOI handling in
+    # parse_image_header) — replanned consumers lead the window, so
+    # these displace three r5 fills to the round-11 head ---
+    "q84_image_decode",
+    "q136_video_decode",
+    "q137_frame_sample",
+    # --- 1. displaced r5 fills (3 slots remain; q139/q141 from that
+    # list are already in the head above; q142/q146/q149 were bumped
+    # by the late-r10 multimodal re-plans and lead round 11's fills) ---
     "q138_pq_encode",
     "q140_embedding_gram",
-    "q142_pq_adc_topk",
     "q143_snapshot_diff",
-    "q146_variant_extract",
-    "q149_ivf_pq_topk",
     # The 16 code-only re-plans (multimodal zip loops, stringsim
     # multi-block dedup, ivf unpersist, CC reachability) have
     # byte-identical plan hashes and keep their r5-r9 attestations;
