@@ -233,9 +233,24 @@ def extract_terms(docs: DataFrame) -> DataFrame:
 def known_entities_from_docs(docs: DataFrame) -> DataFrame:
     """J1: authors/recipients → 'person', location → 'place', keyed by
     the normalized name (json_classification.py:313-320). Small by
-    construction → broadcast at the probe site."""
+    construction → broadcast at the probe site.
+
+    Null-safe on the JSON ingest surface (r10 review): a NULL
+    authors/recipients ARRAY no longer nulls out `concat` (losing the
+    other side's names from the known set), and NULL name ELEMENTS are
+    dropped instead of emitting a junk NULL norm_term row — the
+    reference crashes on both (normalize_term does re.sub on None,
+    json_classification.py:70-78)."""
+    empty = F.array().cast("array<string>")
     persons = (
-        docs.select(F.explode(F.concat("authors", "recipients")).alias("name"))
+        docs.select(
+            F.explode(
+                F.concat(
+                    F.coalesce("authors", empty), F.coalesce("recipients", empty)
+                )
+            ).alias("name")
+        )
+        .where(F.col("name").isNotNull())
         .select(normalize_term("name").alias("norm_term"), F.lit("person").alias("label"))
     )
     places = (
@@ -366,8 +381,19 @@ def build_document_graph(
     # .py:233-237), BEFORE the URI stage hashes the name (generate_uri
     # .py:50-53) — so reference Person nodes carry the converted
     # 'First Last' name and the URI hashes the converted string.
+    # NULL name elements (possible only on the JSON ingest surface —
+    # from_xml yields '' for empty <author/> tags) are dropped: the
+    # reference crashes there (convert_name does `',' in None`,
+    # json_classification.py:51), and the staged path's classify stage
+    # drops them too — emitting a NULL-key Person node would diverge
+    # from both (r10 review). Empty-STRING names pass through: the
+    # reference MERGEs a Person with name '' and uri hash('').
     people = with_converted_name(
-        author_people.unionByName(recipient_people), "raw_name", "name"
+        author_people.unionByName(recipient_people).where(
+            F.col("raw_name").isNotNull()
+        ),
+        "raw_name",
+        "name",
     ).withColumn("uri", generate_uri("name"))
     person_nodes = people.select(
         F.lit("Person").alias("label"), F.col("uri").alias("key"), "name"

@@ -117,12 +117,6 @@ ENRICHED_DOCUMENT_SCHEMA = T.StructType(
 )
 
 
-def _name_objs(names: Column) -> Column:
-    return F.transform(
-        names, lambda n: F.struct(n.alias("name"), F.lit(None).cast("string").alias("uri"))
-    )
-
-
 def classify_stage(docs: DataFrame, classifier: Classifier) -> DataFrame:
     """Canonical documents → enriched documents (no uris yet): the
     json_classification stage. Terms get {term, type} objects with
@@ -169,7 +163,12 @@ def classify_stage(docs: DataFrame, classifier: Classifier) -> DataFrame:
 
         # plain posexplode would also work, but the explicit null filter
         # keeps empty arrays empty (posexplode_outer emits a null row
-        # for [] which the left join + coalesce below turns back into [])
+        # for [] which the left join + coalesce below turns back into []).
+        # It also drops NULL name ELEMENTS (JSON ingest only — from_xml
+        # yields '' for empty tags), the same policy as the fused
+        # build_document_graph: the reference crashes on a None name
+        # (convert_name, json_classification.py:51), so there is no
+        # reference output to match and both engine paths agree on drop.
         exploded = docs.select(
             "doc_id", F.posexplode_outer(col).alias("pos", "raw_name")
         ).where(F.col("raw_name").isNotNull())

@@ -103,3 +103,117 @@ def test_cli_all_smoke(spark, xml_dir, tmp_path):
     got_nodes, got_edges = _graph_sets(nodes, edges)
     assert {(l, k) for l, k, _ in got_nodes} == {(l, k) for l, k, _ in exp_nodes}
     assert got_edges == exp_edges
+
+
+def _fused_graph_from_docs(docs, classifier):
+    from oculus_data_pipeline_spark.plans.pipeline import (
+        build_document_graph,
+        classify_document_terms,
+        extract_terms,
+        known_entities_from_docs,
+    )
+
+    terms = extract_terms(docs)
+    known = known_entities_from_docs(docs)
+    classified = classify_document_terms(terms, known, classifier)
+    return build_document_graph(docs, classified)
+
+
+def test_null_author_json_ingest_parity(spark, tmp_path):
+    """JSON ingest can carry literal nulls the XML reader never makes
+    (from_xml yields '' for empty tags): a NULL name element, and a
+    NULL authors ARRAY next to real recipients. The reference crashes
+    on both (convert_name / normalize_term on None), so the engine
+    policy is drop-the-null — and the fused and staged paths must agree
+    on it (r10 review: fused previously emitted a NULL-key Person node;
+    known_entities_from_docs lost recipients to a NULL-propagating
+    concat)."""
+    import json
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    rows = [
+        {
+            "doc_id": "dN",
+            "title": "NullName",
+            "authors": [None, "Jay, John"],
+            "recipients": [],
+            "date_from": "1791-06-01",
+            "indexing": [],
+        },
+        {
+            "doc_id": "dA",
+            "title": "NullArray",
+            "authors": None,
+            "recipients": ["Adams, John"],
+            "indexing": [{"main": "adams, john"}],
+        },
+    ]
+    (docs_dir / "part.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    docs = read_documents_json(spark, str(docs_dir))
+
+    exp_nodes, exp_edges = _graph_sets(
+        *_fused_graph_from_docs(docs, EchoClassifier())
+    )
+    enriched = stages.uri_stage(stages.classify_stage(docs, EchoClassifier()))
+    got_nodes, got_edges = _graph_sets(*stages.graph_stage(enriched))
+
+    assert got_nodes == exp_nodes
+    assert got_edges == exp_edges
+    # the null name is dropped, never a NULL-key node / NULL-src edge
+    assert all(k is not None for _, k, _ in exp_nodes)
+    assert all(s is not None and d is not None for s, d, _ in exp_edges)
+    assert ("Person", "r12153955", "John Jay") in exp_nodes  # the real one
+
+    # known entities survive a NULL authors array: 'adams, john' is a
+    # known person (from dA's recipients), so dA's index term
+    # classifies as person (uri-keyed node), not a plain Term
+    from oculus_data_pipeline_spark.plans.pipeline import (
+        known_entities_from_docs,
+    )
+
+    known = {
+        r["norm_term"]
+        for r in known_entities_from_docs(docs).collect()
+    }
+    assert "adams, john" in known
+    assert None not in known
+    assert not any(lbl == "Term" and n == "adams, john" for lbl, _, n in exp_nodes)
+
+
+def test_empty_indexing_graph_stage_parity(spark, tmp_path):
+    """A document with NO index terms: graph_stage's posexplode_outer
+    emits a (doc_id, NULL pos, NULL item) row for the empty array —
+    build_document_graph must treat it as 'no terms' (main.isNotNull
+    filters), not a phantom Term; the golden fixture has no such doc,
+    so this pins the path explicitly (r10 review)."""
+    import json
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "part.jsonl").write_text(
+        json.dumps(
+            {
+                "doc_id": "dE",
+                "title": "NoTerms",
+                "authors": ["Washington, George"],
+                "recipients": [],
+                "date_from": "1790-01-01",
+                "indexing": [],
+            }
+        )
+    )
+    docs = read_documents_json(spark, str(docs_dir))
+
+    exp_nodes, exp_edges = _graph_sets(
+        *_fused_graph_from_docs(docs, EchoClassifier())
+    )
+    enriched = stages.uri_stage(stages.classify_stage(docs, EchoClassifier()))
+    got_nodes, got_edges = _graph_sets(*stages.graph_stage(enriched))
+
+    assert got_nodes == exp_nodes
+    assert got_edges == exp_edges
+    assert {lbl for lbl, _, _ in exp_nodes} == {"Document", "Person", "Date"}
+    assert {r for _, _, r in exp_edges} == {"AUTHOR", "DATE_FROM"}
