@@ -13,6 +13,103 @@ check, same two-DataFrame interface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Endpoint labels per relationship type, exactly the labels the
+# reference's Cypher hardcodes at each call site (json_to_db.py:
+# create_relationship callers at :94-116 bind Person/Place/
+# Organization → Document; relate_index_term :54-60 binds
+# (d:Document)-[:HAS_TERM]->(t:Term); date edges :84-92 bind
+# (d:Document)→(:Date)). MIDSUB/SUB (relate_sub_term :63-69) carry a
+# None source: the parent is a Term in the reference-faithful default
+# graph, but under build_document_graph(typed_parent_sub_edges=True)
+# it can be any typed entity, so the writer resolves those source
+# labels from the nodes table instead of guessing.
+REL_ENDPOINT_LABELS: dict[str, tuple[str | None, str]] = {
+    "AUTHOR": ("Person", "Document"),
+    "RECIPIENT": ("Person", "Document"),
+    "LOCATION": ("Place", "Document"),
+    "DATE_FROM": ("Document", "Date"),
+    "DATE_TO": ("Document", "Date"),
+    "HAS_TERM": ("Document", "Term"),
+    "HAS_PERSON": ("Person", "Document"),
+    "HAS_PLACE": ("Place", "Document"),
+    "HAS_ORGANIZATION": ("Organization", "Document"),
+    "MIDSUB": (None, "Term"),
+    "SUB": (None, "Term"),
+}
+
+
+def relationship_groups(
+    nodes: DataFrame, edges: DataFrame
+) -> list[tuple[str, str, str, DataFrame]]:
+    """Split the edge table into label-homogeneous groups
+    (src_label, dst_label, rel_type, edges_subset) — the unit a
+    label-aware bulk writer (Neo4j connector) needs, since its
+    relationship MERGE matches endpoints BY LABEL + key.
+
+    rel_types outside the reference set raise (an edge written with
+    wrong endpoint labels would silently MERGE orphan nodes — the
+    failure mode this function exists to prevent). MIDSUB/SUB source
+    labels are resolved from ``nodes``; a source key mapped to more
+    than one label is ambiguous (e.g. a term text colliding with a
+    doc id) and raises rather than guessing.
+    """
+    present = {
+        r["rel_type"] for r in edges.select("rel_type").distinct().collect()
+    }
+    unknown = present - set(REL_ENDPOINT_LABELS)
+    if unknown:
+        raise ValueError(
+            f"relationship_groups: no endpoint-label mapping for "
+            f"rel_type(s) {sorted(unknown)!r}; extend "
+            f"REL_ENDPOINT_LABELS (labels must match the node writes "
+            f"or the connector MERGEs orphan endpoints)"
+        )
+    groups: list[tuple[str, str, str, DataFrame]] = []
+    for rel in sorted(present):
+        src_l, dst_l = REL_ENDPOINT_LABELS[rel]
+        if src_l is None:
+            continue  # MIDSUB/SUB: resolved below
+        sub = edges.where(F.col("rel_type") == rel)
+        groups.append((src_l, dst_l, rel, sub))
+    sub_edges = edges.where(F.col("rel_type").isin("MIDSUB", "SUB"))
+    if {"MIDSUB", "SUB"} & present:
+        key_labels = nodes.select("key", "label").distinct()
+        resolved = sub_edges.join(
+            key_labels.withColumnRenamed("key", "src").withColumnRenamed(
+                "label", "src_label"
+            ),
+            "src",
+            "left",
+        )
+        amb = (
+            resolved.groupBy("src", "dst", "rel_type")
+            .count()
+            .where(F.col("count") > 1)
+            .head(1)
+        )
+        if amb:
+            r = amb[0]
+            raise ValueError(
+                f"relationship_groups: source key {r['src']!r} of a "
+                f"{r['rel_type']} edge exists under multiple node "
+                f"labels — ambiguous endpoint, refusing to guess"
+            )
+        for row in (
+            resolved.select("src_label", "rel_type").distinct().collect()
+        ):
+            src_l, rel = row["src_label"], row["rel_type"]
+            if src_l is None:
+                raise ValueError(
+                    f"relationship_groups: {rel} edge source not found "
+                    f"in the nodes table"
+                )
+            sub = resolved.where(
+                (F.col("src_label") == src_l) & (F.col("rel_type") == rel)
+            ).drop("src_label")
+            groups.append((src_l, "Term", rel, sub))
+    return groups
 
 
 def write_graph_parquet(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
@@ -95,7 +192,14 @@ def write_graph_neo4j(
 ) -> None:
     """Bulk upsert via the Neo4j Spark Connector (node keys = (label,
     key) — MERGE semantics like json_to_db.py:7-44; relationships
-    keyed on (src, dst, rel_type) like :46-76)."""
+    keyed on (src, dst, rel_type) like :46-76).
+
+    Relationship writes go per (src_label, dst_label, rel_type) group
+    with the ACTUAL endpoint labels (r10 review: the connector MERGEs
+    endpoints by label + key, so the previous hardcoded ':Node'
+    source/target labels would have MERGEd orphan :Node endpoints
+    instead of linking the typed nodes written above — the grouping
+    logic is connector-independent and pinned by tests)."""
     spark = nodes.sparkSession
     try:
         # py4j resolves packages lazily; Class.forName is a real probe
@@ -125,18 +229,20 @@ def write_graph_neo4j(
             .option("node.keys", "key")
             .save()
         )
-    for rel_row in edges.select("rel_type").distinct().collect():  # pragma: no cover
-        rel = rel_row["rel_type"]
+    for src_l, dst_l, rel, sub in relationship_groups(  # pragma: no cover
+        nodes, edges
+    ):
         (
-            edges.where(edges.rel_type == rel)
-            .write.format("org.neo4j.spark.DataSource")
+            sub.write.format("org.neo4j.spark.DataSource")
             .mode("Overwrite")
             .options(**common)
             .option("relationship", rel)
             .option("relationship.save.strategy", "keys")
-            .option("relationship.source.labels", ":Node")
+            .option("relationship.source.labels", f":{src_l}")
             .option("relationship.source.node.keys", "src:key")
-            .option("relationship.target.labels", ":Node")
+            .option("relationship.source.save.mode", "Match")
+            .option("relationship.target.labels", f":{dst_l}")
             .option("relationship.target.node.keys", "dst:key")
+            .option("relationship.target.save.mode", "Match")
             .save()
         )

@@ -93,9 +93,12 @@ def stream_pipeline_to_graph(
     """Continuous (or drain-once) XML→graph ingest.
 
     foreachBatch reuses the exact batch pipeline per micro-batch and
-    appends to the graph parquet tables; MERGE-style idempotency comes
-    from downstream dedup on (label, key) at read/compaction time
-    (Delta MERGE INTO when a transactional table format is available).
+    appends to the graph parquet tables; MERGE-style idempotency —
+    including for a micro-batch retried after a partial write — comes
+    from downstream dedup at read/compaction time, on (label, key)
+    for nodes and (src, dst, rel_type) for edges, the same keys
+    write_graph_parquet dedups on (Delta MERGE INTO when a
+    transactional table format is available).
     """
     docs_stream = read_xml_stream(spark, landing_dir)
 

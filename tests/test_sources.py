@@ -219,3 +219,81 @@ def test_pyds_empty_dir_raises_not_silent_empty(spark, tmp_path):
     )
     got = read_documents_xml_pyds(spark, str(f)).collect()
     assert len(got) == 1 and got[0]["doc_id"] == "d1"
+
+
+def test_relationship_groups_labels(spark):
+    """The Neo4j writer MERGEs relationship endpoints BY LABEL + key
+    (r10 review: hardcoded ':Node' labels would MERGE orphan
+    endpoints), so the grouping must carry the reference's Cypher
+    label pairs and resolve MIDSUB/SUB sources from the nodes table."""
+    from oculus_data_pipeline_spark.sinks.graph_sink import (
+        relationship_groups,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            ("Document", "d1", "Doc One"),
+            ("Person", "r1", "John Jay"),
+            ("Term", "trade", "trade"),
+            ("Term", "fisheries", "fisheries"),
+        ],
+        ["label", "key", "name"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("r1", "d1", "AUTHOR"),
+            ("d1", "trade", "HAS_TERM"),
+            ("trade", "fisheries", "MIDSUB"),
+        ],
+        ["src", "dst", "rel_type"],
+    )
+    groups = relationship_groups(nodes, edges)
+    by_rel = {rel: (s, d, sub) for s, d, rel, sub in groups}
+    assert by_rel["AUTHOR"][:2] == ("Person", "Document")
+    assert by_rel["HAS_TERM"][:2] == ("Document", "Term")
+    # reference-default graph: MIDSUB parent is a Term (resolved, not
+    # assumed — the same edge under a typed parent resolves typed)
+    assert by_rel["MIDSUB"][:2] == ("Term", "Term")
+    # groups partition the edge set exactly
+    got = sorted(
+        tuple(r)
+        for _, _, _, sub in groups
+        for r in sub.select("src", "dst", "rel_type").collect()
+    )
+    assert got == sorted(tuple(r) for r in edges.collect())
+
+
+def test_relationship_groups_typed_parent_and_errors(spark):
+    from oculus_data_pipeline_spark.sinks.graph_sink import (
+        relationship_groups,
+    )
+
+    # typed_parent_sub_edges=True graphs: a SUB edge sourced at a
+    # Person node's uri key resolves to a Person→Term group
+    nodes = spark.createDataFrame(
+        [("Person", "r9", "George Washington"), ("Term", "army", "army")],
+        ["label", "key", "name"],
+    )
+    edges = spark.createDataFrame(
+        [("r9", "army", "SUB")], ["src", "dst", "rel_type"]
+    )
+    groups = relationship_groups(nodes, edges)
+    assert [(s, d, r) for s, d, r, _ in groups] == [("Person", "Term", "SUB")]
+
+    # unknown rel_type: loud error, not orphan-label writes
+    bad = spark.createDataFrame(
+        [("a", "b", "MYSTERY")], ["src", "dst", "rel_type"]
+    )
+    with pytest.raises(ValueError, match="MYSTERY"):
+        relationship_groups(nodes, bad)
+
+    # a sub-edge source key under TWO labels is ambiguous: refuse
+    amb_nodes = spark.createDataFrame(
+        [("Term", "1790", "1790"), ("Date", "1790", "1790")],
+        ["label", "key", "name"],
+    )
+    amb_edges = spark.createDataFrame(
+        [("1790", "army", "MIDSUB")], ["src", "dst", "rel_type"]
+    )
+    with pytest.raises(ValueError, match="multiple node labels"):
+        relationship_groups(amb_nodes, amb_edges)
