@@ -81,7 +81,20 @@ class MockReplayClassifier:
                 )
             ).alias("label"),
         )
-        labels = req_terms.join(resp_labels, "custom_id").select("norm_term", "label")
+        # Two custom_ids can carry the SAME normalized term (the
+        # reference enumerates raw terms; distinct raw spellings can
+        # normalize together). The reference's term_to_label_dict is a
+        # dict comprehension in task order (json_classification.py:
+        # 341-344 over the insertion-ordered input_dict), so the LAST
+        # task wins — reproduced here via max_by on the task index;
+        # without the dedup the broadcast join would fan out every
+        # matching corpus row (r10 review).
+        task_n = F.regexp_extract("custom_id", r"(\d+)$", 1).cast("long")
+        labels = (
+            req_terms.join(resp_labels, "custom_id")
+            .groupBy("norm_term")
+            .agg(F.max_by("label", task_n).alias("label"))
+        )
         return (
             terms.join(F.broadcast(labels), "norm_term", "left")
             .select("norm_term", F.coalesce("label", F.lit("term")).alias("label"))
@@ -338,7 +351,18 @@ def classify_terms(
     Returns the input plus (norm_term, label) — unknown → 'term'.
     """
     with_norm = terms.withColumn("norm_term", normalize_term(term_col))
-    distinct_terms = with_norm.select("norm_term").distinct()
+    # NULL terms never reach the classifier: their label could never
+    # surface anyway (the join-back below is a null-UNSAFE equi-join,
+    # so a NULL row always falls to the 'term' coalesce), and shipping
+    # them costs real money/failures in the expensive stage — a NULL
+    # user-message content in a Batch API request fails the whole
+    # batch job, and on a dirty 100 TB table NULL is often the modal
+    # key (r10 review; same policy as the reference, which never
+    # enumerates None into terms_to_classify — its isinstance(str)
+    # guards at json_classification.py:330-335 skip non-strings).
+    distinct_terms = (
+        with_norm.select("norm_term").where(F.col("norm_term").isNotNull()).distinct()
+    )
     if known_entities is not None:
         known = known_entities.select("norm_term", F.col("label").alias("known_label"))
         to_classify = distinct_terms.join(F.broadcast(known), "norm_term", "left_anti")

@@ -11757,12 +11757,16 @@ _ATTESTATION_PRIORITY = [
     "q84_image_decode",
     "q136_video_decode",
     "q137_frame_sample",
-    # --- 1. displaced r5 fills (3 slots remain; q139/q141 from that
+    # --- 0c. late-r10 classify hardening (NULL terms filtered before
+    # the classifier; q61/q62/q77 share the changed classify_terms
+    # plan and already lead above) ---
+    "q60_classify_terms",
+    # --- 1. displaced r5 fills (2 slots remain; q139/q141 from that
     # list are already in the head above; q142/q146/q149 were bumped
-    # by the late-r10 multimodal re-plans and lead round 11's fills) ---
+    # by the late-r10 multimodal re-plans and q143 by the classify
+    # hardening — all four lead round 11's fills) ---
     "q138_pq_encode",
     "q140_embedding_gram",
-    "q143_snapshot_diff",
     # The 16 code-only re-plans (multimodal zip loops, stringsim
     # multi-block dedup, ivf unpersist, CC reachability) have
     # byte-identical plan hashes and keep their r5-r9 attestations;

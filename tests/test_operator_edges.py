@@ -639,3 +639,75 @@ def test_uri_stage_null_type_gets_uri(spark):
         generate_uri(F.lit("widgets")).alias("u")
     ).collect()[0]["u"]
     assert item["uri"] == expected
+
+
+# --- classify_terms / MockReplayClassifier --------------------------------
+
+
+def test_classify_terms_null_terms_never_reach_the_classifier(spark):
+    """A NULL term's label can never surface (the join-back is a
+    null-unsafe equi-join → 'term' coalesce), but pre-r10 the NULL
+    row still flowed into the classifier — wasted rows at scale, and
+    a NULL user-message content fails a whole OpenAI batch job. The
+    classifier must see only real terms; the NULL row still comes out
+    labeled 'term'."""
+    from oculus_data_pipeline_spark.operators.classify import (
+        EchoClassifier,
+        classify_terms,
+    )
+
+    seen = []
+
+    class Recording:
+        def classify(self, terms):
+            seen.extend(r["norm_term"] for r in terms.collect())
+            return EchoClassifier().classify(terms)
+
+    df = spark.createDataFrame(
+        [("Virginia",), (None,), ("  ",)], "term string"
+    )
+    out = classify_terms(df, Recording())
+    assert None not in seen
+    by_term = {r["term"]: r["label"] for r in out.collect()}
+    assert by_term[None] == "term"  # NULL falls to the default label
+    assert len(by_term) == 3  # no rows dropped, no fan-out
+
+
+def test_mock_replay_duplicate_normalized_terms_last_task_wins(spark, tmp_path):
+    """Two custom_ids whose raw terms NORMALIZE to the same term: the
+    reference's term_to_label_dict is a dict comprehension in task
+    order (json_classification.py:341-344), so the last task wins —
+    and the join-back must not fan out corpus rows (r10 review)."""
+    import json as _json
+
+    from oculus_data_pipeline_spark.operators.classify import (
+        MockReplayClassifier,
+    )
+
+    def task(i, term):
+        return {
+            "custom_id": f"task-{i}",
+            "body": {"messages": [{"role": "system", "content": "x"},
+                                  {"role": "user", "content": term}]},
+        }
+
+    def result(i, label):
+        return {
+            "custom_id": f"task-{i}",
+            "response": {"body": {"choices": [{"message": {
+                "content": _json.dumps({"classification": label})}}]}},
+        }
+
+    # task-2 and task-10 both normalize to 'virginia'; 10 > 2 so the
+    # task-10 label must win (numeric task order, not lexicographic)
+    reqs = tmp_path / "reqs.jsonl"
+    resps = tmp_path / "resps.jsonl"
+    reqs.write_text("\n".join(_json.dumps(t) for t in [
+        task(2, "Virginia"), task(10, "  VIRGINIA  ")]))
+    resps.write_text("\n".join(_json.dumps(r) for r in [
+        result(2, "PLACE"), result(10, "ORGANIZATION")]))
+
+    terms = spark.createDataFrame([("virginia",)], "norm_term string")
+    got = MockReplayClassifier(str(reqs), str(resps)).classify(terms).collect()
+    assert len(got) == 1  # no fan-out
+    assert got[0]["label"] == "organization"
