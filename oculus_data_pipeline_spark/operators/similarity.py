@@ -82,6 +82,14 @@ def brute_force_topk(
             "neighbor_id",
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
+        # NULL/mismatched-length vectors score a NULL cosine: drop them
+        # BEFORE ranking, like every other tier does implicitly (the
+        # pair tiers' threshold filter and the LSH tiers' NULL-bucket
+        # equi-join both exclude NULLs). Without this a NULL QUERY
+        # vector emits k all-NULL rows, and a NULL corpus vector can
+        # enter the top-k of any query with < k real neighbors
+        # (desc-nulls-last still assigns row_numbers) (r10 review).
+        .where(F.col("cos_sim").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -494,6 +502,9 @@ def hard_negative_mining(
         "neighbor_id",
         "neighbor_label",
         F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    ).where(
+        # same NULL-cosine drop as brute_force_topk (r10 review)
+        F.col("cos_sim").isNotNull()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -11757,16 +11757,17 @@ _ATTESTATION_PRIORITY = [
     "q84_image_decode",
     "q136_video_decode",
     "q137_frame_sample",
-    # --- 0c. late-r10 classify hardening (NULL terms filtered before
-    # the classifier; q61/q62/q77 share the changed classify_terms
-    # plan and already lead above) ---
+    # --- 0c. late-r10 classify + similarity hardening (NULL terms
+    # filtered before the classifier — q61/q62/q77 share that changed
+    # plan and already lead above; NULL-cosine rows dropped before
+    # ranking in the broadcast top-k tiers) ---
     "q60_classify_terms",
-    # --- 1. displaced r5 fills (2 slots remain; q139/q141 from that
-    # list are already in the head above; q142/q146/q149 were bumped
-    # by the late-r10 multimodal re-plans and q143 by the classify
-    # hardening — all four lead round 11's fills) ---
-    "q138_pq_encode",
-    "q140_embedding_gram",
+    "q50_cosine_topk",
+    "q154_hard_negatives",
+    # --- 1. displaced r5 fills: NONE fit this round — the 47
+    # changed-path queries fill the window exactly. q138/q140/
+    # q142/q143/q146/q149 (all r5-stale, q139/q141 from the original
+    # list are in the head above) MUST lead round 11's fills. ---
     # The 16 code-only re-plans (multimodal zip loops, stringsim
     # multi-block dedup, ivf unpersist, CC reachability) have
     # byte-identical plan hashes and keep their r5-r9 attestations;

@@ -711,3 +711,47 @@ def test_mock_replay_duplicate_normalized_terms_last_task_wins(spark, tmp_path):
     got = MockReplayClassifier(str(reqs), str(resps)).classify(terms).collect()
     assert len(got) == 1  # no fan-out
     assert got[0]["label"] == "organization"
+
+
+# --- similarity broadcast top-k tiers -------------------------------------
+
+
+def test_brute_force_topk_drops_null_cosine_rows(spark):
+    """A NULL query vector used to emit k all-NULL rows, and a NULL
+    corpus vector could enter the top-k of a query with < k real
+    neighbors (desc-nulls-last still assigns row_numbers). NULL
+    cosines now drop before ranking — consistent with the pair tiers'
+    threshold filter and the LSH tiers' NULL-bucket equi-join."""
+    from oculus_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_mining,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, None),          # NULL corpus vector
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(
+        emb.where(F.col("vec_id").isin(0, 2)), emb, k=5
+    ).collect()
+    # NULL query 2 emits nothing; query 0 ranks only real vectors
+    assert {r["query_id"] for r in out} == {0}
+    assert all(r["cos_sim"] is not None for r in out)
+    assert {r["neighbor_id"] for r in out} == {1, 3}  # never the NULL vec
+
+    lab = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, [0.9, 0.1], "b"),
+            (2, None, "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    hn = hard_negative_mining(lab, n_queries=1, k=5).collect()
+    assert {r["neighbor_id"] for r in hn} == {1}
+    assert all(r["cos_sim"] is not None for r in hn)
