@@ -88,12 +88,22 @@ class MockReplayClassifier:
         # 341-344 over the insertion-ordered input_dict), so the LAST
         # task wins — reproduced here via max_by on the task index;
         # without the dedup the broadcast join would fan out every
-        # matching corpus row (r10 review).
-        task_n = F.regexp_extract("custom_id", r"(\d+)$", 1).cast("long")
+        # matching corpus row (r10 review). Non-reference custom_ids
+        # without a trailing integer yield NULL task_n (regexp_extract
+        # '' → try_cast NULL — plain cast CRASHES under ANSI mode,
+        # Spark 4 default; NULL sorts lowest inside the struct), so
+        # the tie-break falls back to the lexicographically last
+        # custom_id instead of an arbitrary pick (r10 advice).
+        task_n = F.regexp_extract("custom_id", r"(\d+)$", 1).try_cast("long")
         labels = (
             req_terms.join(resp_labels, "custom_id")
             .groupBy("norm_term")
-            .agg(F.max_by("label", task_n).alias("label"))
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(task_n.alias("t"), F.col("custom_id").alias("c")),
+                ).alias("label")
+            )
         )
         return (
             terms.join(F.broadcast(labels), "norm_term", "left")

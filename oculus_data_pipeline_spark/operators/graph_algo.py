@@ -274,5 +274,13 @@ def label_propagation(
             .select(F.col("a").alias("id"), "lbl")
             .localCheckpoint(eager=False)
         )
+    # Unlike connected_components there is NO action inside the loop
+    # (no convergence probe — fixed iteration count), so the lazy
+    # checkpoints have not materialized yet; unpersisting sym now
+    # would make the caller's first action recompute the symmetrized
+    # pair plan once per round WITHOUT the cache (r11 review). One
+    # eager checkpoint materializes the whole chain while sym is
+    # still cached, then the cache can go.
+    labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels.select("id", F.col("lbl").alias("community"))

@@ -1262,7 +1262,15 @@ def ivf_pq_train_objectives(
             e.crossJoin(F.broadcast(_cent_row(cent)))
             .select(F.array_min(_coarse_cands(k_coarse)).d.alias("d"))
             .groupBy()
-            .agg(F.sum("d").alias("sse"))
+            # corpus-wide sum of BIGINT squared distances: per-row d
+            # reaches ~1e10, so a raw long sum overflows around 1e9
+            # rows (r11 review) — accumulate in DECIMAL(38,0), read
+            # out as long (loud ANSI cast if the total ever exceeds it)
+            .agg(
+                F.sum(F.col("d").cast("decimal(38,0)"))
+                .cast("long")
+                .alias("sse")
+            )
             .select(
                 F.lit("coarse").alias("level"),
                 F.lit(-1).cast("long").alias("m"),
@@ -1297,7 +1305,12 @@ def ivf_pq_train_objectives(
                 ).d.alias("d"),
             )
             .groupBy("m")
-            .agg(F.sum("d").alias("sse"))
+            # same DECIMAL(38,0) accumulation as the coarse level
+            .agg(
+                F.sum(F.col("d").cast("decimal(38,0)"))
+                .cast("long")
+                .alias("sse")
+            )
             .select(
                 F.lit("pq").alias("level"),
                 "m",

@@ -48,12 +48,17 @@ def multires_rollup(
     timestamp formatted ``yyyy-MM-dd HH:mm:ss`` (string: stable
     cross-engine, safe to union across resolutions).
 
-    ``resolutions`` must be ordered finest → coarsest and each level
-    must nest into the next (minute ⊂ hour ⊂ day ⊂ week ⊂ month);
-    that nesting is what makes aggregate-of-aggregate exact.
+    ``resolutions`` must be ordered finest → coarsest; each level is
+    re-aggregated from the COARSEST ALREADY-COMPUTED level that nests
+    into it — that nesting is what makes aggregate-of-aggregate exact.
+    Weeks do NOT nest into months (a week can span two months;
+    truncating a week bucket to month would mis-assign its cross-month
+    rows — r11 review), so ``month`` cascades from ``day`` or finer
+    and ``("week", "month")`` with no finer level raises rather than
+    silently mis-bucketing.
     """
     order = [r for r in _UNITS if r in resolutions]
-    if list(resolutions) != order:
+    if not resolutions or list(resolutions) != order:
         raise ValueError(f"resolutions must be ordered finest→coarsest from {_UNITS}")
 
     dims = list(dims)
@@ -87,13 +92,26 @@ def multires_rollup(
             "max_value",
         )
 
+    levels: dict[str, DataFrame] = {finest: level}
     out = emit(level, finest)
     for res in resolutions[1:]:
-        # aggregate-of-aggregate: shuffles only the previous level's
+        # aggregate-of-aggregate: shuffles only the source level's
         # rows (already ~|buckets×dims|, orders of magnitude smaller
-        # than the raw data)
+        # than the raw data). Source = coarsest computed level that
+        # NESTS into res — for "month" that excludes "week".
+        candidates = [
+            u for u in _UNITS[: _UNITS.index(res)]
+            if u in levels and not (res == "month" and u == "week")
+        ]
+        if not candidates:
+            raise ValueError(
+                f"resolution {res!r} has no computed finer level that "
+                f"nests into it (weeks do not nest into months) — "
+                f"include 'day' or finer in resolutions"
+            )
+        src = levels[candidates[-1]]
         level = (
-            level.groupBy(F.date_trunc(res, "bucket").alias("bucket"), *dims)
+            src.groupBy(F.date_trunc(res, "bucket").alias("bucket"), *dims)
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("_tv").alias("_tv"),
@@ -102,5 +120,6 @@ def multires_rollup(
             )
             .persist()
         )
+        levels[res] = level
         out = out.unionByName(emit(level, res))
     return out

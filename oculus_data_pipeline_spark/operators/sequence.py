@@ -39,6 +39,12 @@ def funnel(
     """
     if not steps or steps[0][1] is not None:
         raise ValueError("steps[0] must be (event_type, None)")
+    missing = [i for i, (_, gap) in enumerate(steps[1:], start=1) if gap is None]
+    if missing:  # else: opaque INTERVAL-parse error deep in the plan
+        raise ValueError(
+            f"steps[{missing[0]}] needs a max_gap interval string "
+            f"(only the first step takes None)"
+        )
     first_type = steps[0][0]
     cur = (
         events.where(F.col(type_col) == first_type)

@@ -50,6 +50,11 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:  # silent overwrite would hide a query
+            raise ValueError(
+                f"duplicate @query registration: {name!r} "
+                f"(already bound to {QUERIES[name].__name__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

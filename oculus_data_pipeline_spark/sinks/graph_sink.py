@@ -40,8 +40,39 @@ REL_ENDPOINT_LABELS: dict[str, tuple[str | None, str]] = {
 }
 
 
+def node_write_options(label: str) -> dict[str, str]:
+    """The exact per-label option map write_graph_neo4j hands the
+    Neo4j Spark Connector for a node write (MERGE on (label, key) —
+    json_to_db.py:7-44). Split out so tests can golden-pin the
+    rendered contract even though the connector jar is absent here."""
+    return {"labels": f":{label}", "node.keys": "key"}
+
+
+def relationship_write_options(
+    src_label: str, dst_label: str, rel_type: str
+) -> dict[str, str]:
+    """The exact per-group option map write_graph_neo4j hands the
+    Neo4j Spark Connector for one relationship_groups() group: MERGE
+    the relationship by keys, Match (never create) the typed
+    endpoints written by the node pass (json_to_db.py:46-76). Keys
+    and save modes here ARE the writer contract — golden-pinned by
+    tests so a jar-present environment is plug-in."""
+    return {
+        "relationship": rel_type,
+        "relationship.save.strategy": "keys",
+        "relationship.source.labels": f":{src_label}",
+        "relationship.source.node.keys": "src:key",
+        "relationship.source.save.mode": "Match",
+        "relationship.target.labels": f":{dst_label}",
+        "relationship.target.node.keys": "dst:key",
+        "relationship.target.save.mode": "Match",
+    }
+
+
 def relationship_groups(
-    nodes: DataFrame, edges: DataFrame
+    nodes: DataFrame,
+    edges: DataFrame,
+    persisted: list[DataFrame] | None = None,
 ) -> list[tuple[str, str, str, DataFrame]]:
     """Split the edge table into label-homogeneous groups
     (src_label, dst_label, rel_type, edges_subset) — the unit a
@@ -51,15 +82,29 @@ def relationship_groups(
     rel_types outside the reference set raise (an edge written with
     wrong endpoint labels would silently MERGE orphan nodes — the
     failure mode this function exists to prevent). MIDSUB/SUB source
-    labels are resolved from ``nodes``; a source key mapped to more
+    labels are resolved from ``nodes``; a SOURCE KEY mapped to more
     than one label is ambiguous (e.g. a term text colliding with a
-    doc id) and raises rather than guessing.
+    doc id) and raises rather than guessing — duplicate edge ROWS
+    (legitimate in streaming-append output, which defers dedup to
+    read time) are NOT ambiguity and pass through (r10 advice).
+
+    ``edges`` (and the MIDSUB/SUB label-resolution join, if needed)
+    are persisted for the duration of the write so the discovery
+    aggregations and the per-group scans at write time recompute the
+    edge lineage once, not once per driver action (r10 advice). Pass a
+    list as ``persisted`` to receive the persisted handles; the caller
+    unpersists them after consuming the groups (write_graph_neo4j
+    does). Without it the cache ages out under Spark's LRU.
     """
+    edges = edges.persist()
+    if persisted is not None:
+        persisted.append(edges)
     present = {
         r["rel_type"] for r in edges.select("rel_type").distinct().collect()
     }
     unknown = present - set(REL_ENDPOINT_LABELS)
     if unknown:
+        edges.unpersist()
         raise ValueError(
             f"relationship_groups: no endpoint-label mapping for "
             f"rel_type(s) {sorted(unknown)!r}; extend "
@@ -73,8 +118,8 @@ def relationship_groups(
             continue  # MIDSUB/SUB: resolved below
         sub = edges.where(F.col("rel_type") == rel)
         groups.append((src_l, dst_l, rel, sub))
-    sub_edges = edges.where(F.col("rel_type").isin("MIDSUB", "SUB"))
     if {"MIDSUB", "SUB"} & present:
+        sub_edges = edges.where(F.col("rel_type").isin("MIDSUB", "SUB"))
         key_labels = nodes.select("key", "label").distinct()
         resolved = sub_edges.join(
             key_labels.withColumnRenamed("key", "src").withColumnRenamed(
@@ -82,33 +127,57 @@ def relationship_groups(
             ),
             "src",
             "left",
-        )
-        amb = (
-            resolved.groupBy("src", "dst", "rel_type")
-            .count()
-            .where(F.col("count") > 1)
-            .head(1)
-        )
-        if amb:
-            r = amb[0]
-            raise ValueError(
-                f"relationship_groups: source key {r['src']!r} of a "
-                f"{r['rel_type']} edge exists under multiple node "
-                f"labels — ambiguous endpoint, refusing to guess"
+        ).persist()
+        if persisted is not None:
+            persisted.append(resolved)
+        # One bounded aggregation (≤ one row per rel_type) answers all
+        # three discovery questions: the distinct source labels per
+        # rel_type, whether any single src KEY resolved to >1 label
+        # (ambiguous — collect_set per src, not a raw row count, so
+        # duplicate edge rows don't misreport), and whether any src is
+        # absent from the nodes table (left join → NULL label →
+        # collect_set size 0).
+        summary = (
+            resolved.groupBy("src", "rel_type")
+            .agg(F.collect_set("src_label").alias("labels"))
+            .groupBy("rel_type")
+            .agg(
+                F.array_distinct(
+                    F.flatten(F.collect_set("labels"))
+                ).alias("labels"),
+                F.max(F.size("labels")).alias("max_labels"),
+                F.max_by("src", F.size("labels")).alias("worst_src"),
+                F.min_by("src", F.size("labels")).alias("orphan_src"),
+                F.min(F.size("labels")).alias("min_labels"),
             )
-        for row in (
-            resolved.select("src_label", "rel_type").distinct().collect()
-        ):
-            src_l, rel = row["src_label"], row["rel_type"]
-            if src_l is None:
+            .collect()
+        )
+        for row in summary:
+            if row["max_labels"] > 1:
+                edges.unpersist()
+                resolved.unpersist()
                 raise ValueError(
-                    f"relationship_groups: {rel} edge source not found "
-                    f"in the nodes table"
+                    f"relationship_groups: source key "
+                    f"{row['worst_src']!r} of a {row['rel_type']} edge "
+                    f"exists under multiple node labels — ambiguous "
+                    f"endpoint, refusing to guess"
                 )
-            sub = resolved.where(
-                (F.col("src_label") == src_l) & (F.col("rel_type") == rel)
-            ).drop("src_label")
-            groups.append((src_l, "Term", rel, sub))
+            if row["min_labels"] == 0:
+                edges.unpersist()
+                resolved.unpersist()
+                raise ValueError(
+                    f"relationship_groups: {row['rel_type']} edge "
+                    f"source {row['orphan_src']!r} not found in the "
+                    f"nodes table"
+                )
+        for row in sorted(summary, key=lambda r: r["rel_type"]):
+            rel = row["rel_type"]
+            for src_l in sorted(row["labels"]):
+                sub = resolved.where(
+                    (F.col("src_label") == src_l)
+                    & (F.col("rel_type") == rel)
+                ).drop("src_label")
+                groups.append((src_l, "Term", rel, sub))
     return groups
 
 
@@ -225,24 +294,21 @@ def write_graph_neo4j(
             .write.format("org.neo4j.spark.DataSource")
             .mode("Overwrite")
             .options(**common)
-            .option("labels", f":{label}")
-            .option("node.keys", "key")
+            .options(**node_write_options(label))
             .save()
         )
-    for src_l, dst_l, rel, sub in relationship_groups(  # pragma: no cover
-        nodes, edges
-    ):
-        (
-            sub.write.format("org.neo4j.spark.DataSource")
-            .mode("Overwrite")
-            .options(**common)
-            .option("relationship", rel)
-            .option("relationship.save.strategy", "keys")
-            .option("relationship.source.labels", f":{src_l}")
-            .option("relationship.source.node.keys", "src:key")
-            .option("relationship.source.save.mode", "Match")
-            .option("relationship.target.labels", f":{dst_l}")
-            .option("relationship.target.node.keys", "dst:key")
-            .option("relationship.target.save.mode", "Match")
-            .save()
-        )
+    held: list[DataFrame] = []  # pragma: no cover
+    try:  # pragma: no cover
+        for src_l, dst_l, rel, sub in relationship_groups(
+            nodes, edges, persisted=held
+        ):
+            (
+                sub.write.format("org.neo4j.spark.DataSource")
+                .mode("Overwrite")
+                .options(**common)
+                .options(**relationship_write_options(src_l, dst_l, rel))
+                .save()
+            )
+    finally:  # pragma: no cover
+        for df in held:
+            df.unpersist()

@@ -74,14 +74,25 @@ def zorder_key(cols: list[tuple[Column, float, float]], bits: int = 8) -> Column
     Each column is range-bucketed to ``2**bits`` levels with
     ``width_bucket`` (lo/hi come from a cheap min/max agg or domain
     knowledge — sample-derived bounds are fine, outliers just saturate
-    the edge buckets), then the bucket bits are interleaved
-    column-major so nearby z-values are nearby in every dimension.
-    Pure JVM expressions: bits*len(cols) shift-and-mask terms.
+    the NEAREST edge bucket: below-lo clamps to 0, above-hi to the top
+    bucket. Pre-r11 a below-lo value became bucket −1, whose two's-
+    complement bits are ALL ONES — it z-sorted to the far top corner
+    of every dimension instead of the low edge), then the bucket bits
+    are interleaved column-major so nearby z-values are nearby in
+    every dimension. Pure JVM expressions: bits*len(cols)
+    shift-and-mask terms.
     """
     levels = 1 << bits
     bucketed = [
-        (F.width_bucket(c.cast("double"), F.lit(lo), F.lit(hi), F.lit(levels - 1)) - 1)
-        .cast("long")
+        F.greatest(
+            F.lit(0).cast("long"),
+            (
+                F.width_bucket(
+                    c.cast("double"), F.lit(lo), F.lit(hi), F.lit(levels - 1)
+                )
+                - 1
+            ).cast("long"),
+        )
         for c, lo, hi in cols
     ]
     key = F.lit(0).cast("long")

@@ -180,3 +180,29 @@ def test_zorder_files_are_tight_in_every_dimension(spark, sf_dir, tmp_path):
 
     # and the layout is lossless
     assert spark.read.parquet(zpath).count() == events.count()
+
+
+def test_zorder_key_outliers_clamp_to_nearest_edge(spark):
+    """Sample-derived bounds mean real data can fall OUTSIDE [lo, hi].
+    Below-lo used to become bucket -1 — all-ones in two's complement,
+    z-sorting the row to the far TOP corner of every dimension (r11
+    review). Outliers must clamp to the nearest edge: below-lo sorts
+    before everything in-range, above-hi after."""
+    from oculus_data_pipeline_spark.sinks.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(-50.0, -50.0), (0.0, 0.0), (50.0, 50.0), (100.0, 100.0),
+         (200.0, 200.0)],
+        "x double, y double",
+    )
+    keys = {
+        r["x"]: r["k"]
+        for r in df.select(
+            "x",
+            zorder_key([(F.col("x"), 0.0, 100.0),
+                        (F.col("y"), 0.0, 100.0)]).alias("k"),
+        ).collect()
+    }
+    assert keys[-50.0] == keys[0.0] == 0  # clamped to the low edge
+    assert keys[200.0] == keys[100.0]    # clamped to the top bucket
+    assert keys[0.0] < keys[50.0] < keys[100.0]  # monotone in-range

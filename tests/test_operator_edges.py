@@ -713,6 +713,59 @@ def test_mock_replay_duplicate_normalized_terms_last_task_wins(spark, tmp_path):
     assert got[0]["label"] == "organization"
 
 
+def test_mock_replay_non_numeric_custom_ids_deterministic(spark, tmp_path):
+    """Fixtures whose custom_ids carry NO trailing integer (non-
+    reference format) used to dedup arbitrarily: regexp_extract
+    yields '' → cast NULL, and max_by over all-NULL ordering picks
+    whatever partial arrives last (r10 advice). The fallback orders
+    by custom_id, so the lexicographically last id wins —
+    deterministically, run after run."""
+    import json as _json
+
+    from oculus_data_pipeline_spark.operators.classify import (
+        MockReplayClassifier,
+    )
+
+    def task(cid, term):
+        return {
+            "custom_id": cid,
+            "body": {"messages": [{"role": "system", "content": "x"},
+                                  {"role": "user", "content": term}]},
+        }
+
+    def result(cid, label):
+        return {
+            "custom_id": cid,
+            "response": {"body": {"choices": [{"message": {
+                "content": _json.dumps({"classification": label})}}]}},
+        }
+
+    reqs = tmp_path / "reqs.jsonl"
+    resps = tmp_path / "resps.jsonl"
+    # 'zz-last' > 'aa-first' lexicographically → its label must win;
+    # and a numeric-suffix id must still beat any suffix-less id
+    # regardless of lexicographic order ('task-3' vs 'zzz').
+    reqs.write_text("\n".join(_json.dumps(t) for t in [
+        task("aa-first", "Virginia"), task("zz-last", "VIRGINIA"),
+        task("task-3", "Hamilton"), task("zzz", "HAMILTON")]))
+    resps.write_text("\n".join(_json.dumps(r) for r in [
+        result("aa-first", "PLACE"), result("zz-last", "ORGANIZATION"),
+        result("task-3", "PERSON"), result("zzz", "TERM")]))
+
+    terms = spark.createDataFrame(
+        [("virginia",), ("hamilton",)], "norm_term string"
+    )
+    for _ in range(3):  # deterministic across runs
+        by_term = {
+            r["norm_term"]: r["label"]
+            for r in MockReplayClassifier(str(reqs), str(resps))
+            .classify(terms)
+            .collect()
+        }
+        assert by_term["virginia"] == "organization"  # zz-last wins
+        assert by_term["hamilton"] == "person"  # numeric beats NULL
+
+
 # --- similarity broadcast top-k tiers -------------------------------------
 
 

@@ -309,6 +309,44 @@ def test_multires_rollup_lattice_equals_direct(spark, sf_dir):
         want = sorted(map(tuple, direct.collect()))
         assert got == want, res
 
+
+def test_multires_rollup_month_never_cascades_from_week(spark):
+    """Weeks do NOT nest into months: a week bucket starting Jan 29
+    2024 spans Jan and Feb, so truncating that week's bucket to month
+    would dump its Feb rows into Jan (r11 review). month must cascade
+    from day (exact) and (week, month) alone must raise."""
+    import pytest as _pytest
+
+    from oculus_data_pipeline_spark.operators.rollup import multires_rollup
+
+    ev = spark.createDataFrame(
+        [  # Mon 2024-01-29 week: 3 Jan days + 4 Feb days
+            ("2024-01-29 10:00:00", "e", 1.0),
+            ("2024-01-31 10:00:00", "e", 2.0),
+            ("2024-02-01 10:00:00", "e", 4.0),
+            ("2024-02-04 10:00:00", "e", 8.0),
+        ],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+
+    out = multires_rollup(ev, resolutions=("day", "week", "month"))
+    months = {
+        r["bucket_ts"][:7]: r["total_value"]
+        for r in out.where(F.col("resolution") == "month").collect()
+    }
+    # wrong cascade (month from week) would report Jan=15.0, no Feb
+    assert months == {"2024-01": 3.0, "2024-02": 12.0}
+    weeks = {
+        r["bucket_ts"][:10]: r["n_events"]
+        for r in out.where(F.col("resolution") == "week").collect()
+    }
+    assert weeks == {"2024-01-29": 4}  # week level itself is exact
+
+    with _pytest.raises(ValueError, match="do not nest"):
+        multires_rollup(ev, resolutions=("week", "month"))
+    with _pytest.raises(ValueError, match="finest"):
+        multires_rollup(ev, resolutions=())
+
     # scale contract: exactly ONE aggregation reads raw events; hour
     # and day re-aggregate the persisted minute/hour aggregates
     fresh = multires_rollup(ev, resolutions=("minute", "hour", "day"))

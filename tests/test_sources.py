@@ -297,3 +297,129 @@ def test_relationship_groups_typed_parent_and_errors(spark):
     )
     with pytest.raises(ValueError, match="multiple node labels"):
         relationship_groups(amb_nodes, amb_edges)
+
+
+def test_relationship_groups_duplicate_rows_not_ambiguous(spark):
+    """Duplicate (src,dst,rel_type) edge ROWS — legitimate in
+    streaming-append output, whose contract defers dedup to read
+    time — must NOT be misreported as multi-label ambiguity (r10
+    advice: the old check counted raw rows per edge key). A missing
+    source key, by contrast, is a loud orphan error."""
+    from oculus_data_pipeline_spark.sinks.graph_sink import (
+        relationship_groups,
+    )
+
+    nodes = spark.createDataFrame(
+        [("Term", "trade", "trade"), ("Term", "fish", "fish")],
+        ["label", "key", "name"],
+    )
+    dup_edges = spark.createDataFrame(
+        [("trade", "fish", "MIDSUB")] * 3,  # same edge appended thrice
+        ["src", "dst", "rel_type"],
+    )
+    groups = relationship_groups(nodes, dup_edges)
+    assert [(s, d, r) for s, d, r, _ in groups] == [("Term", "Term", "MIDSUB")]
+    # all three rows survive (dedup is the writer/reader's call)
+    assert groups[0][3].count() == 3
+
+    orphan = spark.createDataFrame(
+        [("ghost", "fish", "SUB")], ["src", "dst", "rel_type"]
+    )
+    with pytest.raises(ValueError, match="not found in the nodes table"):
+        relationship_groups(nodes, orphan)
+
+
+def test_neo4j_write_options_golden(spark):
+    """Golden-pin the EXACT option maps write_graph_neo4j hands the
+    Neo4j Spark Connector (r10 verdict item 4): the connector jar is
+    absent in this image, so the rendered contract — labels, keys,
+    save strategy/modes per relationship group — is what a
+    jar-present round plugs in against. Rendered over a graph that
+    exercises every group shape (typed endpoints + resolved SUB)."""
+    from oculus_data_pipeline_spark.sinks.graph_sink import (
+        node_write_options,
+        relationship_groups,
+        relationship_write_options,
+    )
+
+    assert node_write_options("Person") == {
+        "labels": ":Person",
+        "node.keys": "key",
+    }
+
+    nodes = spark.createDataFrame(
+        [
+            ("Document", "d1", "Doc One"),
+            ("Person", "r1", "John Jay"),
+            ("Place", "p1", "Paris"),
+            ("Date", "1790-01-01", "1790-01-01"),
+            ("Term", "trade", "trade"),
+            ("Term", "fish", "fish"),
+        ],
+        ["label", "key", "name"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("r1", "d1", "AUTHOR"),
+            ("r1", "d1", "RECIPIENT"),
+            ("p1", "d1", "LOCATION"),
+            ("d1", "1790-01-01", "DATE_FROM"),
+            ("d1", "1790-01-01", "DATE_TO"),
+            ("d1", "trade", "HAS_TERM"),
+            ("trade", "fish", "MIDSUB"),
+            ("trade", "fish", "SUB"),
+        ],
+        ["src", "dst", "rel_type"],
+    )
+    rendered = {
+        rel: relationship_write_options(s, d, rel)
+        for s, d, rel, _ in relationship_groups(nodes, edges)
+    }
+    golden = {
+        "AUTHOR": ("Person", "Document"),
+        "RECIPIENT": ("Person", "Document"),
+        "LOCATION": ("Place", "Document"),
+        "DATE_FROM": ("Document", "Date"),
+        "DATE_TO": ("Document", "Date"),
+        "HAS_TERM": ("Document", "Term"),
+        "MIDSUB": ("Term", "Term"),
+        "SUB": ("Term", "Term"),
+    }
+    assert set(rendered) == set(golden)
+    for rel, (src_l, dst_l) in golden.items():
+        assert rendered[rel] == {
+            "relationship": rel,
+            "relationship.save.strategy": "keys",
+            "relationship.source.labels": f":{src_l}",
+            "relationship.source.node.keys": "src:key",
+            "relationship.source.save.mode": "Match",
+            "relationship.target.labels": f":{dst_l}",
+            "relationship.target.node.keys": "dst:key",
+            "relationship.target.save.mode": "Match",
+        }, rel
+
+
+def test_relationship_groups_persisted_handles(spark):
+    """persisted=[] receives the cached frames (edges + the SUB
+    resolution join) so the writer can unpersist after the write —
+    the discovery aggregations and per-group scans must not recompute
+    the edge lineage once per action (r10 advice)."""
+    from oculus_data_pipeline_spark.sinks.graph_sink import (
+        relationship_groups,
+    )
+
+    nodes = spark.createDataFrame(
+        [("Term", "a", "a"), ("Term", "b", "b"), ("Document", "d", "d")],
+        ["label", "key", "name"],
+    )
+    edges = spark.createDataFrame(
+        [("d", "a", "HAS_TERM"), ("a", "b", "SUB")],
+        ["src", "dst", "rel_type"],
+    )
+    held = []
+    groups = relationship_groups(nodes, edges, persisted=held)
+    assert len(held) == 2  # edges + resolved sub-join
+    assert all(df.storageLevel.useMemory for df in held)
+    assert len(groups) == 2
+    for df in held:
+        df.unpersist()
