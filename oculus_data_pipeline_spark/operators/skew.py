@@ -27,7 +27,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small ON on`` with the big side salted ``salt``
     ways. ``small`` is replicated ×salt (keep it the genuinely smaller
-    side). Supported how: inner, left."""
+    side). Supported how: inner, left.
+
+    Limitation (r11 review, by design): the shard is a hash of the
+    whole row, so BYTE-IDENTICAL duplicate rows share a shard and do
+    not spread — dedup such rows upstream (exact_dedup) or aggregate
+    them to (row, count) first; any nondeterministic salt would break
+    replay/retry determinism, which this repo ranks above spreading a
+    pathological duplicate flood."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     # deterministic shard: hash of the whole row spread over [0, salt)

@@ -221,3 +221,32 @@ def test_snapshot_matches_tree():
         "snapshot is stale vs the tree — regenerate with "
         f"tools_plan_fingerprints.py --round <N>: {proc.stdout[-2000:]}"
     )
+
+
+def test_query_registry_has_no_duplicate_registrations():
+    """@query silently overwrites on a duplicate name (the decorator
+    stays byte-identical to keep 220 code-trace hashes stable — a
+    runtime guard inside it would flag every query as replanned), so
+    the no-duplicates invariant is pinned statically: every @query
+    call site's name literal must be unique, and each must have
+    reached the registry."""
+    import ast
+
+    import oculus_data_pipeline_spark.queries as qmod
+    from oculus_data_pipeline_spark.queries import ORACLE, QUERIES
+
+    tree = ast.parse(open(qmod.__file__).read())
+    names = [
+        dec.args[0].value
+        for node in ast.walk(tree)
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        for dec in node.decorator_list
+        if isinstance(dec, ast.Call)
+        and getattr(dec.func, "id", "") == "query"
+        and dec.args
+        and isinstance(dec.args[0], ast.Constant)
+    ]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate @query registrations: {dupes}"
+    assert len(names) == len(QUERIES)  # every call site reached the dict
+    assert set(ORACLE) <= set(QUERIES)
