@@ -106,10 +106,19 @@ def main() -> None:
         per_query: dict[str, list[float]] = {}
         totals: list[tuple[float, float]] = []
         for p in range(args.pairs):
+            # alternate run order per pair (A/B, B/A, A/B, ...): load
+            # drifting DURING a pair flatters whichever tree runs
+            # second, so a fixed order turns monotone drift into a
+            # systematic tree bias — alternation cancels it across
+            # pairs (observed in this tool's first deployment: totals
+            # rose 173→203 s across 3 pairs and the fixed A-first
+            # order pushed every later ratio up)
+            first_a = p % 2 == 0
             time.sleep(args.settle)
-            ra = _run_bench(wt_a, args.sf_dir)
+            r1 = _run_bench(wt_a if first_a else wt_b, args.sf_dir)
             time.sleep(args.settle)
-            rb = _run_bench(wt_b, args.sf_dir)
+            r2 = _run_bench(wt_b if first_a else wt_a, args.sf_dir)
+            ra, rb = (r1, r2) if first_a else (r2, r1)
             totals.append((ra["value"], rb["value"]))
             pair_ratios.append(ra["value"] / rb["value"])
             for q in set(ra["queries"]) & set(rb["queries"]):
