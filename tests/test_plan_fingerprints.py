@@ -250,3 +250,25 @@ def test_query_registry_has_no_duplicate_registrations():
     assert not dupes, f"duplicate @query registrations: {dupes}"
     assert len(names) == len(QUERIES)  # every call site reached the dict
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_bench_ab_summary_math_and_conservative_verdict():
+    """tools_bench_ab is the sanctioned same-box perf-comparison
+    protocol (r10 verdict item 2): pin its median/noise arithmetic
+    and that a verdict is only rendered when the WHOLE noise band
+    clears 1.0 — one contaminated pair must never flip 'within
+    noise' into a win/loss."""
+    from tools_bench_ab import summarize
+
+    s = summarize([1.1571, 1.0381, 0.9605, 0.6615], {"q": [1.0, 1.2]})
+    assert s["median_total_ratio"] == 0.9993
+    assert s["spread"] == [0.6615, 1.1571]
+    assert s["noise_bound"] == 0.3378
+    assert s["verdict"] == "within noise"
+    assert s["per_query_median_ratio"] == 1.1
+
+    # clear wins require median ± noise entirely past 1.0
+    assert summarize([0.80, 0.82, 0.85], {})["verdict"] == "A faster"
+    assert summarize([1.20, 1.22, 1.25], {})["verdict"] == "B faster"
+    # a single outlier pair widens the band back to inconclusive
+    assert summarize([0.80, 0.82, 1.05], {})["verdict"] == "within noise"

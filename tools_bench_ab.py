@@ -76,6 +76,38 @@ def _drop_worktree(repo: str, path: str) -> None:
     )
 
 
+def summarize(
+    pair_ratios: list[float], per_query: dict[str, list[float]]
+) -> dict:
+    """Ratio statistics + the conservative verdict: a tree is only
+    called faster/slower when the WHOLE noise band (median ± max
+    deviation) clears 1.0 — a median alone can sit 10% off 1.0 purely
+    from one contaminated pair on this box."""
+    med = statistics.median(pair_ratios)
+    noise = max(abs(r - med) for r in pair_ratios)
+    pq_med = (
+        statistics.median(
+            statistics.median(v) for v in per_query.values()
+        )
+        if per_query
+        else float("nan")
+    )
+    if med + noise < 1.0:
+        verdict = "A faster"
+    elif med - noise > 1.0:
+        verdict = "B faster"
+    else:
+        verdict = "within noise"
+    return {
+        "pair_total_ratios": [round(r, 4) for r in pair_ratios],
+        "median_total_ratio": round(med, 4),
+        "spread": [round(min(pair_ratios), 4), round(max(pair_ratios), 4)],
+        "per_query_median_ratio": round(pq_med, 4),
+        "noise_bound": round(noise, 4),
+        "verdict": verdict,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tree-a", default="HEAD")
@@ -131,37 +163,15 @@ def main() -> None:
                 f"B={rb['value']:.1f}s ratio={pair_ratios[-1]:.3f}",
                 file=sys.stderr,
             )
-        med = statistics.median(pair_ratios)
-        noise = max(abs(r - med) for r in pair_ratios)
-        pq_med = statistics.median(
-            statistics.median(v) for v in per_query.values()
+        summary = summarize(pair_ratios, per_query)
+        summary.update(
+            tree_a=args.tree_a,
+            tree_b=args.tree_b,
+            sf_dir=args.sf_dir,
+            pairs=args.pairs,
+            totals=totals,
         )
-        if med + noise < 1.0:
-            verdict = "A faster"
-        elif med - noise > 1.0:
-            verdict = "B faster"
-        else:
-            verdict = "within noise"
-        print(
-            json.dumps(
-                {
-                    "tree_a": args.tree_a,
-                    "tree_b": args.tree_b,
-                    "sf_dir": args.sf_dir,
-                    "pairs": args.pairs,
-                    "totals": totals,
-                    "pair_total_ratios": [round(r, 4) for r in pair_ratios],
-                    "median_total_ratio": round(med, 4),
-                    "spread": [
-                        round(min(pair_ratios), 4),
-                        round(max(pair_ratios), 4),
-                    ],
-                    "per_query_median_ratio": round(pq_med, 4),
-                    "noise_bound": round(noise, 4),
-                    "verdict": verdict,
-                }
-            )
-        )
+        print(json.dumps(summary))
     finally:
         _drop_worktree(args.repo, wt_a)
         _drop_worktree(args.repo, wt_b)
