@@ -29,6 +29,62 @@ SMALL_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fact tables fanned out after the scan (deterministic hash key per
+# table — guide §2.5: hash-repartitioning on a rand()-derived key can
+# duplicate/lose rows under fetch-failure retries, so the key is
+# always a stable column of the row). SMALL_DIMS stay as-is: they are
+# broadcast everywhere and a shuffle would only add an exchange.
+FANOUT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Fan out only tables big enough that single-digit-µs-per-row work is
+# visible but small enough that the WHOLE table is less than one
+# normal 128 MB split per core — above that, split planning already
+# yields >= one task per core and the extra exchange is pure cost.
+_FANOUT_MIN_BYTES = 256 * 1024
+_FANOUT_SPLIT_BYTES = 128 * 1024 * 1024
+# Target bytes per task below the cap: small inputs get just enough
+# tasks to spread the per-row work, not #cores empty slivers.
+_FANOUT_TASK_BYTES = 32 * 1024
+
+
+def _fanout(spark: SparkSession, df: DataFrame, name: str, path: str) -> DataFrame:
+    """Re-spread a single-file scan across the cluster.
+
+    The driver's testdata parquet is written as ONE row group per
+    table, so Spark's split planning (`maxPartitionBytes` /
+    `openCostInBytes`) cannot parallelize the scan no matter how it is
+    configured — every per-row expression (hashing, tokenizing,
+    vector folds) runs on one core (measured: q145's row encoding was
+    1.7 s single-task vs 0.1 s spread; guide §2.5 "one huge
+    unsplittable file → repartition immediately after the read").
+    Scale-adaptive: a table bigger than one normal split per core is
+    left alone — at that size normal split planning parallelizes the
+    scan and a full-payload shuffle would be the exact anti-pattern
+    §2.3 warns about. The repartition key is a stable id column, so
+    the exchange is deterministic under task retry (§2.5), and the
+    optimizer still prunes columns/pushes filters through the
+    RepartitionByExpression into the scan.
+    """
+    if name not in FANOUT_KEYS:
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df  # multi-file/dir layout: split planning handles it
+    par = spark.sparkContext.defaultParallelism
+    if size < _FANOUT_MIN_BYTES or size >= par * _FANOUT_SPLIT_BYTES:
+        return df
+    from pyspark.sql import functions as F
+
+    n = int(min(par, max(2, size // _FANOUT_TASK_BYTES)))
+    return df.repartition(n, F.col(FANOUT_KEYS[name]))
+
 
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Cast TIMESTAMP_NTZ columns to session-time TIMESTAMP (session tz is
@@ -48,6 +104,19 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
+# Analyzed-plan handles keyed by (application, file identity): a
+# DataFrame is an immutable lazy plan, so handing the same handle back
+# avoids re-listing the file and re-reading the parquet footer on
+# every query construction (~0.1 s per call on this box, paid inside
+# the driver — guide §5: the driver should do almost no data work;
+# §6: repeated listings of the same inputs are pure planning waste).
+# This caches NO rows and NO results — every action on the handle
+# still scans the parquet from disk; the file's (mtime, size) is part
+# of the key so a rewritten fixture is re-read, and the applicationId
+# guards against handles outliving their SparkContext.
+_HANDLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -56,6 +125,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session (e.g. the external driver's) may not be. Runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        cache_key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        cache_key = None
+    if cache_key is not None and cache_key in _HANDLE_CACHE:
+        return _HANDLE_CACHE[cache_key]
+    df = _load_table_uncached(spark, sf_dir, name, path)
+    if cache_key is not None:
+        _HANDLE_CACHE[cache_key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str, path: str
+) -> DataFrame:
     if name == "events":
         # events.ts has been parquet TIMESTAMP(NANOS) in some driver
         # generations, which Spark's reader rejects. Read nanos as long,
@@ -67,8 +157,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _normalize_timestamps(df)
-    return _normalize_timestamps(spark.read.parquet(path))
+        return _fanout(spark, _normalize_timestamps(df), name, path)
+    return _fanout(spark, _normalize_timestamps(spark.read.parquet(path)), name, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
