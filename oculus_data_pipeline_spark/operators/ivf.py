@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms, l2_norm
 
 
 def _normalized(m: np.ndarray) -> np.ndarray:
@@ -169,8 +169,13 @@ def ivf_kmeans_ann(
         k_centroids = max(2, int(math.isqrt(n)))
     cents = train_kmeans(c, k_centroids, n_iters=n_iters, dim=dim)
 
+    # L2 norm once per corpus row (cosine_from_norms below is
+    # bit-identical to inlining both norms in the re-rank's cosine)
     lists = _assign(c, "v", cents, "cluster").select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster"
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        l2_norm(F.col("v")).alias("cnrm"),
+        "cluster",
     )
 
     # per-query probe set: n_probes nearest centroids, via the same
@@ -205,12 +210,19 @@ def ivf_kmeans_ann(
     )
 
     scored = (
-        lists.join(F.broadcast(probed), "cluster")
+        lists.join(
+            F.broadcast(probed.withColumn("qnrm", l2_norm(F.col("qv")))), "cluster"
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -26,13 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     # float32 → float64 once, up front: products/sums then match the
     # DuckDB oracle bit-for-bit (both engines do IEEE double ops).
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def _with_norm(df: DataFrame, vec_col: str, norm_col: str) -> DataFrame:
+    # L2 norm once per ROW, so the pair-verify stages below compute
+    # only the dot fold per CANDIDATE (cosine_from_norms — bit-exact
+    # vs inlining the norms, ~2x on the verify stage at sf0.1).
+    return df.withColumn(norm_col, l2_norm(F.col(vec_col)))
 
 
 def cosine_pairs(
@@ -42,14 +49,25 @@ def cosine_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity ≥ threshold."""
-    e = _as_double(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
+    e = _with_norm(
+        _as_double(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+        ),
+        "v",
+        "nrm",
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -69,18 +87,37 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
-    q = _as_double(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv"
+    q = _with_norm(
+        _as_double(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ),
+            "qv",
+        ),
+        "qv",
+        "qnrm",
     )
-    c = _as_double(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv"
+    c = _with_norm(
+        _as_double(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "cv",
+        ),
+        "cv",
+        "cnrm",
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         # NULL/mismatched-length vectors score a NULL cosine: drop them
         # BEFORE ranking, like every other tier does implicitly (the
@@ -276,15 +313,23 @@ def lsh_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    en = _with_norm(e, "v", "nrm")
+    ea = en.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = en.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -320,15 +365,24 @@ def lsh_ann_topk(
     )
     if n_planes is None:
         n_planes = auto_planes(c.count(), target_bucket_size, p_max)
-    q = q.withColumn("bucket", lsh_bucket_expr("qv", dim, n_planes))
-    c = c.withColumn("bucket", lsh_bucket_expr("cv", dim, n_planes))
+    q = _with_norm(
+        q.withColumn("bucket", lsh_bucket_expr("qv", dim, n_planes)), "qv", "qnrm"
+    )
+    c = _with_norm(
+        c.withColumn("bucket", lsh_bucket_expr("cv", dim, n_planes)), "cv", "cnrm"
+    )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -395,11 +449,23 @@ def lsh_bipartite_matches(
         .select("corpus_id", "bench_id")
         .distinct()
     )
-    cv = _as_double(
-        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")), "cv"
+    cv = _with_norm(
+        _as_double(
+            corpus.select(
+                F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+            ),
+            "cv",
+        ),
+        "cv",
+        "cnrm",
     )
-    bv = _as_double(
-        bench.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv")), "bv"
+    bv = _with_norm(
+        _as_double(
+            bench.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv")),
+            "bv",
+        ),
+        "bv",
+        "bnrm",
     )
     return (
         cand.join(cv, "corpus_id")
@@ -407,7 +473,12 @@ def lsh_bipartite_matches(
         .select(
             "corpus_id",
             "bench_id",
-            F.round(cosine_similarity(F.col("cv"), F.col("bv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("cv"), F.col("bv"), F.col("cnrm"), F.col("bnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -476,21 +547,29 @@ def hard_negative_mining(
     scan."""
     from pyspark.sql import Window as W
 
-    q = _as_double(
-        emb.where(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("query_id"),
-            F.col(label_col).alias("query_label"),
-            F.col(vec_col).alias("qv"),
+    q = _with_norm(
+        _as_double(
+            emb.where(F.col(id_col) < n_queries).select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+                F.col(vec_col).alias("qv"),
+            ),
+            "qv",
         ),
         "qv",
+        "qnrm",
     )
-    c = _as_double(
-        emb.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("neighbor_label"),
-            F.col(vec_col).alias("cv"),
+    c = _with_norm(
+        _as_double(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("neighbor_label"),
+                F.col(vec_col).alias("cv"),
+            ),
+            "cv",
         ),
         "cv",
+        "cnrm",
     )
     scored = c.join(
         F.broadcast(q),
@@ -501,7 +580,10 @@ def hard_negative_mining(
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_from_norms(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")),
+            6,
+        ).alias("cos_sim"),
     ).where(
         # same NULL-cosine drop as brute_force_topk (r10 review)
         F.col("cos_sim").isNotNull()

@@ -1823,7 +1823,7 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    from .functions.vectors import cosine_similarity
+    from .functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
 
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1835,8 +1835,14 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = W.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
     best = probe.withColumn("rn", F.row_number().over(w_probe)).where(
         F.col("rn") == 1
-    ).select("query_id", "qv", F.col("label").alias("probe_label"))
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv"))
+    ).select(
+        "query_id", "qv", l2_norm("qv").alias("qnrm"),
+        F.col("label").alias("probe_label"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"), "label",
+        F.col("v").alias("cv"), l2_norm("v").alias("cnrm"),
+    )
     scored = (
         cand.join(
             F.broadcast(best),
@@ -1846,7 +1852,12 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -5108,17 +5119,18 @@ def q135_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full cross-engine value check here.  Iterative convergence
     stays pinned bit-exactly against the NumPy replica in
     tests/test_ivf_kmeans.py."""
-    from .functions.vectors import cosine_similarity
+    from .functions.vectors import cosine_from_norms, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("vnrm", l2_norm("v"))
     cent = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("vnrm").alias("cnrm"),
     )
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "sim", cosine_similarity(F.col("v"), F.col("cv"))
+        "sim", cosine_from_norms(F.col("v"), F.col("cv"), F.col("vnrm"), F.col("cnrm"))
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -8933,7 +8945,13 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .localCheckpoint(eager=False)
     )
+    from .functions.vectors import cosine_from_norms, l2_norm
+
     e = _as_double(emb.select("vec_id", "label", "embedding"), "embedding")
+    # L2 norms once per corpus row / per anchor — the mining join below
+    # scores |corpus| x |anchors| candidates, and cosine_from_norms is
+    # bit-identical to inlining the norms (see functions/vectors.py)
+    e = e.withColumn("enrm", l2_norm("embedding"))
     anch = (
         pairs.select("id_a")
         .distinct()
@@ -8942,6 +8960,7 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             F.col("label").alias("a_label"),
             F.col("embedding").alias("av"),
+            F.col("enrm").alias("anrm"),
         )
     )
     scored = e.join(
@@ -8950,9 +8969,12 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id_a",
         F.col("vec_id").alias("neg_id"),
-        F.round(cosine_similarity(F.col("av"), F.col("embedding")), 6).alias(
-            "neg_cos"
-        ),
+        F.round(
+            cosine_from_norms(
+                F.col("av"), F.col("embedding"), F.col("anrm"), F.col("enrm")
+            ),
+            6,
+        ).alias("neg_cos"),
     )
     wn = W.partitionBy("id_a").orderBy(F.desc("neg_cos"), F.asc("neg_id"))
     neg = (
@@ -9761,9 +9783,14 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # policy (similarity.auto_planes); the oracle SQL recomputes the
     # identical integer formula from its own COUNT(*)
     n_planes = auto_planes(e.count(), 32, 16)
-    b = e.withColumn("bucket", lsh_bucket_expr("embedding", EMB_DIM, n_planes))
-    from .functions.vectors import cosine_similarity
+    from .functions.vectors import cosine_from_norms, l2_norm
 
+    # bucket AND L2 norm once per row; the bucket self-join scores
+    # ~bucket_size candidates per vector, so per-pair folds shrink to
+    # the dot product alone (cosine_from_norms — bit-identical)
+    b = e.withColumn(
+        "bucket", lsh_bucket_expr("embedding", EMB_DIM, n_planes)
+    ).withColumn("enrm", l2_norm("embedding"))
     scored = (
         b.alias("a")
         .join(
@@ -9776,7 +9803,12 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.vec_id").alias("qb"),
             F.round(
                 F.round(
-                    cosine_similarity(F.col("a.embedding"), F.col("c.embedding")),
+                    cosine_from_norms(
+                        F.col("a.embedding"),
+                        F.col("c.embedding"),
+                        F.col("a.enrm"),
+                        F.col("c.enrm"),
+                    ),
                     6,
                 )
                 * 1000000,
