@@ -684,24 +684,22 @@ def pq_train_report(
         F.slice(F.col("v"), (F.col("m") * sub + 1).cast("int"), sub),
         lambda x: F.round(x * scale).cast("long"),
     )
-    means = (
-        codes0.select("m", "code", F.posexplode(qslice).alias("t", "xq"))
-        .groupBy("m", "code", "t")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
-        )
-        .select(
-            "m",
-            "code",
-            "t",
-            (F.col("sq").cast("double") / F.col("cnt") / F.lit(float(scale))).alias(
-                "mu"
-            ),
-        )
+    # ONE aggregation keyed (m, code) with sub+1 cells — count + per-
+    # position exact decimal sums — replacing the posexplode →
+    # groupBy(m, code, t) → join-on-(m,code,t) → collect_list
+    # re-assembly (guide §2.3/§2.4: 3 shuffles and a sub-fold row
+    # blowup collapse into 1 bounded shuffle). Values are identical:
+    # same decimal sums (order-independent), same per-position
+    # double division, same init fallback on empty (m, code) cells.
+    sums = codes0.select("m", "code", qslice.alias("qs")).groupBy("m", "code").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.element_at("qs", t + 1).cast("decimal(38,0)")).alias(f"s{t}")
+            for t in range(sub)
+        ],
     )
     # trained codebook: (m, cid, cvec) with init fallback for empty cells
-    init_cells = (
+    init_cb = (
         _codebook_row(e, k)
         .select(F.posexplode("cvs").alias("c0", "cv"))
         .select(
@@ -712,25 +710,24 @@ def pq_train_report(
         .select(
             F.col("m").cast("long").alias("m"),
             "code",
-            F.posexplode(
-                F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub)
-            ).alias("t", "init_mu"),
+            F.slice(
+                F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub
+            ).alias("icvec"),
         )
     )
-    cb1 = (
-        init_cells.join(means, ["m", "code", "t"], "left")
-        .select(
-            "m",
-            "code",
-            "t",
-            F.coalesce("mu", "init_mu").alias("mu"),
-        )
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "mu"))), lambda s: s.mu
-            ).alias("cvec")
-        )
+    mu_t = [
+        F.col(f"s{t}").cast("double") / F.col("cnt") / F.lit(float(scale))
+        for t in range(sub)
+    ]
+    cb1 = init_cb.join(F.broadcast(sums), ["m", "code"], "left").select(
+        "m",
+        "code",
+        F.array(
+            *[
+                F.coalesce(mu_t[t], F.element_at("icvec", t + 1))
+                for t in range(sub)
+            ]
+        ).alias("cvec"),
     )
     # re-score: broadcast the M·k trained rows, fold per candidate,
     # argmin via (id, m)-keyed min over (d, cid) structs
@@ -882,13 +879,14 @@ def _pq_cands(rvec, midx, k: int):
     training, encoding, and the attested objective (``rvec``/``midx``
     accept columns or lambda variables, so all three call shapes
     produce the identical expression tree)."""
+    book = F.col("mm")
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.struct(
             _int_sqdist(
                 rvec,
                 F.element_at(
-                    F.element_at(F.col("mm"), (midx + 1).cast("int")),
+                    F.element_at(book, (midx + 1).cast("int")),
                     (j + 1).cast("int"),
                 ),
             ).alias("d"),
@@ -897,23 +895,17 @@ def _pq_cands(rvec, midx, k: int):
     )
 
 
-def _floor_mean_expr(off: int) -> str:
-    """The shared centroid-update formula over aliased ``sq``
-    (DECIMAL(38,0) sum) and ``cnt`` columns — floor(Σ/cnt) computed as
-    a truncating division on a shifted non-negative numerator."""
-    return f"CAST((sq + cnt * {off}) div cnt - {off} AS BIGINT)"
-
-
 def _coarse_cands(k_coarse: int):
     """array<struct(d BIGINT, cid)> of distances from this row's ``xs``
-    to every coarse centroid in the broadcast ``ccs`` array — argmin
-    via array_min with (d, cid) tie-break, exactly the oracle's
+    to every coarse centroid in the one-row ``ccs`` array — argmin via
+    array_min with (d, cid) tie-break, exactly the oracle's
     ROW_NUMBER(ORDER BY d, c0)."""
+    book = F.col("ccs")
     return F.transform(
         F.sequence(F.lit(0), F.lit(k_coarse - 1)),
         lambda c: F.struct(
             _int_sqdist(
-                F.col("xs"), F.element_at(F.col("ccs"), (c + 1).cast("int"))
+                F.col("xs"), F.element_at(book, (c + 1).cast("int"))
             ).alias("d"),
             c.cast("long").alias("cid"),
         ),
@@ -951,48 +943,276 @@ def _cb_row(cb: DataFrame) -> DataFrame:
     )
 
 
-def train_coarse_quantizer(
-    e: DataFrame, k_coarse: int, n_steps: int, off: int = TRAIN_OFFSET
-) -> list[DataFrame]:
-    """Lloyd-train the coarse quantizer on integer-grid vectors
-    ``e(id, xs)``; returns the centroid table (c0, cvec) AFTER each
-    step, index 0 = the lowest-id init. Each step: one corpus scan
-    (broadcast argmin + ≤ k_coarse·dim-row mean aggregate); empty
-    clusters keep their previous position (COALESCE)."""
-    cents = [
+def _div_trunc(num: int, den: int) -> int:
+    """Spark ``div`` in Python: integral division truncating toward
+    zero (Python ``//`` floors, which differs on negative numerators —
+    the shifted numerator below is non-negative on every corpus the
+    grid-offset test pins, but truncation is replicated exactly
+    anyway, so the two update paths cannot diverge on any input)."""
+    q = abs(num) // den
+    return q if num >= 0 else -q
+
+
+def _ccs_local(spark, cent):
+    """:func:`_cent_row`'s ONE broadcastable row — ccs[c+1] = the c-th
+    smallest label's centroid — built directly as a single-row LOCAL
+    relation from the collected centroid list [(c0, cvec), ...].
+    Identical column, name and indexing to the aggregate form, but the
+    broadcast collects from a LocalTableScan on the driver: no job, no
+    upstream re-execution (the codebook is k·dim ints, the bounded-
+    driver-pull convention of ivf.py's train_kmeans). Embedding the
+    codebook as an in-expression literal instead was measured WORSE:
+    the argmin duplicates the book sub-tree per candidate, and a
+    k·dim literal tree per candidate made analysis + GC dominate."""
+    ccs = [[int(x) for x in v] for _, v in sorted(cent, key=lambda e: e[0])]
+    return spark.createDataFrame([(ccs,)], "ccs array<array<bigint>>")
+
+
+def _mm_local(spark, cb):
+    """:func:`_cb_row`'s ONE broadcastable row — mm[m+1][code+1] — as a
+    single-row LOCAL relation from the collected codebook list
+    [(m, code, cvec), ...], sorted exactly like the
+    collect_list/array_sort path (by m, then code)."""
+    ms = sorted({m for m, _, _ in cb})
+    mm = [
+        [
+            [int(x) for x in v]
+            for _, _, v in sorted(
+                (e for e in cb if e[0] == m), key=lambda e: e[1]
+            )
+        ]
+        for m in ms
+    ]
+    return spark.createDataFrame([(mm,)], "mm array<array<array<bigint>>>")
+
+
+def _coarse_partials(e: DataFrame, cents, dim: int):
+    """Per-partition Lloyd partials for the coarse step as ONE Arrow
+    stage: each batch does a vectorized int64 argmin against the
+    driver-shipped codebook (ties -> lowest cid, matching
+    array_min's (d, cid) struct order) and accumulates per-cluster
+    counts and per-component sums. Partials are merged on the driver
+    in arbitrary-precision Python ints, so the result is bit-identical
+    to the DECIMAL(38,0) aggregate it replaces while paying one narrow
+    python stage instead of a broadcast + 65-cell hash aggregate +
+    shuffle per step (guide §4.2: hand whole batches to numpy; the
+    same pattern as ivf.py's _assign). int64 is safe: |component| is
+    grid-bounded (test-pinned |x| <= TRAIN_OFFSET/2) and per-partition
+    row counts are split-bounded, so partial sums stay far below 2^63.
+    Returns {c0: (cnt, [sums])}."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cb = np.array([v for _, v in sorted(cents, key=lambda t: t[0])], dtype=np.int64)
+    k = cb.shape[0]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            x = np.array(pdf["xs"].tolist(), dtype=np.int64)
+            d = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)  # first occurrence = lowest cid
+            cnt += np.bincount(a, minlength=k)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    sums[c] += x[m].sum(axis=0)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "c0": np.arange(k, dtype=np.int64),
+                    "cnt": cnt,
+                    "sums": [row.tolist() for row in sums],
+                }
+            )
+
+    rows = e.select("xs").mapInPandas(
+        batches, schema="c0 long, cnt long, sums array<long>"
+    ).collect()
+    acc: dict = {}
+    for r in rows:
+        c0 = int(r["c0"])
+        cnt0, sums0 = acc.get(c0, (0, [0] * dim))
+        acc[c0] = (
+            cnt0 + int(r["cnt"]),
+            [a + int(b) for a, b in zip(sums0, r["sums"])],
+        )
+    return {c: v for c, v in acc.items() if v[0] > 0}
+
+
+def _pq_partials(resid: DataFrame, cb_list, n_subspaces: int, sub: int):
+    """PQ twin of :func:`_coarse_partials`: per batch, per subspace,
+    vectorized int64 argmin of the residual slice against that
+    subspace's codebook (ties -> lowest code), accumulating per
+    (m, code) counts and per-position sums; driver merge in Python
+    ints. Returns {(m, code): (cnt, [sums])}."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    ms = sorted({m for m, _, _ in cb_list})
+    books = [
+        np.array(
+            [v for _, _, v in sorted(
+                (e for e in cb_list if e[0] == m), key=lambda e: e[1]
+            )],
+            dtype=np.int64,
+        )
+        for m in ms
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = books[0].shape[0]
+        cnt = np.zeros((len(ms), k), dtype=np.int64)
+        sums = np.zeros((len(ms), k, sub), dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            r = np.array(pdf["r"].tolist(), dtype=np.int64)
+            for mi in range(len(ms)):
+                rs = r[:, mi * sub : (mi + 1) * sub]
+                d = ((rs[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d, axis=1)
+                cnt[mi] += np.bincount(a, minlength=k)
+                for c in range(k):
+                    msk = a == c
+                    if msk.any():
+                        sums[mi, c] += rs[msk].sum(axis=0)
+        if seen:
+            out = {
+                "m": np.repeat(np.arange(len(ms), dtype=np.int64), k),
+                "code": np.tile(np.arange(k, dtype=np.int64), len(ms)),
+                "cnt": cnt.reshape(-1),
+                "sums": [row.tolist() for row in sums.reshape(-1, sub)],
+            }
+            yield pd.DataFrame(out)
+
+    rows = resid.select("r").mapInPandas(
+        batches, schema="m long, code long, cnt long, sums array<long>"
+    ).collect()
+    acc: dict = {}
+    for r in rows:
+        key = (int(r["m"]), int(r["code"]))
+        cnt0, sums0 = acc.get(key, (0, [0] * sub))
+        acc[key] = (
+            cnt0 + int(r["cnt"]),
+            [a + int(b) for a, b in zip(sums0, r["sums"])],
+        )
+    return {kk: v for kk, v in acc.items() if v[0] > 0}
+
+
+def _floor_mean_ints(cnt: int, sums, off: int):
+    return [_div_trunc(int(sv) + cnt * off, cnt) - off for sv in sums]
+
+
+def _train_coarse_lists(
+    e: DataFrame, k_coarse: int, n_steps: int, off: int, dim: int
+) -> list:
+    """Lloyd training with the codebook kept ON THE DRIVER between
+    steps: each step is ONE job (scan → argmin vs the literal codebook
+    → groupBy with dim+1 aggregate cells → collect of k_coarse rows),
+    where the DataFrame-resident form paid a broadcast-exchange job, a
+    join and a checkpoint materialization per step (guide §2.4/§5 —
+    the per-step driver pull is k_coarse·dim ints, bounded at any
+    corpus size; Lloyd's per-step corpus scan is inherent). The mean
+    update runs in exact Python integer arithmetic — identical values
+    (DECIMAL(38,0) sums collect as exact ints; _div_trunc replicates
+    Spark ``div``; empty clusters keep their previous position).
+    Returns the centroid list [(c0, cvec)] AFTER each step, index 0 =
+    the lowest-id init."""
+    init_rows = (
         e.where(F.col("id") < k_coarse)
         .select(F.col("id").alias("c0"), F.col("xs").alias("cvec"))
-        .localCheckpoint(eager=False)
-    ]
+        .collect()
+    )
+    cur = sorted(
+        (int(r["c0"]), [int(x) for x in r["cvec"]]) for r in init_rows
+    )
+    steps = [cur]
     for _ in range(n_steps):
-        assigned = (
-            e.crossJoin(F.broadcast(_cent_row(cents[-1])))
-            .select("xs", F.array_min(_coarse_cands(k_coarse)).cid.alias("c0"))
-        )
-        means = (
-            assigned.select("c0", F.posexplode("xs").alias("t", "xq"))
-            .groupBy("c0", "t")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
-            )
-            .select("c0", "t", F.expr(_floor_mean_expr(off)).alias("mu"))
-        )
-        cents.append(
-            cents[-1]
-            .select("c0", F.posexplode("cvec").alias("t", "prev"))
-            .join(means, ["c0", "t"], "left")
-            .select("c0", "t", F.coalesce("mu", "prev").alias("mu"))
-            .groupBy("c0")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("t", "mu"))),
-                    lambda s: s.mu,
-                ).alias("cvec")
-            )
-            .localCheckpoint(eager=False)
-        )
-    return cents
+        stats = _coarse_partials(e, cur, dim)
+        nxt = []
+        for label, vec in cur:
+            hit = stats.get(label)
+            if hit is None:
+                nxt.append((label, list(vec)))
+            else:
+                cnt, sums = hit
+                nxt.append((label, _floor_mean_ints(cnt, sums, off)))
+        steps.append(nxt)
+        cur = nxt
+    return steps
+
+
+def train_coarse_quantizer(
+    e: DataFrame,
+    k_coarse: int,
+    n_steps: int,
+    off: int = TRAIN_OFFSET,
+    dim: int = 64,
+) -> list[DataFrame]:
+    """Lloyd-train the coarse quantizer on integer-grid vectors
+    ``e(id, xs)`` of length ``dim``; returns the centroid table
+    (c0, cvec) AFTER each step, index 0 = the lowest-id init. Each
+    step is one corpus scan + one bounded collect (see
+    :func:`_train_coarse_lists`); the returned tables are literal
+    local relations, value-identical to the former checkpoint chain."""
+    spark = e.sparkSession
+    return [
+        spark.createDataFrame(step, "c0 long, cvec array<long>")
+        for step in _train_coarse_lists(e, k_coarse, n_steps, off, dim)
+    ]
+
+
+def _train_pq_lists(
+    resid: DataFrame,
+    k: int,
+    n_subspaces: int,
+    sub: int,
+    k_coarse: int,
+    n_steps: int,
+    off: int,
+) -> list:
+    """PQ-codebook twin of :func:`_train_coarse_lists`: per step ONE
+    job (residual scan → per-subspace argmin vs the literal nested
+    codebook → groupBy(m, code) with sub+1 aggregate cells → collect
+    of ≤ M·k rows), exact Python integer mean update, empty cells keep
+    their previous centroid. Returns [(m, code, cvec)] AFTER each
+    step, index 0 = the next-k-ids init."""
+    init_rows = (
+        resid.where((F.col("id") >= k_coarse) & (F.col("id") < k_coarse + k))
+        .select((F.col("id") - k_coarse).alias("code"), "r")
+        .collect()
+    )
+    cur = []
+    for r in sorted(init_rows, key=lambda r: int(r["code"])):
+        code = int(r["code"])
+        rv = [int(x) for x in r["r"]]
+        for m in range(n_subspaces):
+            cur.append((m, code, rv[m * sub : (m + 1) * sub]))
+    cur.sort(key=lambda entry: (entry[0], entry[1]))
+    steps = [cur]
+    for _ in range(n_steps):
+        stats = _pq_partials(resid, cur, n_subspaces, sub)
+        nxt = []
+        for m, code, vec in cur:
+            hit = stats.get((m, code))
+            if hit is None:
+                nxt.append((m, code, list(vec)))
+            else:
+                cnt, sums = hit
+                nxt.append((m, code, _floor_mean_ints(cnt, sums, off)))
+        steps.append(nxt)
+        cur = nxt
+    return steps
 
 
 def train_pq_codebook(
@@ -1006,78 +1226,16 @@ def train_pq_codebook(
 ) -> list[DataFrame]:
     """Lloyd-train the residual PQ codebook on integer residuals
     ``resid(id, list_id, r)``; returns the codebook table
-    (m, code, cvec) AFTER each step, index 0 = the next-k-ids init.
-    Codes for ALL subspaces are computed in one projection against the
-    broadcast nested codebook row (no per-subspace shuffle)."""
-    cbs = [
-        resid.where(
-            (F.col("id") >= k_coarse) & (F.col("id") < k_coarse + k)
+    (m, code, cvec) AFTER each step, index 0 = the next-k-ids init —
+    literal local relations, value-identical to the former checkpoint
+    chain (see :func:`_train_pq_lists`)."""
+    spark = resid.sparkSession
+    return [
+        spark.createDataFrame(step, "m long, code long, cvec array<long>")
+        for step in _train_pq_lists(
+            resid, k, n_subspaces, sub, k_coarse, n_steps, off
         )
-        .select(
-            (F.col("id") - k_coarse).alias("code"),
-            F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias(
-                "mi"
-            ),
-            "r",
-        )
-        .select(
-            F.col("mi").cast("long").alias("m"),
-            "code",
-            F.slice(
-                F.col("r"), (F.col("mi") * sub + 1).cast("int"), sub
-            ).alias("cvec"),
-        )
-        .localCheckpoint(eager=False)
     ]
-    for _ in range(n_steps):
-        coded = (
-            resid.crossJoin(F.broadcast(_cb_row(cbs[-1])))
-            .select(
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(n_subspaces - 1))
-                ).alias("mi"),
-                "r",
-                "mm",
-            )
-            .select(
-                F.col("mi").cast("long").alias("m"),
-                F.slice(
-                    F.col("r"), (F.col("mi") * sub + 1).cast("int"), sub
-                ).alias("rs"),
-                "mm",
-            )
-            .select(
-                "m",
-                "rs",
-                F.array_min(
-                    _pq_cands(F.col("rs"), F.col("m"), k)
-                ).cid.alias("code"),
-            )
-        )
-        means = (
-            coded.select("m", "code", F.posexplode("rs").alias("t", "xq"))
-            .groupBy("m", "code", "t")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.sum(F.col("xq").cast("decimal(38,0)")).alias("sq"),
-            )
-            .select("m", "code", "t", F.expr(_floor_mean_expr(off)).alias("mu"))
-        )
-        cbs.append(
-            cbs[-1]
-            .select("m", "code", F.posexplode("cvec").alias("t", "prev"))
-            .join(means, ["m", "code", "t"], "left")
-            .select("m", "code", "t", F.coalesce("mu", "prev").alias("mu"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("t", "mu"))),
-                    lambda s: s.mu,
-                ).alias("cvec")
-            )
-            .localCheckpoint(eager=False)
-        )
-    return cbs
 
 
 def _int_corpus(
@@ -1147,13 +1305,32 @@ def ivf_pq_trained_topk(
     """
     sub = dim // n_subspaces
     e = _int_corpus(emb, id_col, vec_col, scale)
-    cent = train_coarse_quantizer(e, k_coarse, n_steps)[-1]
-    crow = _cent_row(cent)
-    resid = _residuals(e, crow, k_coarse)
-    cb = train_pq_codebook(resid, k, n_subspaces, sub, k_coarse, n_steps)[-1]
+    spark = e.sparkSession
+    cent = _train_coarse_lists(e, k_coarse, n_steps, TRAIN_OFFSET, dim)[-1]
+    # the trained codebooks come back as SINGLE-ROW LOCAL relations
+    # (bounded driver pulls, k·dim ints): the cross joins below keep
+    # the original broadcast shape, but the broadcast now collects
+    # from a LocalTableScan — no upstream job, no checkpoint chain
+    crow = _ccs_local(spark, cent)
+    resid = (
+        e.crossJoin(F.broadcast(crow))
+        .withColumn("list_id", F.array_min(_coarse_cands(k_coarse)).cid)
+        .select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "xs",
+                F.element_at(F.col("ccs"), (F.col("list_id") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("r"),
+        )
+    )
+    cb = _train_pq_lists(resid, k, n_subspaces, sub, k_coarse, n_steps, TRAIN_OFFSET)[
+        -1
+    ]
     # ---- final codes vs the trained residual codebook ----
     codes = (
-        resid.crossJoin(F.broadcast(_cb_row(cb)))
+        resid.crossJoin(F.broadcast(_mm_local(spark, cb)))
         .select(
             "id",
             "list_id",
@@ -1204,7 +1381,11 @@ def ivf_pq_trained_topk(
             ).alias("rq"),
         )
     )
-    dtable = probes.crossJoin(F.broadcast(cb)).select(
+    cb_table = spark.createDataFrame(
+        [(int(m), int(c), [int(x) for x in v]) for m, c, v in cb],
+        "m long, code long, cvec array<bigint>",
+    )
+    dtable = probes.crossJoin(F.broadcast(cb_table)).select(
         "query_id",
         "list_id",
         "m",
@@ -1255,11 +1436,12 @@ def ivf_pq_train_objectives(
     the magnitudes the corpus spans (test-pinned)."""
     sub = dim // n_subspaces
     e = _int_corpus(emb, id_col, vec_col, scale)
-    cents = train_coarse_quantizer(e, k_coarse, n_steps)
+    spark = e.sparkSession
+    cents = _train_coarse_lists(e, k_coarse, n_steps, TRAIN_OFFSET, dim)
     parts = []
     for step, cent in enumerate(cents):
         parts.append(
-            e.crossJoin(F.broadcast(_cent_row(cent)))
+            e.crossJoin(F.broadcast(_ccs_local(spark, cent)))
             .select(F.array_min(_coarse_cands(k_coarse)).d.alias("d"))
             .groupBy()
             # corpus-wide sum of BIGINT squared distances: per-row d
@@ -1278,11 +1460,25 @@ def ivf_pq_train_objectives(
                 "sse",
             )
         )
-    resid = _residuals(e, _cent_row(cents[-1]), k_coarse)
-    cbs = train_pq_codebook(resid, k, n_subspaces, sub, k_coarse, n_steps)
+    crow = _ccs_local(spark, cents[-1])
+    # local-relation residual projection (see ivf_pq_trained_topk)
+    resid = (
+        e.crossJoin(F.broadcast(crow))
+        .withColumn("list_id", F.array_min(_coarse_cands(k_coarse)).cid)
+        .select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "xs",
+                F.element_at(F.col("ccs"), (F.col("list_id") + 1).cast("int")),
+                lambda x, c: x - c,
+            ).alias("r"),
+        )
+    )
+    cbs = _train_pq_lists(resid, k, n_subspaces, sub, k_coarse, n_steps, TRAIN_OFFSET)
     for step, cb in enumerate(cbs):
         parts.append(
-            resid.crossJoin(F.broadcast(_cb_row(cb)))
+            resid.crossJoin(F.broadcast(_mm_local(spark, cb)))
             .select(
                 F.explode(
                     F.sequence(F.lit(0), F.lit(n_subspaces - 1))
