@@ -62,7 +62,13 @@ def connected_components(
     # symmetrize via explode, not self-union: a union evaluates the
     # upstream edge plan twice before the persist materializes — for
     # derived edge sets (LSH near-dup pairs) that upstream plan IS the
-    # expensive part. Pre-partitioned on the probe key: every round's
+    # expensive part. SELF-LOOPS ride the same explode: with (a, a)
+    # and (b, b) rows in the edge set, each round's neighbor-min
+    # aggregation sees every node's own label next to its neighbors',
+    # so the round needs no separate labels-side join to mix in the
+    # current label (one join fewer per round than the previous
+    # formulation; +|V| rows is noise next to |E| both locally and at
+    # 100 TB). Pre-partitioned on the probe key: every round's
     # propagation join re-uses this layout instead of re-shuffling.
     s, d = F.col(src), F.col(dst)
     sym = (
@@ -71,6 +77,8 @@ def connected_components(
                 F.array(
                     F.struct(s.alias("a"), d.alias("b")),
                     F.struct(d.alias("a"), s.alias("b")),
+                    F.struct(s.alias("a"), s.alias("b")),
+                    F.struct(d.alias("a"), d.alias("b")),
                 )
             ).alias("e")
         )
@@ -79,29 +87,31 @@ def connected_components(
         .repartition("b")
         .persist()
     )
+    # init = min(self, neighbors) — the same one shuffle the old
+    # distinct-ids init paid, but labels start one propagation step
+    # ahead (one full round saved on every shallow near-dup graph)
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("comp"))
+        .select(F.col("a").alias("id"), "comp")
         .localCheckpoint(eager=False)
     )
     changed = 1
     for it in range(max_iterations):
         if stats is not None:
             stats["iterations"] = it + 1
-        neighbor_min = (
+        # fused neighbor-min: min label over neighbors AND self (mid),
+        # plus the node's own current label (cur) via the self-loop
+        # row — one join + one aggregate, no labels join-back
+        stepped = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.id == neighbor_min.a, "left"
-        ).select(
-            "id",
-            "comp",
-            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
-                "mid"
-            ),
+            .agg(
+                F.min("comp").alias("mid"),
+                F.min(
+                    F.when(F.col("b") == F.col("a"), F.col("comp"))
+                ).alias("cur"),
+            )
         )
         # root hook: group the candidates by CURRENT label — the best
         # candidate any member of a label-region saw relabels the
@@ -110,14 +120,14 @@ def connected_components(
         # Every candidate is a node id inside the same component
         # (labels only propagate along edges), so hook and jump are
         # monotone and fixpoint-preserving. Scale note: in late rounds
-        # one giant component can own most labels, making "comp" a
+        # one giant component can own most labels, making "cur" a
         # skewed join key — the min-aggregate is map-side partial (no
         # skew exposure), and the join-back is exactly one build row
         # per key, so AQE's skew split replicates it across the fat
         # partition's subtasks; no salting needed.
-        hooks = stepped.groupBy("comp").agg(F.min("mid").alias("hmin"))
-        hooked = stepped.join(hooks, "comp").select(
-            "id", "comp", F.least("mid", "hmin").alias("mid2")
+        hooks = stepped.groupBy("cur").agg(F.min("mid").alias("hmin"))
+        hooked = stepped.join(hooks, "cur").select(
+            "a", "cur", F.least("mid", "hmin").alias("mid2")
         )
         # pointer jump: adopt the label OF my updated label.
         jump = labels.select(
@@ -128,13 +138,13 @@ def connected_components(
         updated = (
             hooked.join(jump, hooked.mid2 == jump.jid, "left")
             .select(
-                "id",
+                F.col("a").alias("id"),
                 F.least(
                     F.col("mid2"), F.coalesce("jcomp", F.col("mid2"))
                 ).alias("new_comp"),
                 (
                     F.least(F.col("mid2"), F.coalesce("jcomp", F.col("mid2")))
-                    < F.col("comp")
+                    < F.col("cur")
                 ).alias("chg"),
             )
             # lazy checkpoint: lineage is cut at the first materialization,

@@ -7277,11 +7277,18 @@ def q171_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimation error drives the num_perms budget choice exactly the
     way q39's occupancy drives plane counts."""
     docs = load_table(spark, sf_dir, "documents")
-    hashed = dedup.hashed_shingle_table(docs)
+    # the shingle table feeds FOUR consumers (signatures, banding, and
+    # both sides of the exact-intersection join), the signature table
+    # two, and the candidate pairs two — persist/checkpoint so the
+    # tokenize+shingle+md5 pass runs once, not four times (the
+    # lsh_verified_near_dups pattern; values unchanged)
+    hashed = dedup.hashed_shingle_table(docs).persist()
     sigs = dedup.minhash_signatures(
         docs, hashed_shingles=hashed, with_size=True
-    )
-    cands = dedup.minhash_candidate_pairs(docs, hashed_shingles=hashed)
+    ).localCheckpoint(eager=False)
+    cands = dedup.minhash_candidate_pairs(
+        docs, hashed_shingles=hashed
+    ).localCheckpoint(eager=False)
     num_perms = 16
     sa = sigs.select(
         F.col("id").alias("id_a"),
