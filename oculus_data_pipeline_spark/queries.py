@@ -5040,6 +5040,9 @@ def q132_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev.cast("decimal(22,6)")).alias("rev"))
     )
     wr = W.partitionBy("region")
+    # <= |region|x|nation| rows, two consumers — checkpoint so the
+    # lineitem join+aggregate runs once
+    per_nation = per_nation.localCheckpoint(eager=False)
     total = per_nation.agg(F.sum("rev").alias("total_rev"))
     return per_nation.crossJoin(F.broadcast(total)).select(
         "region",
@@ -6543,7 +6546,12 @@ def q161_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
     )
-    obs = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    # the contingency table is <= |types|*7 rows but feeds FOUR
+    # branches (row/col marginals, total, cells) — checkpoint it so the
+    # events scan+aggregate runs once, not four times
+    obs = ev.groupBy("event_type", "dow").agg(
+        F.count("*").alias("o")
+    ).localCheckpoint(eager=False)
     row_n = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
     col_n = obs.groupBy("dow").agg(F.sum("o").alias("col_n"))
     tot = obs.groupBy().agg(F.sum("o").alias("n"))
@@ -7648,6 +7656,9 @@ def q176_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("source", F.explode(shingles).alias("shingle"))
         .distinct()
+        # feeds the size table and both self-join sides — persist so
+        # the tokenize+shingle pass runs once (lsh_verified pattern)
+        .persist()
     )
     sz = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.alias("a")
@@ -7917,7 +7928,12 @@ def q180_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     product stays inside BIGINT at any corpus size."""
     ev = load_table(spark, sf_dir, "events")
     k = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    h = k.groupBy("n").agg(F.count("*").cast("long").alias("freq"))
+    # count-of-counts histogram: tiny, three consumers (total + both
+    # cum self-join sides) — checkpoint so the two keyed aggregations
+    # over events run once
+    h = k.groupBy("n").agg(
+        F.count("*").cast("long").alias("freq")
+    ).localCheckpoint(eager=False)
     tot = h.agg(
         F.sum("freq").cast("long").alias("n_keys"),
         F.sum(F.col("n") * F.col("freq")).cast("long").alias("total_rows"),
@@ -8296,6 +8312,9 @@ def q185_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("t1", "t2")
         .agg(F.count("*").cast("long").alias("n_pair"))
+        # four consumers (left/right marginals, total, report) —
+        # checkpoint so the bigram explode+aggregate runs once
+        .localCheckpoint(eager=False)
     )
     lm = co.groupBy("t1").agg(F.sum("n_pair").cast("long").alias("cl"))
     rm = co.groupBy("t2").agg(F.sum("n_pair").cast("long").alias("cr"))
@@ -8856,9 +8875,12 @@ def q192_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     s = o.withColumn("session_idx", F.sum("is_new").over(ws))
+    # bounded at |sessions|*|event types| rows but feeds the total
+    # and both self-join sides — checkpoint so the sessionization
+    # window runs once, not three times
     firsts = s.groupBy("user_id", "session_idx", "event_type").agg(
         F.min("ts").alias("first_ts")
-    )
+    ).localCheckpoint(eager=False)
     tot = (
         firsts.select("user_id", "session_idx")
         .distinct()
@@ -10126,12 +10148,15 @@ def q205_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
     )
     tot = w.agg(F.sum("tokens").cast("long").alias("t"))
+    # per-source table: tiny, three consumers (leftover + both ranked
+    # self-join sides) — checkpoint so the token-mass aggregation over
+    # documents runs once
     quota = w.crossJoin(F.broadcast(tot)).select(
         "source",
         "tokens",
         F.expr("CAST(100000 * tokens div t AS BIGINT)").alias("base_alloc"),
         F.expr("CAST((100000 * tokens) % t AS BIGINT)").alias("remainder"),
-    )
+    ).localCheckpoint(eager=False)
     lvl = quota.agg(
         (F.lit(100000) - F.sum("base_alloc")).cast("long").alias("leftover")
     )
@@ -10441,6 +10466,9 @@ def q208_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("sa", "sb").alias("split_lo"),
             F.greatest("sa", "sb").alias("split_hi"),
         )
+        # feeds the total AND the grouped report — checkpoint so the
+        # LSH+verify pair pipeline runs once, not twice
+        .localCheckpoint(eager=False)
     )
     tot = marked.agg(F.count("*").alias("n_total"))
     return (
@@ -11221,7 +11249,10 @@ def q214_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("observed"))
+    # 9 rows, two consumers — checkpoint so the orders scan runs once
+    obs = digits.groupBy("d").agg(
+        F.count("*").cast("long").alias("observed")
+    ).localCheckpoint(eager=False)
     tot = obs.agg(F.sum("observed").cast("long").alias("n"))
     exp_tbl = spark.createDataFrame(_BENFORD_PPM, "d long, ppm long")
     return (
@@ -11505,9 +11536,11 @@ def q218_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((CAST(ts AS LONG) div 86400) + 4) % 7").alias("dow"),
         F.expr("(CAST(ts AS LONG) div 3600) % 24").alias("hour"),
     )
+    # 168 rows, two consumers (total + report) — checkpoint so the
+    # events scan+aggregate runs once
     cells = slot.groupBy("dow", "hour").agg(
         F.count("*").cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     tot = cells.agg(F.sum("n").cast("long").alias("total"))
     return cells.crossJoin(F.broadcast(tot)).select(
         "dow",
@@ -11578,7 +11611,9 @@ def q219_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFram
         "n_events",
         "n_orders",
         (F.col("n_events") * F.col("n_orders")).alias("predicted_pairs"),
-    )
+        # two consumers (total + report) — checkpoint so both keyed
+        # counts and their join run once
+    ).localCheckpoint(eager=False)
     tot = per_key.agg(
         F.sum("predicted_pairs").cast("long").alias("total_pairs"),
         F.count("*").cast("long").alias("n_join_keys"),
@@ -11681,10 +11716,15 @@ def q220_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'e_over_600s' END"
         ).alias("bucket")
     )
-    tot = bucketed.agg(F.count("*").cast("long").alias("n"))
+    # <= 5 rows, two consumers (total + report) — and the total is the
+    # SUM of the group counts, so it derives from the grouped table
+    # instead of re-running the per-row lateness window a second time
+    grouped = bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_events")
+    ).localCheckpoint(eager=False)
+    tot = grouped.agg(F.sum("n_events").cast("long").alias("n"))
     return (
-        bucketed.groupBy("bucket")
-        .agg(F.count("*").cast("long").alias("n_events"))
+        grouped
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
