@@ -986,6 +986,61 @@ def _mm_local(spark, cb):
     return spark.createDataFrame([(mm,)], "mm array<array<array<bigint>>>")
 
 
+# Above this many cores the driver no longer pulls raw per-partition
+# Lloyd partials (one row per partition × cluster — fine at local[32],
+# a multi-GB pull at 100 TB where a scan has ~10^5-10^6 splits):
+# partials pre-merge IN SPARK to exactly k (or M·k) rows per step
+# before the collect (r11 verdict item 5). Both merge paths are
+# integer-exact and bit-identical (DECIMAL(38,0) sums of int64
+# partials collect as exact Python ints); pinned by
+# tests/test_optimization_equivalence.py. Overridable for tests via
+# the session conf key below.
+_DRIVER_MERGE_MAX_CORES = 128
+_SPARK_MERGE_CONF = "oculus.quantize.sparkMergePartials"
+
+
+def _spark_merge_enabled(df: DataFrame) -> bool:
+    spark = df.sparkSession
+    forced = spark.conf.get(_SPARK_MERGE_CONF, None)
+    if forced is not None:
+        return forced.lower() == "true"
+    return spark.sparkContext.defaultParallelism > _DRIVER_MERGE_MAX_CORES
+
+
+def _merge_cells(part: DataFrame, key_cols: list[str], width: int):
+    """Spark-side pre-merge of Lloyd partials: posexplode each
+    partial's sums array to (key, pos, v) cells, sum per (key, pos) in
+    DECIMAL(38,0) (exact for int64 partials at any partition count —
+    the map-side partial aggregation means the shuffle carries at most
+    #map-tasks × k × dim tiny rows), and collect the k·dim merged
+    cells. Returns {key: (cnt, [sums])} with Python-int values,
+    bit-identical to the driver-side merge (integer addition is
+    associative and exact in both)."""
+    dec = "decimal(38,0)"
+    cells = part.select(
+        *key_cols, "cnt", F.posexplode("sums").alias("pos", "v")
+    )
+    merged = cells.groupBy(*key_cols, "pos").agg(
+        F.sum(F.col("v").cast(dec)).alias("v"),
+        # cnt rides every pos row of its partial; count it once per key
+        F.sum(
+            F.when(F.col("pos") == 0, F.col("cnt")).cast(dec)
+        ).alias("cnt"),
+    )
+    acc: dict = {}
+    for r in merged.collect():
+        key = (
+            int(r[key_cols[0]])
+            if len(key_cols) == 1
+            else tuple(int(r[c]) for c in key_cols)
+        )
+        cnt0, sums0 = acc.get(key, (0, [0] * width))
+        sums0 = list(sums0)
+        sums0[int(r["pos"])] = int(r["v"])
+        acc[key] = (cnt0 + (int(r["cnt"]) if r["cnt"] is not None else 0), sums0)
+    return {k: v for k, v in acc.items() if v[0] > 0}
+
+
 def _coarse_partials(e: DataFrame, cents, dim: int):
     """Per-partition Lloyd partials for the coarse step as ONE Arrow
     stage: each batch does a vectorized int64 argmin against the
@@ -999,7 +1054,9 @@ def _coarse_partials(e: DataFrame, cents, dim: int):
     same pattern as ivf.py's _assign). int64 is safe: |component| is
     grid-bounded (test-pinned |x| <= TRAIN_OFFSET/2) and per-partition
     row counts are split-bounded, so partial sums stay far below 2^63.
-    Returns {c0: (cnt, [sums])}."""
+    On clusters past _DRIVER_MERGE_MAX_CORES the partials pre-merge in
+    Spark (see _merge_cells) so the driver pull is O(k·dim) regardless
+    of split count. Returns {c0: (cnt, [sums])}."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
@@ -1032,11 +1089,13 @@ def _coarse_partials(e: DataFrame, cents, dim: int):
                 }
             )
 
-    rows = e.select("xs").mapInPandas(
+    part = e.select("xs").mapInPandas(
         batches, schema="c0 long, cnt long, sums array<long>"
-    ).collect()
+    )
+    if _spark_merge_enabled(e):
+        return _merge_cells(part, ["c0"], dim)
     acc: dict = {}
-    for r in rows:
+    for r in part.collect():
         c0 = int(r["c0"])
         cnt0, sums0 = acc.get(c0, (0, [0] * dim))
         acc[c0] = (
@@ -1095,11 +1154,13 @@ def _pq_partials(resid: DataFrame, cb_list, n_subspaces: int, sub: int):
             }
             yield pd.DataFrame(out)
 
-    rows = resid.select("r").mapInPandas(
+    part = resid.select("r").mapInPandas(
         batches, schema="m long, code long, cnt long, sums array<long>"
-    ).collect()
+    )
+    if _spark_merge_enabled(resid):
+        return _merge_cells(part, ["m", "code"], sub)
     acc: dict = {}
-    for r in rows:
+    for r in part.collect():
         key = (int(r["m"]), int(r["code"]))
         cnt0, sums0 = acc.get(key, (0, [0] * sub))
         acc[key] = (
@@ -1136,6 +1197,16 @@ def _train_coarse_lists(
     cur = sorted(
         (int(r["c0"]), [int(x) for x in r["cvec"]]) for r in init_rows
     )
+    # the partial-merge paths key stats by centroid LABEL while the
+    # numpy argmin indexes the codebook array by POSITION — they only
+    # coincide because init ids are dense 0..k-1 (r11 advice: assert
+    # the density instead of assuming it; a fixture with id gaps below
+    # k_coarse would otherwise silently misattribute cluster updates)
+    if [c for c, _ in cur] != list(range(k_coarse)):
+        raise ValueError(
+            f"coarse init ids must be dense 0..{k_coarse - 1}, got "
+            f"{[c for c, _ in cur]}"
+        )
     steps = [cur]
     for _ in range(n_steps):
         stats = _coarse_partials(e, cur, dim)
@@ -1199,6 +1270,12 @@ def _train_pq_lists(
         for m in range(n_subspaces):
             cur.append((m, code, rv[m * sub : (m + 1) * sub]))
     cur.sort(key=lambda entry: (entry[0], entry[1]))
+    # same density requirement as the coarse init (labels are array
+    # positions in the numpy argmin): codes must be dense 0..k-1 in
+    # every subspace
+    codes = sorted({c for _, c, _ in cur})
+    if codes != list(range(k)):
+        raise ValueError(f"pq init codes must be dense 0..{k - 1}, got {codes}")
     steps = [cur]
     for _ in range(n_steps):
         stats = _pq_partials(resid, cur, n_subspaces, sub)

@@ -102,6 +102,43 @@ def test_coarse_partials_match_decimal_aggregation(spark):
     assert stats[1][1] == [19, 20, 20, 20]
 
 
+def test_spark_merge_partials_bit_identical(spark):
+    """The scale path (partials pre-merged IN SPARK before the collect
+    — r12, verdict item 5) must return exactly the driver-merge dict:
+    same keys, same counts, same per-component integer sums. Forced on
+    via the session conf so the local[?] gate doesn't decide."""
+    from oculus_data_pipeline_spark.operators.quantize import (
+        _SPARK_MERGE_CONF,
+        _coarse_partials,
+        _pq_partials,
+    )
+
+    dim = 4
+    rows = [(i, [int(x) for x in (i % 11, -i, 3 * i, 7 - i)]) for i in range(50)]
+    e = spark.createDataFrame(rows, "id long, xs array<long>").repartition(7)
+    cents = [(0, [0, 0, 0, 0]), (1, [10, -40, 120, -30]), (2, [5, -20, 60, -10])]
+    resid = spark.createDataFrame(
+        [(i, 0, v + v) for i, v in rows], "id long, list_id long, r array<long>"
+    ).repartition(5)
+    cb = [
+        (0, 0, [0, 0]),
+        (0, 1, [8, -30]),
+        (1, 0, [100, -40]),
+        (1, 1, [2, 5]),
+    ]
+    try:
+        spark.conf.set(_SPARK_MERGE_CONF, "false")
+        want_c = _coarse_partials(e, cents, dim)
+        want_p = _pq_partials(resid, cb, 2, 2)
+        spark.conf.set(_SPARK_MERGE_CONF, "true")
+        got_c = _coarse_partials(e, cents, dim)
+        got_p = _pq_partials(resid, cb, 2, 2)
+    finally:
+        spark.conf.unset(_SPARK_MERGE_CONF)
+    assert got_c == want_c
+    assert got_p == want_p
+
+
 def test_pq_partials_empty_cell_keeps_previous(spark):
     """A codebook cell no residual maps to must be absent from the
     partials (the trainer then keeps the previous centroid), exactly
@@ -132,7 +169,7 @@ def test_pq_partials_empty_cell_keeps_previous(spark):
 def test_fanout_changes_no_rows(spark, sf_dir):
     from oculus_data_pipeline_spark.sources.tables import load_table
 
-    df = load_table(spark, sf_dir, "lineitem")
+    df = load_table(spark, sf_dir, "lineitem", fanout=True)
     raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     assert df.count() == raw.count()
     # exact multiset equality on the key columns
