@@ -92,7 +92,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter + 2-key groupBy + 6 aggregates.
     Catalyst pushes the shipdate filter to the parquet scan; the
     aggregation runs partial (map-side) then final after one shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = load_table(spark, sf_dir, "lineitem", fanout=True).where(
         F.col("l_shipdate") <= "1998-09-02"
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -793,7 +793,7 @@ def _minhash_oracle(num_perms: int = 16, bands: int = 4) -> str:
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) candidate
     pairs — the sub-quadratic near-dup path."""
-    return dedup.minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_candidate_pairs(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -822,7 +822,7 @@ def _simhash_oracle(bits: int = 32) -> str:
 @query("q33_simhash", _simhash_oracle())
 def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints per document."""
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 def _simhash_near_dup_oracle(bits: int = 48, n_bands: int = 2, max_hamming: int = 1) -> str:
@@ -878,7 +878,7 @@ def q86_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, BPE-ish
     regex segmentation, average token length."""
-    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+    return textstats.token_stats(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 def _quality_oracle() -> str:
@@ -913,7 +913,7 @@ def _quality_oracle() -> str:
 @query("q41_quality_score", _quality_oracle())
 def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality features + composite score."""
-    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+    return textstats.quality_score(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 def _lang_id_oracle() -> str:
@@ -948,7 +948,7 @@ def _lang_id_oracle() -> str:
 def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language identification with deterministic
     tie-break (fixed language order)."""
-    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+    return textstats.lang_id(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 @query(
@@ -966,7 +966,7 @@ def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content + bag-of-words document fingerprints."""
-    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 # ---------------------------------------------------------------------------
@@ -1072,7 +1072,7 @@ def _gated_bucket_sql(
 def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 10 query vectors.
     Query side broadcast; corpus streams through codegen."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     return similarity.brute_force_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
 
 
@@ -1116,7 +1116,7 @@ def q51_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.cosine_pairs) stays available behind its own function
     for small inputs / recall baselines."""
     return similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, p_max=16
+        load_table(spark, sf_dir, "embeddings", fanout=True), threshold=0.4, p_max=16
     )
 
 
@@ -1372,7 +1372,7 @@ def q24_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide → long) then aggregate per measure."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     stacked = li.unpivot(
         ["l_returnflag"],
         ["l_quantity", "l_extendedprice", "l_discount"],
@@ -1411,7 +1411,7 @@ def q25_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar breadth: slice, contains, position, distinct,
     sort, join — all JVM-side higher-order expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split(normalize_term("text"), " ")
     return d.select(
         F.col("doc_id").alias("id"),
@@ -1488,7 +1488,7 @@ def q28_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance/stddev/correlation computed from exact decimal moment
     sums (order-independent, cross-engine identical) rather than the
     engines' built-in streaming estimators."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -1561,7 +1561,7 @@ def q29_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the SQL API (same Catalyst plan as the
     DataFrame API; demonstrates the SQL surface)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "orders", fanout=True).createOrReplaceTempView("orders_v")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(
         """
@@ -2298,7 +2298,7 @@ def q44_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc·B + h(token) mod 2^31−1 over the token sequence (distinguishes
     shuffled near-dups that the bag-of-words fingerprint q43 equates).
     Same fold order and modular arithmetic in both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split(normalize_term("text"), " ")
     hashed = F.transform(toks, lambda t: md5_int(t) % 2147483647)
     rolling = F.aggregate(
@@ -2340,7 +2340,7 @@ def q66_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup pipeline: MinHash-LSH candidates + exact
     Jaccard verification on candidates only (sub-quadratic end to end;
     see SCALING.md). Oracle composes the same two stages in SQL."""
-    return dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 @query(
@@ -2362,8 +2362,8 @@ def q66_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN-subquery over a grouped HAVING (semi-join on
     an aggregated derived table), then re-join and re-aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
+    o = load_table(spark, sf_dir, "orders", fanout=True)
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
@@ -2455,7 +2455,7 @@ def q69_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: group contribution vs a per-group grand total
     (fraction-of-total filter); exact decimal sums so the comparison
     threshold can never drift cross-engine (decimal*decimal literal)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     sup = load_table(spark, sf_dir, "supplier")
     contrib = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -2510,7 +2510,7 @@ def q70_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppression (LSH+verified pairs; the smaller doc_id survives).
     One composed lazy plan over four operators — the flagship
     'curate a corpus' query."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     canon = dedup.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
     near_b = dedup.lsh_verified_near_dups(docs).select(F.col("id_b").alias("doc_id"))
     # lang + quality are narrow per-row expressions: inline them on ONE
@@ -2571,7 +2571,7 @@ def q71_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame
 def q72_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     match each other — the semantics plain equi-joins silently drop."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents", fanout=True).select(
         "doc_id", F.nullif("lang", F.lit("en")).alias("lang_n"), "source"
     )
     a, b = d.alias("a"), d.alias("b")
@@ -2968,7 +2968,7 @@ def q96_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard misses when |b| ≫ |a|. Integer threshold arithmetic;
     shares the hashed shingle table with the minhash/LSH family."""
     return dedup.containment_pairs(
-        load_table(spark, sf_dir, "documents"), threshold_pct=70
+        load_table(spark, sf_dir, "documents", fanout=True), threshold_pct=70
     )
 
 
@@ -2998,7 +2998,7 @@ def q97_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph_algo import connected_components
 
     pairs = similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, p_max=16
+        load_table(spark, sf_dir, "embeddings", fanout=True), threshold=0.4, p_max=16
     )
     return connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
@@ -3105,7 +3105,7 @@ def q100_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists. Map-side partial counts, one shuffle, deterministic top-20
     (df desc, shingle asc tie-break)."""
     return (
-        dedup.shingle_table(load_table(spark, sf_dir, "documents"))
+        dedup.shingle_table(load_table(spark, sf_dir, "documents", fanout=True))
         .groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), F.asc("shingle"))
@@ -3197,7 +3197,7 @@ def q103_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny by construction, so AQE broadcasts it and the training-corpus
     side never shuffles; at 100 TB this is the shape that makes eval-
     leak scans affordable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     is_bench = md5_int(F.col("doc_id").cast("string")) % 100 < 5
     sh_corpus = dedup.hashed_shingle_table(docs.where(~is_bench))
     sh_bench = dedup.hashed_shingle_table(docs.where(is_bench))
@@ -3228,7 +3228,7 @@ def q104_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio per doc (textstats.repetition_stats) — flags looping and
     boilerplate-stuffed documents. The n-gram array never leaves its
     row: no explode, no shuffle, one scan."""
-    return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+    return textstats.repetition_stats(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 @query(
@@ -3482,7 +3482,7 @@ def q106_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline pairs."""
     from .operators.graph_algo import triangle_counts
 
-    pairs = dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.lsh_verified_near_dups(load_table(spark, sf_dir, "documents", fanout=True))
     return triangle_counts(pairs, src="id_a", dst="id_b")
 
 
@@ -3545,7 +3545,7 @@ def q136_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse bug in either container branch breaks the hash match."""
     from .multimodal.binary_ops import decode_videos, make_video_table
 
-    media = make_video_table(load_table(spark, sf_dir, "documents"))
+    media = make_video_table(load_table(spark, sf_dir, "documents", fanout=True))
     return decode_videos(media)
 
 
@@ -3600,7 +3600,7 @@ def q79_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     known; the parsed struct participates in arithmetic directly."""
     from pyspark.sql import types as T
 
-    e = load_table(spark, sf_dir, "events").withColumn(
+    e = load_table(spark, sf_dir, "events", fanout=True).withColumn(
         "p",
         F.from_json("props", T.StructType([T.StructField("k", T.LongType())])),
     )
@@ -3628,7 +3628,7 @@ def q79_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q80_higher_order_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array predicates: exists / forall / filter-count —
     all JVM lambda expressions inside codegen."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split(normalize_term("text"), " ")
     return d.select(
         "doc_id",
@@ -3802,7 +3802,7 @@ def q107_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — making every category count non-vacuous."""
     from .operators.pii import detect_and_redact_pii
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     d = F.col("doc_id").cast("string")
     planted = docs.select(
         "doc_id",
@@ -3838,7 +3838,7 @@ def q108_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant; the oracle is the plain join, proving correctness."""
     from .operators.skew import salted_join
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem", fanout=True).select(
         F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_extendedprice"
     )
     sup = load_table(spark, sf_dir, "supplier").select(
@@ -3933,7 +3933,7 @@ def q111_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-index build: token → (df, ctf, id-sorted docid:tf
     postings string) via two hash aggregations
     (operators/textstats.py:inverted_index)."""
-    return textstats.inverted_index(load_table(spark, sf_dir, "documents"))
+    return textstats.inverted_index(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 def _canonical_docs_oracle(threshold: float = 0.5) -> str:
@@ -3978,7 +3978,7 @@ def q112_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_canonical rows; the rest map to their survivor."""
     from .operators.curation import canonical_docs
 
-    return canonical_docs(load_table(spark, sf_dir, "documents"))
+    return canonical_docs(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 @query(
@@ -4123,7 +4123,7 @@ def q116_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (textstats.bigram_merge_candidates). zip_with over shifted slices —
     no positional explode+self-join; top-k is TakeOrderedAndProject,
     not a global sort."""
-    return textstats.bigram_merge_candidates(load_table(spark, sf_dir, "documents"))
+    return textstats.bigram_merge_candidates(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 @query(
@@ -4217,7 +4217,7 @@ def q118_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     (similarity.lsh_bipartite_matches). Plane count auto-sizes from
     the corpus-side COUNT(*) in both engines (round 7; was pinned
     P=6)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     corpus = emb.where(F.col("vec_id") % 5 != 0)
     bench = emb.where(F.col("vec_id") % 5 == 0)
     return similarity.lsh_bipartite_matches(
@@ -4258,7 +4258,7 @@ def q119_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane count from COUNT(*) in both engines (round 7; was pinned
     P=6), so the recall this reports is the production index's."""
     return similarity.lsh_recall_report(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, p_max=16
+        load_table(spark, sf_dir, "embeddings", fanout=True), threshold=0.4, p_max=16
     )
 
 
@@ -4315,7 +4315,7 @@ def q120_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import canonical_docs, unigram_rarity
     from .operators.split import hash_split
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     scored = docs.select(
         "doc_id",
         textstats.pred_lang_col("text").alias("pred_lang"),
@@ -4372,8 +4372,8 @@ def q121_hybrid_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic pair paths + one equi-join on the pair key; the
     production pattern for dedup reviews that tokens-only or
     vectors-only sweeps get wrong."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     jac = dedup.lsh_verified_near_dups(docs)
     cos = similarity.lsh_near_dup_pairs(emb, threshold=0.3, p_max=16)
     return (
@@ -4702,7 +4702,7 @@ def q127_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key fan-out is bounded by basket size² — never corpus-
     quadratic); top-k compiles to TakeOrderedAndProject."""
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem", fanout=True)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -5124,7 +5124,7 @@ def q135_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf_kmeans.py."""
     from .functions.vectors import cosine_from_norms, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("vnrm", l2_norm("v"))
@@ -5182,7 +5182,7 @@ def q133_allpairs_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rename loses no evidence; the old q133 plan+oracle now live
     verbatim under q31.)"""
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=None
+        load_table(spark, sf_dir, "documents", fanout=True), threshold=0.5, max_df=None
     )
 
 
@@ -5323,7 +5323,7 @@ def q140_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size."""
     from .operators.quantize import gram_matrix
 
-    return gram_matrix(load_table(spark, sf_dir, "embeddings"))
+    return gram_matrix(load_table(spark, sf_dir, "embeddings", fanout=True))
 
 
 @query(
@@ -5454,7 +5454,7 @@ def q145_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, and the unreduced sum only fit BIGINT to ~10^9 rows)."""
     from .operators.scd import table_fingerprint
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     return table_fingerprint(
         li,
         "l_orderkey",
@@ -5499,7 +5499,7 @@ def q146_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARIANT columns store/shred columnar instead of re-parsing JSON
     text per access. The oracle extracts the same paths with DuckDB's
     JSON operators from the identically-constructed string."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     k = F.get_json_object("props", "$.k").cast("long")
     js = F.concat(
         F.lit('{"user":{"id":'), F.col("user_id").cast("string"),
@@ -5643,7 +5643,7 @@ def q142_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quantize import pq_adc_topk
 
     return pq_adc_topk(
-        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings", fanout=True),
         n_queries=10, topk=5, n_subspaces=4, k=8, dim=EMB_DIM,
     )
 
@@ -5660,7 +5660,7 @@ def q138_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quantize import pq_encode
 
     return pq_encode(
-        load_table(spark, sf_dir, "embeddings"), n_subspaces=4, k=8, dim=EMB_DIM
+        load_table(spark, sf_dir, "embeddings", fanout=True), n_subspaces=4, k=8, dim=EMB_DIM
     )
 
 
@@ -5706,7 +5706,7 @@ def q148_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigendecomposition in tests."""
     from .operators.quantize import power_iteration
 
-    return power_iteration(load_table(spark, sf_dir, "embeddings"))
+    return power_iteration(load_table(spark, sf_dir, "embeddings", fanout=True))
 
 
 def _ivf_pq_oracle(
@@ -5815,7 +5815,7 @@ def q149_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall QA instrument for real clustered data."""
     from .operators.quantize import ivf_pq_topk
 
-    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings", fanout=True))
 
 
 def _cms_oracle(depth: int = 3, width: int = 1024) -> str:
@@ -6008,7 +6008,7 @@ def q152_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketch import count_sketch_estimates
 
     return count_sketch_estimates(
-        load_table(spark, sf_dir, "lineitem"), "l_partkey",
+        load_table(spark, sf_dir, "lineitem", fanout=True), "l_partkey",
         depth=3, width=256, topk=20,
     )
 
@@ -6123,7 +6123,7 @@ def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter."""
     from .operators.similarity import hard_negative_mining
 
-    return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+    return hard_negative_mining(load_table(spark, sf_dir, "embeddings", fanout=True))
 
 
 @query(
@@ -6338,7 +6338,7 @@ def q157_pq_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task; the re-score broadcasts the M·k-row codebook."""
     from .operators.quantize import pq_train_report
 
-    return pq_train_report(load_table(spark, sf_dir, "embeddings"))
+    return pq_train_report(load_table(spark, sf_dir, "embeddings", fanout=True))
 
 
 @query(
@@ -6632,7 +6632,7 @@ def q163_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiling pass every ingestion pipeline runs before schema
     contracts are signed; unpivot keeps it ONE scan and one shuffle of
     |cols| × partial rows instead of |cols| separate jobs."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     u = li.unpivot(
         [],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -7284,7 +7284,7 @@ def q171_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, and exact verification; everything is integer arithmetic.
     Estimation error drives the num_perms budget choice exactly the
     way q39's occupancy drives plane counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # the shingle table feeds FOUR consumers (signatures, banding, and
     # both sides of the exact-intersection join), the signature table
     # two, and the candidate pairs two — persist/checkpoint so the
@@ -8957,8 +8957,8 @@ def q193_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates when the batch itself is huge). The bounded anchor
     table broadcasts through the negative-mining join; everything
     else rides the existing sub-quadratic paths."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     from .operators.similarity import _as_double
     from .functions.vectors import cosine_similarity
 
@@ -9562,7 +9562,7 @@ def q200_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count at 100 TB. (This is the exact-tier companion to q31/q133
     n-gram Jaccard: non-overlapping segments give 8× fewer rows than
     overlapping shingles and an exact containment answer.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     t = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
         F.size("toks") >= 8
     )
@@ -9806,7 +9806,7 @@ def q202_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows are partitioned per query id."""
     from .operators.similarity import _as_double, auto_planes, lsh_bucket_expr
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     e = _as_double(emb.select("vec_id", "embedding"), "embedding")
     # one metadata-cheap count sizes the planes via the ONE shared
     # policy (similarity.auto_planes); the oracle SQL recomputes the
@@ -10776,7 +10776,7 @@ def q210_drop_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a diff in this table before anyone trains on the result."""
     from .operators.curation import canonical_docs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     flags = (
         docs.select(
             "doc_id",
@@ -11468,7 +11468,7 @@ def q217_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator already in production here. One scan computes prediction
     and truth together; two keyed aggregations on language codes —
     dimension-sized work at any corpus scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     pairs = docs.select(
         F.col("lang").alias("true_lang"),
         textstats.pred_lang_col("text").alias("pred_lang"),

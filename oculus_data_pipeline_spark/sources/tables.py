@@ -78,8 +78,24 @@ def _fanout(spark: SparkSession, df: DataFrame, name: str, path: str) -> DataFra
     except OSError:
         return df  # multi-file/dir layout: split planning handles it
     par = spark.sparkContext.defaultParallelism
-    if size < _FANOUT_MIN_BYTES or size >= par * _FANOUT_SPLIT_BYTES:
+    if size < _FANOUT_MIN_BYTES:
         return df
+    if size >= par * _FANOUT_SPLIT_BYTES:
+        # Big file: normal split planning parallelizes it — UNLESS the
+        # file has too few row groups to split (parquet can only split
+        # at row-group boundaries). Check the footer instead of
+        # assuming (r11 advice: a single-row-group file over the size
+        # threshold would otherwise get neither fanout nor split
+        # parallelism). Footer read is one driver-side metadata call,
+        # memoized by the handle cache.
+        try:
+            import pyarrow.parquet as pq
+
+            n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return df
+        if n_rg >= par:
+            return df
     from pyspark.sql import functions as F
 
     n = int(min(par, max(2, size // _FANOUT_TASK_BYTES)))
@@ -117,7 +133,22 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 _HANDLE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    """``fanout=True`` opts a caller IN to the post-scan re-spread.
+
+    Opt-IN, not opt-out, since round 12: a 221-query interleaved A/B
+    sweep (OPTIMIZATION_r12 §2) showed the r11 always-on fanout helps
+    only plans with real per-row work (hashing, tokenizing, regex,
+    vector folds — those win 1.2-2.9× and pass fanout=True), while
+    aggregation/window-dominant plans — where map-side partial
+    aggregation compresses the data BEFORE any shuffle — pay the
+    full-payload exchange and get nothing back (guide §2.3 "aggregate
+    before you shuffle"; ~100 queries measured 1.2-2.6× faster
+    without it). The flag is local-bench-only in effect: at scale the
+    size/row-group guard in _fanout disables the re-spread for every
+    caller anyway."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # timestamp rendering (date_format) is session-timezone-dependent;
@@ -132,19 +163,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             os.path.abspath(path),
             st.st_mtime_ns,
             st.st_size,
+            fanout,
         )
     except OSError:
         cache_key = None
     if cache_key is not None and cache_key in _HANDLE_CACHE:
         return _HANDLE_CACHE[cache_key]
-    df = _load_table_uncached(spark, sf_dir, name, path)
+    df = _load_table_uncached(spark, sf_dir, name, path, fanout)
     if cache_key is not None:
+        # one app is live at a time: drop handles whose SparkContext is
+        # gone so the dict cannot grow across app restarts (r11 advice)
+        app = cache_key[0]
+        for k in [k for k in _HANDLE_CACHE if k[0] != app]:
+            del _HANDLE_CACHE[k]
         _HANDLE_CACHE[cache_key] = df
     return df
 
 
 def _load_table_uncached(
-    spark: SparkSession, sf_dir: str, name: str, path: str
+    spark: SparkSession, sf_dir: str, name: str, path: str, fanout: bool = True
 ) -> DataFrame:
     if name == "events":
         # events.ts has been parquet TIMESTAMP(NANOS) in some driver
@@ -157,8 +194,10 @@ def _load_table_uncached(
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _fanout(spark, _normalize_timestamps(df), name, path)
-    return _fanout(spark, _normalize_timestamps(spark.read.parquet(path)), name, path)
+    else:
+        df = spark.read.parquet(path)
+    df = _normalize_timestamps(df)
+    return _fanout(spark, df, name, path) if fanout else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
