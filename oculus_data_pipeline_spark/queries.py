@@ -5916,14 +5916,25 @@ def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only ordered rows WITHIN a price), and the winsorized mean is
     # the same exact decimal total: k rows at one price contribute
     # k · clamp(price) whether summed one row at a time or not.
+    # Single-branch form (r12, guide §2.4): the bounds used to be a
+    # separate aggregate branch broadcast-joined back, which executed
+    # the hist+window subtree TWICE (once for the broadcast build,
+    # once for the probe side). p05/p95 are per-group values, so they
+    # ride a whole-partition window over the SAME partitioning the
+    # cumulative window already established — one exchange, one sort,
+    # the subtree runs once, and the final groupBy reuses the
+    # partitioning (no further exchange). Same rank-crossing
+    # expressions, same decimal-exact clamped sum: results identical
+    # (oracle-checked at 2 SFs).
     hist = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_extendedprice")
         .agg(F.count("*").alias("k"))
     )
     wv = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wall = W.partitionBy("l_returnflag")
     ranked = hist.withColumn("cum", F.sum("k").over(wv)).withColumn(
-        "n", F.sum("k").over(W.partitionBy("l_returnflag"))
+        "n", F.sum("k").over(wall)
     )
     lo_rank = F.greatest(F.lit(1).cast("long"), F.expr("(n * 5) div 100"))
     hi_rank = F.greatest(F.lit(1).cast("long"), F.expr("(n * 95) div 100"))
@@ -5934,15 +5945,14 @@ def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("cum") - F.col("k") < rk) & (F.col("cum") >= rk),
                 F.col("l_extendedprice"),
             )
-        )
+        ).over(wall)
 
-    bounds = ranked.groupBy("l_returnflag").agg(
-        at_rank(lo_rank).alias("p05"), at_rank(hi_rank).alias("p95")
+    bounded = ranked.withColumn("p05", at_rank(lo_rank)).withColumn(
+        "p95", at_rank(hi_rank)
     )
     clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("l_extendedprice")))
     return (
-        ranked.join(F.broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag")
+        bounded.groupBy("l_returnflag")
         .agg(
             F.max("n").cast("long").alias("n"),
             F.min("p05").alias("p05"),
@@ -10595,18 +10605,23 @@ def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tok"),
         )
-        .distinct()
     )
-    hashed = tok.select(
-        "source", md5_int(F.col("tok")).alias("hv")
-    ).distinct()
+    # hash BEFORE the distinct (r12, guide §2.3): md5 is deterministic
+    # per token, so distinct-on-(source, md5(tok)) yields exactly the
+    # set the old distinct-then-hash-then-distinct produced, with one
+    # corpus-wide shuffle instead of two — and the shuffle carries a
+    # 8-byte hash, not the bigram string
+    hashed = tok.select("source", md5_int(F.col("tok")).alias("hv")).distinct()
     wsrc = W.partitionBy("source").orderBy("hv")
     sk = (
         hashed.withColumn("rn", F.row_number().over(wsrc))
         .where(F.col("rn") <= k)
         .select("source", "hv")
     )
-    srcs = hashed.select("source").distinct()
+    sizes = hashed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    srcs = sizes.select("source")
     prs = (
         srcs.alias("a")
         .join(
@@ -10650,28 +10665,32 @@ def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h_k"),
     )
-    ha = hashed.select(F.col("source").alias("source_a"), "hv")
-    hb = hashed.select(F.col("source").alias("source_b"), "hv")
-    # LEFT joins + conditional count so a pair of sources with
-    # DISJOINT vocabularies still emits a row with exact_inter = 0 —
-    # the oracle always emits every pair, and an inner join here would
-    # drop such pairs and break row-count parity on a corpus that has
-    # them (review finding; the synthetic fixture never triggers it)
-    exact = (
-        prs.join(ha, "source_a", "left")
-        .join(
-            hb.withColumnRenamed("hv", "hvb").withColumnRenamed(
-                "source_b", "sb2"
-            ),
-            (F.col("sb2") == F.col("source_b"))
-            & (F.col("hvb") == F.col("hv")),
-            "left",
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count("hvb").cast("long").alias("exact_inter"))
+    # Exact intersections from ONE aggregation by hv (r12, guide §2.3
+    # "aggregate before you shuffle"): collect each hash's source set,
+    # explode its ordered source pairs, count per pair. The old form
+    # replicated the whole hashed table per source pair (prs ⋈ hashed)
+    # and shuffle-joined that inflated table against hashed again —
+    # ~S/2 extra copies of the corpus through one exchange. Identical
+    # counts: |A ∩ B| = #{hv : a ∈ members(hv) ∧ b ∈ members(hv)},
+    # and array_sort + x < y uses the same binary string ordering as
+    # the prs predicate. The LEFT join from prs keeps disjoint-vocab
+    # pairs at exact_inter = 0, as before.
+    members = hashed.groupBy("hv").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
     )
-    sizes = hashed.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_distinct")
+    pair_arr = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS source_a, y AS source_b))))"
+    )
+    inter_cnt = (
+        members.where(F.size("ss") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
     )
     exact_union = (
         prs.join(
@@ -10688,14 +10707,20 @@ def q209_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "source_b",
         )
-        .join(exact, ["source_a", "source_b"])
+        .join(inter_cnt, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            (F.col("na") + F.col("nb") - F.col("exact_inter"))
+            (
+                F.col("na")
+                + F.col("nb")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            )
             .cast("long")
             .alias("exact_union"),
-            "exact_inter",
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("long")
+            .alias("exact_inter"),
         )
     )
     return est.join(exact_union, ["source_a", "source_b"]).select(
