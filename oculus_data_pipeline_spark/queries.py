@@ -8302,7 +8302,7 @@ def q185_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pair counts; marginals are vocab-sized broadcast joins; B is a
     broadcast scalar; top-20 compiles to TakeOrdered, not a global
     sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = dedup.tokens("text")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),

@@ -69,7 +69,33 @@ class _NoFanout:
         tables._fanout = self._f
 
 
-VARIANTS = {"nockpt": _NoCkpt, "nofanout": _NoFanout}
+class _ForceFanout:
+    """Force fanout=True regardless of the caller's flag — for
+    re-probing queries that default to fanout=False since r12."""
+
+    def __enter__(self):
+        import oculus_data_pipeline_spark.queries as qmod
+
+        self._lt = tables.load_table
+        forced = lambda spark, sf_dir, name, fanout=False: self._lt(  # noqa: E731
+            spark, sf_dir, name, fanout=True
+        )
+        tables.load_table = forced
+        qmod.load_table = forced
+        return self
+
+    def __exit__(self, *exc):
+        import oculus_data_pipeline_spark.queries as qmod
+
+        tables.load_table = self._lt
+        qmod.load_table = self._lt
+
+
+VARIANTS = {
+    "nockpt": _NoCkpt,
+    "nofanout": _NoFanout,
+    "forcefanout": _ForceFanout,
+}
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
