@@ -8714,11 +8714,13 @@ def _hybrid_arms_cte() -> str:
     )"""
 
 
-def _hybrid_rankings(spark: SparkSession, sf_dir: str):
+def _hybrid_rankings(spark: SparkSession, sf_dir: str, fanout: bool = False):
     """Spark twin of :func:`_hybrid_arms_cte` — returns the (lex, sem)
-    top-20 DataFrames with columns (query_id, cand_id, *_rank)."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    top-20 DataFrames with columns (query_id, cand_id, *_rank).
+    ``fanout`` follows the caller's measured preference (q191 opts in,
+    q216 is a wash — see load_table)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=fanout)
+    emb = load_table(spark, sf_dir, "embeddings", fanout=fanout)
     tok = docs.select(
         F.col("doc_id").alias("id"), F.explode(dedup.tokens("text")).alias("token")
     ).distinct()
@@ -8784,7 +8786,7 @@ def q191_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side is a bounded set — both rankings broadcast it,
     rank windows partition per query, and only (query, cand, rank)
     triples ever shuffle."""
-    lex, sem = _hybrid_rankings(spark, sf_dir)
+    lex, sem = _hybrid_rankings(spark, sf_dir, fanout=True)
     fused = lex.join(sem, ["query_id", "cand_id"], "full_outer").select(
         "query_id",
         "cand_id",
