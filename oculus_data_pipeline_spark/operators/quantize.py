@@ -1389,6 +1389,16 @@ def ivf_pq_trained_topk(
     # the original broadcast shape, but the broadcast now collects
     # from a LocalTableScan — no upstream job, no checkpoint chain
     crow = _ccs_local(spark, cent)
+    # Residuals materialize ONCE (r12): five consumers read this table
+    # — the PQ init collect, the three per-step Arrow scans, and the
+    # final codes projection — and each used to re-run the coarse
+    # argmin (k_coarse × dim zip_with/aggregate folds per row), the
+    # most expensive per-row expression in the operator. Measured
+    # same-session: PQ training 2.44 s recomputing vs 0.74 s build +
+    # 0.80 s training on the checkpoint. At scale the checkpoint
+    # trades one local-disk materialization of (id, list_id, r)
+    # against n_steps+1 recomputes of the assign projection — the
+    # scans themselves are inherent to Lloyd either way.
     resid = (
         e.crossJoin(F.broadcast(crow))
         .withColumn("list_id", F.array_min(_coarse_cands(k_coarse)).cid)
@@ -1401,6 +1411,7 @@ def ivf_pq_trained_topk(
                 lambda x, c: x - c,
             ).alias("r"),
         )
+        .localCheckpoint(eager=True)
     )
     cb = _train_pq_lists(resid, k, n_subspaces, sub, k_coarse, n_steps, TRAIN_OFFSET)[
         -1
@@ -1538,7 +1549,9 @@ def ivf_pq_train_objectives(
             )
         )
     crow = _ccs_local(spark, cents[-1])
-    # local-relation residual projection (see ivf_pq_trained_topk)
+    # local-relation residual projection, materialized once across its
+    # n_steps+1 training scans AND the per-step SSE parts (same
+    # rationale as ivf_pq_trained_topk's checkpoint)
     resid = (
         e.crossJoin(F.broadcast(crow))
         .withColumn("list_id", F.array_min(_coarse_cands(k_coarse)).cid)
@@ -1551,6 +1564,7 @@ def ivf_pq_train_objectives(
                 lambda x, c: x - c,
             ).alias("r"),
         )
+        .localCheckpoint(eager=True)
     )
     cbs = _train_pq_lists(resid, k, n_subspaces, sub, k_coarse, n_steps, TRAIN_OFFSET)
     for step, cb in enumerate(cbs):
